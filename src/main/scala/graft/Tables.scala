@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver testdata (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Reads are plain
+  * `spark.read.parquet` so Catalyst's parquet scan handles column
+  * pruning + predicate pushdown; at 100 TB the same call points at a
+  * partitioned directory tree and partition pruning applies unchanged.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS) (TESTDATA.md /
+    * FIXTURES.md caveat). Spark's vectorized reader cannot map NANOS to
+    * its microsecond TimestampType directly; read the column as a long
+    * (nanos since epoch) and convert — identical truncation to what
+    * DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    // Session conf (not a read option): Spark's schema converter only
+    // honors nanos-as-long via SQLConf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$d/events.parquet")
+    val tsType = raw.schema("ts").dataType.typeName
+    // Integer `div`, NOT `/`: long/1000 promotes to double, and epoch
+    // nanos (~1.7e18) exceed double's 53-bit mantissa — off-by-1 µs.
+    if (tsType == "long")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

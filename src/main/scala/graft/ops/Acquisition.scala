@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Acquisition-plan operators (SURVEY.md §2.3 E1-E8).
+  *
+  * These re-express the reference pipeline's plan-building dataflow
+  * (reference: app.py:559-596, 213-283) as declarative Catalyst plans
+  * over the driver testdata tables. Each op is a pure
+  * `(SparkSession, sfDir) => DataFrame` with a total ORDER BY so the
+  * DuckDB oracle hash-compare is deterministic.
+  *
+  * Scale notes (100 TB posture):
+  *  - the cross join (E1) multiplies two *dimension* tables — both tiny
+  *    by construction, exactly like the reference's 4 config lists
+  *    (reference: app.py:569-575); never cross-join fact tables.
+  *  - chunk explosion (E2) is a generator, not a shuffle: `sequence` +
+  *    `explode` runs inside whole-stage codegen, per input row.
+  *  - the IP lookup (E5) broadcasts the small side explicitly, so the
+  *    fact side never shuffles (reference dict lookup, app.py:238-244).
+  *  - the skip-if-exists dedup (E6/E7) is a key-only anti/semi join:
+  *    project both sides to the join key before the shuffle so only
+  *    keys move (reference existence check, app.py:270-273, 419-421).
+  */
+object Acquisition {
+
+  /** E1: dimension enumeration — the `networks × stations × locations
+    * × channels` cross product (reference: app.py:569-575), played by
+    * `region × nation`. Both sides are dims: Catalyst plans a
+    * broadcast nested loop with no shuffle. */
+  def qCrossDims(spark: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(spark, d).select(col("r_name"))
+    val n = Tables.nation(spark, d).select(col("n_name"))
+    r.crossJoin(n).orderBy("r_name", "n_name")
+  }
+
+  /** E2: hourly chunk generation for each distinct UTC day seen in
+    * `events` (reference chunk generator: app.py:336-353, driven with
+    * chunksize=1h at app.py:594). `sequence` + `explode` is Spark's
+    * built-in generator — no UDTF, no shuffle beyond the distinct. */
+  def qChunkExplode(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .select(explode(sequence(
+        col("day"),
+        col("day") + expr("INTERVAL 23 HOURS"),
+        expr("INTERVAL 1 HOUR"))).as("chunk_start"))
+      .orderBy("chunk_start")
+
+  /** E3: buffered + clamped query bounds. Chunk `[t, t+1h)` becomes
+    * query `[max(day_start, t-120s), min(day_end, t+1h+120s)]` —
+    * the reference's ±buffer with window clamping (app.py:373-380,
+    * buffer=120s at app.py:595). Pure per-row expressions. */
+  def qBufferedBounds(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(
+        col("event_id"),
+        date_trunc("day", col("ts")).as("day_start"),
+        date_trunc("hour", col("ts")).as("chunk_start"))
+      .select(
+        col("event_id"),
+        col("chunk_start"),
+        greatest(col("day_start"),
+          col("chunk_start") - expr("INTERVAL 120 SECONDS")).as("query_start"),
+        least(col("day_start") + expr("INTERVAL 1 DAY"),
+          col("chunk_start") + expr("INTERVAL 1 HOUR 2 MINUTES")).as("query_end"))
+      .orderBy("event_id")
+
+  /** E4: NSLC-style key build + parse round trip (reference filename
+    * projection app.py:257-268 and its inverse parse app.py:451-454).
+    * `location` carries the event_id so every filename is unique. */
+  def qKeyProjection(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(
+        col("event_id"),
+        concat_ws(".",
+          lit("OX"),
+          concat(lit("STA"), col("user_id")),
+          col("event_id"),
+          col("event_type"),
+          date_format(col("ts"), "yyyyMMdd'T'HHmmss"),
+          lit("mseed")).as("filename"))
+      .select(
+        col("event_id"),
+        col("filename"),
+        element_at(split(col("filename"), "\\."), 2).as("station_parsed"),
+        element_at(split(col("filename"), "\\."), 4).as("channel_parsed"),
+        substring(element_at(split(col("filename"), "\\."), 5), 1, 8).as("date_part"))
+      .withColumn("s3_key", concat_ws("/", col("date_part"), col("filename")))
+      .orderBy("event_id")
+
+  /** E5: the station → sensor-IP lookup join (reference dict lookup
+    * with dropped-row-on-miss semantics, app.py:238-244), played by
+    * `orders ⋈ customer`. The dimension side is explicitly
+    * `broadcast()` so the fact table never shuffles — at 100 TB the
+    * fact side streams through map tasks. */
+  def qLookupJoin(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d).select("c_custkey", "c_name", "c_nationkey")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** E5b: the warning channel for dropped rows — stations with no IP
+    * (reference logs and drops them, app.py:239-241). Left-anti of the
+    * fact against the dim: the complement Spark makes queryable. */
+  def qLookupMisses(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d).select("c_custkey")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** E6: skip-if-exists incremental dedup — drop planned requests whose
+    * output already landed (reference: app.py:270-273, 419-421).
+    * Key-only left-anti join; re-running the surviving plan a second
+    * time yields the empty set (idempotence property test). */
+  def qAntiDedup(spark: SparkSession, d: String): DataFrame = {
+    val plan = Tables.orders(spark, d).select("o_orderkey")
+    val landed = Tables.lineitem(spark, d).select(col("l_orderkey"))
+    plan.join(landed, plan("o_orderkey") === landed("l_orderkey"), "left_anti")
+      .orderBy("o_orderkey")
+  }
+
+  /** E7: complement of E6 — which planned requests already landed
+    * (left-semi = SQL EXISTS). */
+  def qSemiPresent(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val landed = Tables.lineitem(spark, d).select(col("l_orderkey"))
+    o.join(landed, o("o_orderkey") === landed("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** E8: as-of join — for each order, the latest event of the same
+    * user at-or-before the order date. Spark lacks a native as-of
+    * join; the idiomatic composition is a range-predicate join +
+    * `row_number() = 1`, which AQE turns into a shuffled hash join on
+    * the equi key with the range predicate applied post-join. The
+    * deterministic tiebreak (ts DESC, event_id DESC) makes the result
+    * oracle-hashable. */
+  def qAsofLatest(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate")
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("event_id").as("asof_event"), col("ts").as("asof_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The flagship end-to-end acquisition plan (SURVEY.md §7.2): dims
+    * cross product → previous-day window → hourly chunks → buffered
+    * bounds → broadcast IP lookup → anti-join against landed inventory
+    * → request keys. This is reference app.py:559-596 + 213-283 as one
+    * Catalyst plan. */
+  def acquisitionPlan(spark: SparkSession, d: String): DataFrame = {
+    val dims = Tables.region(spark, d).select(col("r_name").as("network"))
+      .crossJoin(Tables.nation(spark, d).select(
+        col("n_name").as("station"), col("n_nationkey").as("station_key")))
+    // "previous UTC day" relative to the max event ts, for determinism
+    val eod = Tables.events(spark, d)
+      .select(date_trunc("day", max(col("ts"))).as("day_end"))
+      .withColumn("day_start", col("day_end") - expr("INTERVAL 1 DAY"))
+    val windowed = dims.crossJoin(eod)
+    val chunked = windowed.select(
+      col("network"), col("station"), col("station_key"),
+      col("day_start"), col("day_end"),
+      explode(sequence(col("day_start"),
+        col("day_end") - expr("INTERVAL 1 HOUR"),
+        expr("INTERVAL 1 HOUR"))).as("chunk_start"))
+    val bounded = chunked
+      .withColumn("query_start",
+        greatest(col("day_start"), col("chunk_start") - expr("INTERVAL 120 SECONDS")))
+      .withColumn("query_end",
+        least(col("day_end"), col("chunk_start") + expr("INTERVAL 1 HOUR 2 MINUTES")))
+    // station → endpoint lookup (broadcast dim), drop-on-miss semantics
+    val ipMap = Tables.nation(spark, d).select(
+      col("n_nationkey").as("station_key"),
+      concat(lit("10.147.20."), col("n_nationkey"), lit(":8080")).as("sensor_ip"))
+    val resolved = bounded.join(broadcast(ipMap), Seq("station_key"), "inner")
+    val keyed = resolved
+      .withColumn("filename", concat_ws(".",
+        col("network"), col("station"), lit("00"), lit("HHZ"),
+        date_format(col("chunk_start"), "yyyyMMdd'T'HHmmss"), lit("mseed")))
+      .withColumn("url", concat(
+        lit("http://"), col("sensor_ip"), lit("/data?channel="),
+        concat_ws(".", col("network"), col("station"), lit("00"), lit("HHZ")),
+        lit("&from="), unix_timestamp(col("query_start")),
+        lit("&to="), unix_timestamp(col("query_end"))))
+    keyed.select("network", "station", "chunk_start", "query_start",
+        "query_end", "sensor_ip", "url", "filename")
+      .orderBy("network", "station", "chunk_start")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Inventory / completeness analytics (SURVEY.md §2.3 E9-E15, E20).
+  *
+  * The reference's placeholder-file + S3-tag design exists so that the
+  * *completeness* of the landed dataset is queryable after the fact
+  * (reference: app.py:315-334, 467-480). These operators are that
+  * query surface: per-key aggregation, rollups over the date
+  * hierarchy, gap detection, top-k batching, set-op diffs, and key
+  * parsing over the sink listing.
+  *
+  * Determinism: float aggregates go through exact DECIMAL sums and are
+  * converted to double once at the end, so the result is independent
+  * of partial-aggregation order — a hard requirement both for the
+  * DuckDB oracle hash and for stable results under AQE at scale.
+  */
+object Inventory {
+
+  /** Exact, order-independent SUM of a double column: cast each value
+    * to DECIMAL(18,6) (exact, deterministic per-value), sum in decimal
+    * (exact, associative), convert to double once. */
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** E9: hash aggregation with map-side partial aggregation — per-key
+    * completeness counts (reference groups per sensor IP,
+    * app.py:391-397, and counts placeholders per tag,
+    * app.py:467-480). groupBy on (user_id, event_type) shuffles only
+    * the partially-aggregated map output. */
+  def qGroupAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        decSum(col("value")).as("sum_value"),
+        (decSum(col("value")) / count(lit(1))).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .orderBy("user_id", "event_type")
+
+  /** E10: distinct keys fetched (reference skip-list is a distinct key
+    * set, app.py:270-273). */
+  def qDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).select("l_orderkey").distinct().orderBy("l_orderkey")
+
+  /** E11: rollup over the date hierarchy — daily landing partitions
+    * (reference S3 layout `{YYYYMMDD}/`, app.py:451-459) rolled up to
+    * month and year with grouping_id distinguishing the levels. */
+  def qRollup(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        col("o_totalprice"))
+      .rollup("o_year", "o_month")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .select("gid", "o_year", "o_month", "n", "sum_price")
+      .orderBy(col("gid"), col("o_year").asc_nulls_first, col("o_month").asc_nulls_first)
+
+  /** E12: row_number per partition — the reference's per-IP batch
+    * slicing (app.py:413-414) as a window function. */
+  def qWindowRank(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** E13: data-gap detection — the analytic the placeholder files
+    * exist to enable (reference: app.py:315-334): where is the
+    * per-station time series missing more than `gap` of data?
+    * lag() over (station, ts), exact integer microsecond arithmetic. */
+  def qGapDetect(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .filter(col("gap_us") > 300L * 1000000L)
+      .select("user_id", "event_id", "prev_ts", "ts", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** E13b: interval coalescing — merge overlapping chunk intervals,
+    * undoing the reference's deliberate ±120 s chunk overlap
+    * (app.py:375-376). Classic cumulative-max islands: a row starts a
+    * new island iff its start exceeds the running max end of all
+    * earlier intervals in its partition. Each event contributes the
+    * interval [ts, ts+5min). A typed Aggregator variant lives in
+    * graft.functions.IntervalMergeAggregator; this window form is the
+    * oracle-checkable one. */
+  def qIntervalMerge(spark: SparkSession, d: String): DataFrame = {
+    val ordered = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevRows = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("iv_end"))
+      .withColumn("prev_max_end", max(col("iv_end")).over(prevRows))
+      .withColumn("is_new", when(
+        col("prev_max_end").isNull || col("ts") > col("prev_max_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("is_new")).over(upToHere))
+      .groupBy("user_id", "island")
+      .agg(min(col("ts")).as("merged_start"),
+        max(col("iv_end")).as("merged_end"),
+        count(lit(1)).as("n_chunks"))
+      .select("user_id", "merged_start", "merged_end", "n_chunks")
+      .orderBy("user_id", "merged_start")
+  }
+
+  /** E14: top-k per group — the reference's batches-of-3-per-IP
+    * (app.py:400-414) as a rank-and-filter. At scale this is the
+    * shuffle-once pattern: one window over the group key, no self
+    * join. */
+  def qTopkPerGroup(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("l_orderkey", "rn")
+  }
+
+  /** E15: set operations — the ok ∪ dead-letter union the reference's
+    * sink performs implicitly (placeholders and real payloads land in
+    * the same bucket, app.py:435-463), then an EXCEPT inventory diff
+    * (the migration script's "already at destination" set,
+    * upload_to_rfs.py:182-216). */
+  def qUnionExcept(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val live = o.filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey"), lit("live").as("status"))
+    val dead = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), lit("dead").as("status"))
+    val migrated = o.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_orderkey"), lit("live").as("status"))
+    live.unionByName(dead).except(migrated).orderBy("o_orderkey", "status")
+  }
+
+  /** E20: sink-listing inventory — build the reference's S3 keys
+    * (app.py:449-459), then parse them back into an inventory table
+    * with regexp_extract (the migration script's listing walk,
+    * upload_to_rfs.py:16-35 + the filename parse app.py:451-454). */
+  def qFilenameInventory(spark: SparkSession, d: String): DataFrame = {
+    val pat = "^([^.]+)\\.([^.]+)\\.([^.]+)\\.([^.]+)\\.([^.]+)\\.mseed$"
+    Tables.events(spark, d)
+      .select(col("event_id"), concat_ws(".",
+        lit("OX"),
+        concat(lit("STA"), col("user_id")),
+        col("event_id"),
+        col("event_type"),
+        date_format(col("ts"), "yyyyMMdd'T'HHmmss"),
+        lit("mseed")).as("filename"))
+      .select(
+        col("event_id"),
+        regexp_extract(col("filename"), pat, 1).as("network"),
+        regexp_extract(col("filename"), pat, 2).as("station"),
+        regexp_extract(col("filename"), pat, 4).as("channel"),
+        substring(regexp_extract(col("filename"), pat, 5), 1, 8).as("date_part"),
+        col("filename"))
+      .withColumn("s3_key", concat_ws("/", col("date_part"), col("filename")))
+      .select("event_id", "network", "station", "channel", "date_part", "s3_key")
+      .orderBy("event_id")
+  }
+}
