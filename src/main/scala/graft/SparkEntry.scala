@@ -47,6 +47,21 @@ object SparkEntry {
     "q_tumbling_daily" -> (TimeWindows.qTumblingDaily _),
     "q_sliding_window" -> (TimeWindows.qSlidingWindow _),
     "q_session_window" -> (TimeWindows.qSessionWindow _),
+    // Quality / training-data ops (E21-E23, E25 + north star)
+    "q_exact_dedup" -> (Quality.qExactDedup _),
+    "q_text_stats" -> (Quality.qTextStats _),
+    "q_token_count" -> (Quality.qTokenCount _),
+    "q_lang_id" -> (Quality.qLangId _),
+    "q_quality_score" -> (Quality.qQualityScore _),
+    "q_doc_fingerprint" -> (Quality.qDocFingerprint _),
+    "q_minhash_neardup" -> (Quality.qMinhashNeardup _),
+    "q_simhash" -> (Quality.qSimhash _),
+    "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
+    "q_json_extract" -> (Quality.qJsonExtract _),
+    // Similarity search (E24 + north star)
+    "q_cosine_topk" -> (Similarity.qCosineTopk _),
+    "q_ann_ivf" -> (Similarity.qAnnIvf _),
+    "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -108,14 +123,14 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_latest" ->
-      """SELECT o_orderkey, o_orderdate, asof_event, asof_ts FROM (
-        |  SELECT o.o_orderkey, o.o_orderdate, e.event_id AS asof_event,
-        |    CAST(e.ts AS TIMESTAMP) AS asof_ts,
-        |    row_number() OVER (PARTITION BY o.o_orderkey
-        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
-        |  FROM orders o JOIN events e
-        |    ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate)
-        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+      """SELECT event_id, ts, asof_order, asof_date FROM (
+        |  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |    o.o_orderkey AS asof_order, o.o_orderdate AS asof_date,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_group_agg" ->
       """SELECT user_id, event_type, count(*) AS n,
@@ -238,5 +253,198 @@ object SparkEntry {
         |  count(*) AS n
         |FROM islands GROUP BY user_id, island
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT user_id, event_type, value, min(event_id) AS keep_event_id,
+        |  count(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type, value
+        |ORDER BY user_id, event_type, value""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_types,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  round(len(list_distinct(string_split_regex(text, '\s+')))
+        |    / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 4) AS type_token_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('el','los','es','y','que'))) AS s_es,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('le','la','et','les','des'))) AS s_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS pred_lang
+        |  FROM s)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, pred_lang,
+        |  pred_lang = lang AS is_correct
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+        |    len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+        |    round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+        |    round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_tokens, n_symbol_chars, n_digit_chars, n_stopwords,
+        |  mean_token_len, symbol_ratio, stopword_ratio,
+        |  round(least(1.0, greatest(0.0,
+        |    0.5 * least(n_tokens / 20.0, 1.0)
+        |    + 0.3 * (1.0 - symbol_ratio)
+        |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text,
+        |    list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS s
+        |  FROM documents WHERE len(text) >= 5)
+        |SELECT doc_id, md5(text) AS full_md5,
+        |  list_min([md5(x) for x in s]) AS min_shingle_md5,
+        |  list_max([md5(x) for x in s]) AS max_shingle_md5
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS s
+        |  FROM documents WHERE len(text) >= 5),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([md5(CAST(j AS VARCHAR) || ':' || x) for x in s])
+        |      for j in range(0, 8)] AS sg
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [sg[2*b + 1] || sg[2*b + 2] for b in range(0, 4)] AS bd
+        |  FROM sig),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [md5(x) for x in string_split_regex(text, '\s+')] AS tm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum(
+        |      [CASE WHEN substr(m, b, 1) >= '8' THEN 1 ELSE -1 END for m in tm]) > 0
+        |    THEN '1' ELSE '0' END for b in range(1, 17)], '') AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS s
+        |  FROM documents WHERE len(text) >= 5),
+        |j AS (
+        |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.s, b.s))
+        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY lang, doc_a, doc_b""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |  FROM p)
+        |SELECT probe_id, vec_id, round(c, 4) AS cos_sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster, eb, nb FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster, b.e AS eb, b.nrm AS nb,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT vec_id AS probe_id, cluster, eb AS ea, nb AS na
+        |  FROM asg WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT pr.probe_id, pr.cluster, asg.vec_id,
+        |    list_sum([pr.ea[i] * asg.eb[i] for i in range(1, len(pr.ea) + 1)])
+        |      / (pr.na * asg.nb) AS c
+        |  FROM pr JOIN asg ON pr.cluster = asg.cluster AND asg.vec_id <> pr.probe_id),
+        |r AS (
+        |  SELECT probe_id, cluster, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |  FROM sc)
+        |SELECT probe_id, cluster, vec_id, round(c, 4) AS cos_sim, rn
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(c, 4) AS cos_sim
+        |FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -138,25 +138,25 @@ object Acquisition {
       .orderBy("o_orderkey")
   }
 
-  /** E8: as-of join — for each order, the latest event of the same
-    * user at-or-before the order date. Spark lacks a native as-of
-    * join; the idiomatic composition is a range-predicate join +
-    * `row_number() = 1`, which AQE turns into a shuffled hash join on
-    * the equi key with the range predicate applied post-join. The
-    * deterministic tiebreak (ts DESC, event_id DESC) makes the result
-    * oracle-hashable. */
+  /** E8: as-of join — for each event, the latest order of the same
+    * user at-or-before the event timestamp. Spark lacks a native as-of
+    * join; the idiomatic composition is an equi join on the key with
+    * the range predicate applied post-join + `row_number() = 1`. The
+    * deterministic tiebreak (o_orderdate DESC, o_orderkey DESC) makes
+    * the result oracle-hashable. At scale the shuffled hash join on
+    * user_id dominates; skewed users salt on the event side. */
   def qAsofLatest(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate")
     val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
-    val w = Window.partitionBy("o_orderkey")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("o_orderdate"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("o_orderkey"), col("o_orderdate"),
-        col("event_id").as("asof_event"), col("ts").as("asof_ts"))
-      .orderBy("o_orderkey")
+      .select(col("event_id"), col("ts"),
+        col("o_orderkey").as("asof_order"), col("o_orderdate").as("asof_date"))
+      .orderBy("event_id")
   }
 
   /** The flagship end-to-end acquisition plan (SURVEY.md §7.2): dims

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data quality operators (SURVEY.md §2.3 E21-E23, E25 + the
+  * LLM-pipeline north-star ops from BASELINE.json): exact and
+  * near-duplicate detection, text analysis, fingerprinting, JSON
+  * extraction — all over the `documents` / `events` testdata tables.
+  *
+  * Portability contract with the DuckDB oracle: every hash used in a
+  * checked query is `md5` over a UTF-8 string — the only hash both
+  * engines compute identically. Spark's `hash`/`xxhash64` are
+  * murmur3/xxhash with Spark-specific seeds and are kept out of
+  * oracle-checked paths (they remain the right choice for
+  * non-verified production hashing).
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup is a key-only hash aggregate: map-side partial min
+  *    collapses duplicates before the shuffle, so bytes moved ∝
+  *    distinct keys, not input rows.
+  *  - MinHash-LSH is the linear-time near-dup path: signatures are
+  *    computed per row (no shuffle), candidate generation shuffles
+  *    only (band_idx, band_val) keys, and the exact-Jaccard verify
+  *    runs on candidates only — never the n² pair space. The DuckDB
+  *    oracle *does* compare all same-band pairs quadratically; that is
+  *    fine at sf0.01 and exactly why the engine side must not.
+  *  - per-doc text stats are embarrassingly parallel projections
+  *    inside whole-stage codegen.
+  */
+object Quality {
+
+  /** Tokens on whitespace — matches DuckDB `string_split_regex(text,
+    * '\s+')` on the clean single-spaced testdata. */
+  private val toks = "split(text, '\\\\s+')"
+
+  /** Distinct character 5-gram shingles; rows shorter than one shingle
+    * are filtered out on both engine and oracle side (Spark `sequence`
+    * would generate a *descending* range on a negative span). */
+  private val shingles =
+    "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
+
+  /** E21: exact dedup on `events` business key (user_id, event_type,
+    * value) keeping the smallest event_id — the deterministic form of
+    * `dropDuplicates`. Map-side combine makes this a key-shuffle only. */
+  def qExactDedup(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id", "event_type", "value")
+      .agg(min("event_id").as("keep_event_id"), count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type", "value")
+
+  /** E23: text-corpus stats per (lang, source). */
+  def qTextStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs | digit runs | single non-space symbol) + type/token
+    * ratio. */
+  def qTokenCount(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(array_distinct($toks))").as("n_types"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .as("n_bpe_tokens"),
+        expr(s"round(size(array_distinct($toks)) / cast(size($toks) AS DOUBLE), 4)")
+          .as("type_token_ratio"))
+      .orderBy("doc_id")
+
+  /** Language ID by stopword-hit scoring (n-gram heuristic). Scores are
+    * counts of language-marker tokens; prediction is the argmax with a
+    * fixed tie order (en > de > es > fr), 'und' when no marker hits.
+    * Deterministic by construction — the testdata vocabulary is
+    * English-ish so this mostly exercises the scoring plumbing. */
+  def qLangId(spark: SparkSession, d: String): DataFrame = {
+    def score(words: Seq[String]) =
+      s"size(filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val sEn = score(Seq("the", "a", "of", "and", "to"))
+    val sDe = score(Seq("der", "die", "das", "und", "ist"))
+    val sEs = score(Seq("el", "los", "es", "y", "que"))
+    val sFr = score(Seq("le", "la", "et", "les", "des"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        expr(sEn).as("s_en"), expr(sDe).as("s_de"),
+        expr(sEs).as("s_es"), expr(sFr).as("s_fr"))
+      .withColumn("pred_lang", expr(
+        """CASE
+          |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+          |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+          |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+          |  WHEN s_fr > 0 THEN 'fr'
+          |  ELSE 'und' END""".stripMargin))
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, symbol/digit ratios, mean token length,
+    * stopword ratio, and a composite [0,1] score — the standard cheap
+    * pre-filter for LLM training corpora. */
+  def qQualityScore(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr("length(regexp_replace(text, '[a-z0-9 ]', ''))").as("n_symbol_chars"),
+        expr("length(regexp_replace(text, '[^0-9]', ''))").as("n_digit_chars"),
+        expr(s"size(filter($toks, t -> t IN ('the','a','of','and','to','in','is')))")
+          .as("n_stopwords"))
+      .withColumn("mean_token_len",
+        expr("round((n_chars - (n_tokens - 1)) / cast(n_tokens AS DOUBLE), 4)"))
+      .withColumn("symbol_ratio",
+        expr("round(n_symbol_chars / cast(n_chars AS DOUBLE), 4)"))
+      .withColumn("stopword_ratio",
+        expr("round(n_stopwords / cast(n_tokens AS DOUBLE), 4)"))
+      .withColumn("quality_score", expr(
+        """round(least(1.0, greatest(0.0,
+          |  0.5 * least(n_tokens / 20.0, 1.0)
+          |  + 0.3 * (1.0 - symbol_ratio)
+          |  + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4)""".stripMargin))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: whole-text md5 plus min/max shingle
+    * hashes (a 2-hash winnowing sketch) — enough to detect exact and
+    * prefix/suffix-shifted duplicates in one linear pass. */
+  def qDocFingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        md5(col("text")).as("full_md5"),
+        expr(s"array_min(transform($shingles, s -> md5(s)))").as("min_shingle_md5"),
+        expr(s"array_max(transform($shingles, s -> md5(s)))").as("max_shingle_md5"))
+      .orderBy("doc_id")
+
+  /** E22: MinHash + LSH near-duplicate pairs, verified with exact
+    * Jaccard ≥ 0.5. 8 minhashes (seeded md5 min over shingles) banded
+    * 4 × 2; candidate pairs = docs sharing any band; the exact-Jaccard
+    * verify prunes false positives. Bands are exploded and shuffled on
+    * (band_idx, band_val) so candidate generation is linear in docs,
+    * not quadratic in pairs. */
+  def qMinhashNeardup(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr(shingles).as("sh"))
+    val sig = sh.select(col("doc_id"), col("sh"), expr(
+      """transform(sequence(0, 7),
+        |  j -> array_min(transform(sh, s -> md5(concat(cast(j AS STRING), ':', s)))))"""
+        .stripMargin).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2)))"))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("n_common", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", expr(
+        "round(n_common / cast(size(sh_a) + size(sh_b) - n_common AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 16-bit signature from per-token md5 nibbles (high bit of
+    * each of the first 16 hex digits, ±1 vote per token). Near-identical
+    * docs land on equal/adjacent signatures; the signature itself is the
+    * verifiable artifact. */
+  def qSimhash(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        expr(s"transform($toks, t -> md5(t))").as("tok_md5"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(1, 16), b ->
+          |  CASE WHEN aggregate(tok_md5, 0,
+          |    (acc, m) -> acc + CASE WHEN substring(m, b, 1) >= '8' THEN 1 ELSE -1 END) > 0
+          |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+      .orderBy("doc_id")
+
+  /** n-gram Jaccard near-dup: exact character-5-gram Jaccard ≥ 0.5 over
+    * same-lang pairs. The blocked (per-lang) pair space is the naive
+    * quadratic baseline that E22's LSH replaces at scale — kept as the
+    * ground-truth op the LSH result is validated against. */
+  def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("lang"), expr(shingles).as("sh"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_common", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", expr(
+        "round(n_common / cast(size(sh_a) + size(sh_b) - n_common AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("lang", "doc_a", "doc_b", "jaccard")
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** E25: JSON extraction from `events.props` (`{"k": <int>}`) +
+    * aggregation over the extracted key. */
+  def qJsonExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+}
