@@ -334,19 +334,19 @@ object SparkEntry {
         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q_minhash_neardup" ->
-      """WITH sh AS (
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
         |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS s
-        |  FROM documents WHERE len(text) >= 5),
-        |sig AS (
-        |  SELECT doc_id, s,
-        |    [list_min([md5(CAST(j AS VARCHAR) || ':' || x) for x in s])
-        |      for j in range(0, 8)] AS sg
-        |  FROM sh),
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
         |bands AS (
         |  SELECT doc_id, s,
-        |    [sg[2*b + 1] || sg[2*b + 2] for b in range(0, 4)] AS bd
-        |  FROM sig),
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
         |  FROM bands a JOIN bands b
@@ -372,10 +372,13 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH tkt AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
         |  SELECT doc_id, lang,
-        |    list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS s
-        |  FROM documents WHERE len(text) >= 5),
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
         |j AS (
         |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    round(len(list_intersect(a.s, b.s))

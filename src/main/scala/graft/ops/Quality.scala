@@ -141,34 +141,82 @@ object Quality {
         expr(s"array_max(transform($shingles, s -> md5(s)))").as("max_shingle_md5"))
       .orderBy("doc_id")
 
+  /** Distinct word 3-gram shingles as an exploded (lang, doc_id,
+    * shingle) stream — the discriminative shingle unit for text
+    * near-dup (character n-grams over a small vocabulary are
+    * near-universal: at sf0.1 the char-5-gram inverted index implies
+    * 1.5e9 candidate pairs vs 3.3e5 for word 3-grams).
+    *
+    * Built with posexplode + lead() windows rather than array lambdas:
+    * higher-order functions run interpreted and Catalyst inlines the
+    * `split` into every lambda reference (measured 70 s for 5000 docs);
+    * the window form is whole-stage-codegen end to end and shuffles
+    * once on doc_id. */
+  private def wordShingleInv(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(toks)).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
   /** E22: MinHash + LSH near-duplicate pairs, verified with exact
-    * Jaccard ≥ 0.5. 8 minhashes (seeded md5 min over shingles) banded
-    * 4 × 2; candidate pairs = docs sharing any band; the exact-Jaccard
-    * verify prunes false positives. Bands are exploded and shuffled on
-    * (band_idx, band_val) so candidate generation is linear in docs,
-    * not quadratic in pairs. */
+    * Jaccard ≥ 0.5 over word 3-gram shingles.
+    *
+    * Signature: ONE md5 per shingle, sliced into 8 disjoint 4-hex-char
+    * sub-hashes; minhash_j = min of slice j over the doc's shingles.
+    * An 8× cheaper signature than 8 seeded hashes; 16-bit slices add a
+    * ~1/2e5 per-band false-collision rate, which the exact verify
+    * absorbs (and the oracle replicates bit-for-bit).
+    *
+    * Candidates: group by (band_idx, band_val) and expand in-group
+    * pairs from the sorted doc list — the signature subtree is
+    * evaluated once (a self-join would recompute it per side). At
+    * scale a pathological band (all-identical docs) makes k² pairs of
+    * one group; cap/salt such groups before expanding if k is
+    * unbounded.
+    *
+    * Everything up to the pair expansion is plain codegen'd
+    * aggregation — signatures are `min(substring(md5))` aggregates
+    * over the exploded shingle stream, not array lambdas (interpreted,
+    * measured 10×+ slower). The verify counts common shingles through
+    * the inverted index restricted to candidates, so no shingle array
+    * is ever materialized or shuffled. */
   def qMinhashNeardup(spark: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(spark, d)
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), expr(shingles).as("sh"))
-    val sig = sh.select(col("doc_id"), col("sh"), expr(
-      """transform(sequence(0, 7),
-        |  j -> array_min(transform(sh, s -> md5(concat(cast(j AS STRING), ':', s)))))"""
-        .stripMargin).as("sig"))
-    val bands = sig.select(col("doc_id"), col("sh"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2)))"))
-        .as(Seq("band_idx", "band_val")))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("n_common", expr("size(array_intersect(sh_a, sh_b))"))
+    val inv = wordShingleInv(spark, d)
+    val h = inv.withColumn("h", md5(col("shingle")))
+    val mins = (0 until 8).map(j =>
+      min(substring(col("h"), 4 * j + 1, 4)).as(s"m$j"))
+    val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(b => concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
+      .as(Seq("band_idx", "band_val")))
+    val cand = bands.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+          |  i -> transform(slice(ds, i + 1, size(ds) - i),
+          |    y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", expr(
-        "round(n_common / cast(size(sh_a) + size(sh_b) - n_common AS DOUBLE), 4)"))
+        "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -189,20 +237,30 @@ object Quality {
           |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
       .orderBy("doc_id")
 
-  /** n-gram Jaccard near-dup: exact character-5-gram Jaccard ≥ 0.5 over
-    * same-lang pairs. The blocked (per-lang) pair space is the naive
-    * quadratic baseline that E22's LSH replaces at scale — kept as the
-    * ground-truth op the LSH result is validated against. */
+  /** n-gram Jaccard near-dup: exact word-3-gram Jaccard ≥ 0.5 over
+    * same-lang pairs, via the inverted-index plan: explode shingles,
+    * self-join on (lang, shingle) to count common shingles per pair,
+    * then join per-doc set sizes. Pair rows materialize only for pairs
+    * that share ≥ 1 shingle, and only (ids, counts) ever shuffle —
+    * never the shingle arrays. Word 3-grams keep shingle document
+    * frequency low, so the inverted index's Σdf² pair bound stays
+    * near-linear; for corpora with hot shingles add a PPJoin-style
+    * prefix filter (index only each doc's rarest |A|−⌈τ|A|⌉+1
+    * shingles) before this join. */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(spark, d)
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("lang"), expr(shingles).as("sh"))
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("n_common", expr("size(array_intersect(sh_a, sh_b))"))
+    val inv = wordShingleInv(spark, d)
+    val sizes = inv.groupBy("doc_id", "lang").agg(count(lit(1)).as("sz"))
+    val common = inv.select(col("lang"), col("doc_id").as("doc_a"), col("shingle"))
+      .join(inv.select(col("lang"), col("doc_id").as("doc_b"), col("shingle")),
+        Seq("lang", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("lang", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", expr(
-        "round(n_common / cast(size(sh_a) + size(sh_b) - n_common AS DOUBLE), 4)"))
+        "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
       .filter(col("jaccard") >= 0.5)
       .select("lang", "doc_a", "doc_b", "jaccard")
       .orderBy("lang", "doc_a", "doc_b")
