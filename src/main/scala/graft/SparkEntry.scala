@@ -62,6 +62,9 @@ object SparkEntry {
     "q_cosine_topk" -> (Similarity.qCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
+    // Multimodal binary columns (north star; features = stubbed decode)
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -449,5 +452,10 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(c, 4) AS cos_sim
         |FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, lang, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

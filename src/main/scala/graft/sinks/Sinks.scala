@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY.md §2.1 R16/R22).
+  *
+  * R16 — the reference uploads each chunk to
+  * `bucket/{YYYYMMDD}/{filename}` and tags failures with
+  * `is_placeholder=true` (reference: app.py:449-480). Spark-first:
+  * a date-partitioned parquet write with placeholder-ness as a
+  * column (object tags have no parquet analog; a column is queryable,
+  * which is the tag's whole purpose).
+  *
+  * R22 — the migration script moves S3 objects to a file share with
+  * verify-then-delete semantics (reference: upload_to_rfs.py:154-223,
+  * verify at 65-77): copy, check size at destination, only then delete
+  * the source; keep the source when verification fails. Spark-first:
+  * write to destination, read back and count-verify, then delete the
+  * source directory — the same effectively-once upgrade of an
+  * at-least-once copy, at directory granularity (the unit of a Spark
+  * committer) instead of per object.
+  */
+object Sinks {
+
+  /** R16: land a frame partitioned by UTC date of `ts`; placeholder
+    * rows (empty/missing content) are flagged, not dropped — they are
+    * the queryable failure set. Partition count at scale: one
+    * directory per day × shuffle partitions files; callers coalesce
+    * if the per-day volume is small. */
+  def writeDatePartitioned(df: DataFrame, path: String): Unit =
+    df.withColumn("date_part", date_format(col("ts"), "yyyyMMdd"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("date_part")
+      .parquet(path)
+
+  /** R22: verify-then-delete move. Returns (rowsMoved, deletedSource).
+    * The source survives any verification failure — exactly the
+    * reference's keep-on-mismatch rule (upload_to_rfs.py:206-216). */
+  def moveVerified(spark: SparkSession, srcDir: String, dstDir: String): (Long, Boolean) = {
+    val src = spark.read.parquet(srcDir)
+    val expected = src.count()
+    src.write.mode(SaveMode.Append).parquet(dstDir)
+    val landed = spark.read.parquet(dstDir).count()
+    if (landed >= expected && expected > 0) {
+      val p = new Path(srcDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (expected, fs.delete(p, true))
+    } else (expected, false)
+  }
+
+  /** R9 + R16: idempotent append — only rows whose `key` is absent
+    * from the existing sink are written (the reference's
+    * skip-if-exists re-run safety, app.py:270-273, 419-421). Returns
+    * the number of appended rows. The anti join is key-only; at scale
+    * the sink side prunes to the key column at scan time. */
+  def appendNew(spark: SparkSession, df: DataFrame, key: String, path: String): Long = {
+    val fresh =
+      if (new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new Path(path))) {
+        val existing = spark.read.parquet(path).select(key)
+        df.join(existing, Seq(key), "left_anti")
+      } else df
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+    n
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 stub for the reference's throttled sensor-HTTP source
+  * (reference: app.py:285-313 fetch, 399-431 per-IP semaphore(3) rate
+  * limiting). There are no live sensors in this environment, so the
+  * fetch itself is STUBBED: every planned request deterministically
+  * yields the dead-letter row the reference writes on connection
+  * failure (app.py:315-334). Everything around the stub is real DSv2
+  * plumbing and is contract-tested:
+  *
+  *  - `urls` option → the request manifest;
+  *  - one `InputPartition` per host — the unit of parallelism, exactly
+  *    the reference's group-by-sensor-IP (app.py:391-397), so a 1000-
+  *    executor cluster fetches from distinct sensors concurrently while
+  *    each host sees one task;
+  *  - `maxConcurrentPerHost` (default 3) — carried to the partition as
+  *    the in-task client-pool bound (the semaphore), exposed in the
+  *    output for inspection.
+  *
+  * Usage: `spark.read.format("graft.sources.HttpPlaceholderSource")
+  * .option("urls", "http://10.0.0.1/a,http://10.0.0.2/b").load()`.
+  */
+class HttpPlaceholderSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpPlaceholderSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HttpTable(new CaseInsensitiveStringMap(properties))
+}
+
+object HttpPlaceholderSource {
+  val schema: StructType = new StructType()
+    .add("url", StringType)
+    .add("host", StringType)
+    .add("status", StringType)
+    .add("error_type", StringType)
+    .add("max_concurrent", IntegerType)
+
+  private[sources] def hostOf(url: String): String = {
+    val stripped = url.replaceFirst("^[a-z]+://", "")
+    stripped.takeWhile(c => c != '/' && c != '?')
+  }
+}
+
+private class HttpTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "http_placeholder"
+  override def schema(): StructType = HttpPlaceholderSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new HttpScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private class HttpScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = HttpPlaceholderSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val urls = Option(options.get("urls")).map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val maxPerHost = options.getInt("maxConcurrentPerHost", 3)
+    urls.groupBy(HttpPlaceholderSource.hostOf)
+      .toSeq.sortBy(_._1)
+      .map { case (host, hostUrls) =>
+        HttpHostPartition(host, hostUrls.sorted.toArray, maxPerHost): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new HttpHostReader(partition.asInstanceOf[HttpHostPartition])
+}
+
+private case class HttpHostPartition(
+    host: String, urls: Array[String], maxPerHost: Int) extends InputPartition
+
+/** One reader per host; a real implementation would hold a client pool
+  * of size `maxPerHost` here and stream responses — the STUB emits the
+  * reference's CONNECTION_ERROR placeholder row per request instead. */
+private class HttpHostReader(p: HttpHostPartition)
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < p.urls.length }
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    UTF8String.fromString(p.urls(i)),
+    UTF8String.fromString(p.host),
+    UTF8String.fromString("PLACEHOLDER_FILE"),
+    UTF8String.fromString("CONNECTION_ERROR"),
+    p.maxPerHost))
+  override def close(): Unit = ()
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming transforms (SURVEY.md §2.3 E16-E19, reference
+  * ops R19/R14/R11). Each takes a (possibly streaming) DataFrame with
+  * an event-time `ts` column so ScalaTest can drive them with
+  * `MemoryStream` and production can bind them to any `readStream`
+  * source.
+  *
+  * The reference's daily 00:05 UTC trigger is a 1-day tumbling window
+  * with 5 minutes of allowed lateness (reference: app.py:674-679) —
+  * expressed here as watermark + window, with state eviction bounded
+  * by the watermark (mandatory at 100 TB: unbounded state is a leak).
+  */
+object Streams {
+
+  /** E16/E19: watermarked tumbling counts. In append mode a window
+    * emits once its end passes the watermark; rows later than
+    * `lateness` are dropped — the reference's "previous day is
+    * complete by 00:05" assumption made explicit. */
+  def tumblingCounts(
+      events: DataFrame,
+      window: String = "1 day",
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"))
+
+  /** E18: session windows per key (reference's 10 s poll sessions,
+    * app.py:40-172). State is evicted once the watermark passes a
+    * session's close. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "5 minutes",
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"))
+
+  /** R14: split a fetch-result stream into ok / dead-letter branches
+    * with a status column — the union-sink pattern (placeholders and
+    * payloads land in the same sink, app.py:435-463). Works identically
+    * on batch and streaming frames. */
+  def withDeadLetter(fetched: DataFrame): DataFrame =
+    fetched.withColumn("is_placeholder",
+      col("content").isNull || length(col("content")) === 0)
+      .withColumn("error_type",
+        when(col("content").isNull, lit("CONNECTION_ERROR"))
+          .when(length(col("content")) === 0, lit("HTTP_ERROR"))
+          .otherwise(lit(null).cast("string")))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Acquisition
+
+/** Unit + property coverage for the acquisition-plan operators
+  * (SURVEY.md §5.2-5.3): chunk coverage, buffer clamping at window
+  * edges (reference: app.py:375-376), anti-join idempotence
+  * (app.py:419-421), and key format∘parse = id (app.py:266-268 vs
+  * 451-454). */
+class AcquisitionSpec extends SparkSpec {
+
+  test("chunk explosion covers each day with 24 non-overlapping hours") {
+    val rows = Acquisition.qChunkExplode(spark, sfDir).collect()
+    assert(rows.length % 24 == 0)
+    val byDay = rows.map(_.getTimestamp(0)).groupBy(t =>
+      t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.DAYS))
+    byDay.foreach { case (day, ts) =>
+      assert(ts.length == 24)
+      val hours = ts.map(_.toInstant.getEpochSecond % 86400 / 3600).sorted
+      assert(hours.sameElements(0L until 24L))
+    }
+  }
+
+  test("buffered bounds clamp at the day edges and extend ±120s inside") {
+    val rows = Acquisition.qBufferedBounds(spark, sfDir)
+      .withColumn("day_start", date_trunc("day", col("chunk_start")))
+      .collect()
+    rows.foreach { r =>
+      val chunk = r.getTimestamp(r.fieldIndex("chunk_start")).getTime
+      val qs = r.getTimestamp(r.fieldIndex("query_start")).getTime
+      val qe = r.getTimestamp(r.fieldIndex("query_end")).getTime
+      val dayStart = r.getTimestamp(r.fieldIndex("day_start")).getTime
+      val dayEnd = dayStart + 86400000L
+      // never outside the window (reference clamping, app.py:375-376)
+      assert(qs >= dayStart && qe <= dayEnd)
+      // inside the window the buffer is exactly ±120 s
+      if (chunk - 120000 >= dayStart) assert(qs == chunk - 120000)
+      if (chunk + 3720000 <= dayEnd) assert(qe == chunk + 3720000)
+    }
+  }
+
+  test("anti-join dedup is idempotent: surviving plan re-run is empty") {
+    val plan = Acquisition.qAntiDedup(spark, sfDir)
+    // empty sink: everything survives a re-plan (R9 first run)
+    val emptySink = plan.filter(lit(false))
+    val second = plan.join(emptySink.withColumnRenamed("o_orderkey", "k"),
+      col("o_orderkey") === col("k"), "left_anti")
+    assert(second.count() == plan.count())
+    // sink now contains the survivors: nothing survives (R9 re-run safety)
+    val third = plan.join(plan, Seq("o_orderkey"), "left_anti")
+    assert(third.count() == 0)
+  }
+
+  test("filename format and parse are inverse (format∘parse = id)") {
+    val rows = Acquisition.qKeyProjection(spark, sfDir).collect()
+    rows.foreach { r =>
+      val filename = r.getString(r.fieldIndex("filename"))
+      val parts = filename.split("\\.")
+      assert(parts.length == 6)
+      assert(r.getString(r.fieldIndex("station_parsed")) == parts(1))
+      assert(r.getString(r.fieldIndex("channel_parsed")) == parts(3))
+      assert(r.getString(r.fieldIndex("s3_key"))
+        == parts(4).substring(0, 8) + "/" + filename)
+    }
+  }
+
+  test("lookup join drops unmatched rows; miss channel is the complement") {
+    val joined = Acquisition.qLookupJoin(spark, sfDir).count()
+    val missed = Acquisition.qLookupMisses(spark, sfDir).count()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(joined + missed == total)
+  }
+
+  test("as-of join picks the latest order at-or-before each event") {
+    // o_orderdate is TIMESTAMP_NTZ in the testdata parquet — compare
+    // through epoch seconds to stay type-agnostic
+    val rows = Acquisition.qAsofLatest(spark, sfDir)
+      .select(unix_micros(col("ts")).as("t"),
+        unix_micros(col("asof_date").cast("timestamp")).as("a"))
+      .limit(100).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+  }
+}

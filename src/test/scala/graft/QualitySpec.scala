@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quality
+
+/** Dedup + text-analysis operator specs (SURVEY.md §5.2). */
+class QualitySpec extends SparkSpec {
+
+  test("exact dedup: keys are unique and min event_id is kept") {
+    val df = Quality.qExactDedup(spark, sfDir).cache()
+    val n = df.count()
+    assert(df.select("user_id", "event_type", "value").distinct().count() == n)
+    // every group's keeper is its minimum member
+    val events = Tables.events(spark, sfDir)
+    val bad = df.join(events,
+      Seq("user_id", "event_type", "value"))
+      .filter(col("event_id") < col("keep_event_id"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("minhash near-dup pairs all have true Jaccard >= 0.5 (no false positives)") {
+    val pairs = Quality.qMinhashNeardup(spark, sfDir).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    assert(pairs.nonEmpty) // the corpus plants near-dups at every sf
+  }
+
+  test("minhash (LSH) is a superset of same-lang exact jaccard pairs it bands together") {
+    // every exact pair found by the quadratic ground truth that also
+    // lands in the same LSH band must appear in the minhash result;
+    // with jaccard ~0.99 for planted dups, band collision is near-certain
+    val exact = Quality.qNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Quality.qMinhashNeardup(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh))
+  }
+
+  test("simhash: signature is 16 bits and deterministic across runs") {
+    val a = Quality.qSimhash(spark, sfDir).collect()
+    val b = Quality.qSimhash(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    a.foreach(r => assert(r.getString(1).matches("[01]{16}")))
+  }
+
+  test("lang-id scores are consistent with prediction rule") {
+    Quality.qLangId(spark, sfDir).collect().foreach { r =>
+      val (en, de, es, fr) = (r.getInt(r.fieldIndex("s_en")), r.getInt(r.fieldIndex("s_de")),
+        r.getInt(r.fieldIndex("s_es")), r.getInt(r.fieldIndex("s_fr")))
+      val pred = r.getString(r.fieldIndex("pred_lang"))
+      if (en + de + es + fr == 0) assert(pred == "und")
+      else assert(Map("en" -> en, "de" -> de, "es" -> es, "fr" -> fr)(pred)
+        == Seq(en, de, es, fr).max)
+    }
+  }
+
+  test("quality score stays in [0,1]") {
+    val mm = Quality.qQualityScore(spark, sfDir)
+      .agg(min("quality_score"), max("quality_score")).collect().head
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("token counts: BPE-ish tokens >= whitespace tokens; ttr in (0,1]") {
+    Quality.qTokenCount(spark, sfDir).collect().foreach { r =>
+      assert(r.getInt(r.fieldIndex("n_bpe_tokens")) >= 0)
+      val ttr = r.getDouble(r.fieldIndex("type_token_ratio"))
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.Similarity
+
+/** Vector-search specs incl. the native vec_dot expression. */
+class SimilaritySpec extends SparkSpec {
+
+  test("vec_dot matches the interpreted aggregate/zip_with fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+    val both = df.select(
+      expr("vec_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
+        .as("builtin")).collect()
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("vec_dot on the embeddings table agrees with the builtin fold") {
+    GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+    val diff = v.select(
+      expr("vec_dot(e, e)").as("native"),
+      expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
+        .as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+  }
+
+  test("vec_dot rejects wrong input types at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), "x")).toDF("a", "b")
+    val e = intercept[Exception](df.select(expr("vec_dot(a, b)")).collect())
+    assert(e.getMessage.toLowerCase.contains("vec_dot") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+
+  test("cosine top-k: ranks are 1..5 per probe, similarities non-increasing") {
+    val rows = Similarity.qCosineTopk(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).sameElements(1 to byRank.length))
+      val sims = byRank.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("IVF search returns only vectors from the probe's own cluster") {
+    val rows = Similarity.qAnnIvf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every probe appears with exactly one cluster id
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == 1)
+    }
+  }
+
+  test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
+    Similarity.qEmbedNeardup(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** E19: watermark + late-data semantics with MemoryStream (SURVEY.md
+  * §5.4) — the reference's 00:05 lateness allowance (app.py:674-679)
+  * as an observable streaming behavior. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window drops data later than the allowance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val counts = Streams.tumblingCounts(
+      input.toDF().toDF("ts", "user_id"), window = "1 hour", lateness = "5 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("tumbling_test").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two rows in hour 10
+      input.addData((ts("2024-01-01 10:00:10"), 1L), (ts("2024-01-01 10:30:00"), 2L))
+      q.processAllAvailable()
+      // batch 2: advance event time past hour-10-end + lateness → closes hour 10
+      input.addData((ts("2024-01-01 11:06:00"), 3L))
+      q.processAllAvailable()
+      // batch 3: a straggler for hour 10, beyond the watermark → dropped
+      input.addData((ts("2024-01-01 10:45:00"), 4L))
+      q.processAllAvailable()
+      // batch 4: close hour 11 so its row emits too
+      input.addData((ts("2024-01-01 12:10:00"), 5L))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2L) // straggler NOT counted
+      assert(out("2024-01-01 11:00:00.0") == 1L)
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap and count their events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = Streams.sessionCounts(
+      input.toDF().toDF("ts", "user_id"), gap = "5 minutes", lateness = "1 minute")
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:02:00"), 1L), // same session (< 5 min gap)
+        (ts("2024-01-01 10:20:00"), 1L)) // new session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 1L)) // advances watermark
+      q.processAllAvailable()
+      val out = spark.table("session_test")
+        .filter(col("s_start") < ts("2024-01-01 10:30:00"))
+        .orderBy("s_start").collect()
+      assert(out.length == 2)
+      assert(out(0).getLong(3) == 2L) // first session: two events
+      assert(out(1).getLong(3) == 1L)
+    } finally q.stop()
+  }
+
+  test("dead-letter split flags empty and missing payloads like the reference") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(Array[Byte](1, 2))),
+      ("b", Some(Array.empty[Byte])),
+      ("c", None)).toDF("url", "content")
+    val out = Streams.withDeadLetter(df).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(out("a") == (false, None))
+    assert(out("b") == (true, Some("HTTP_ERROR")))
+    assert(out("c") == (true, Some("CONNECTION_ERROR")))
+  }
+}
