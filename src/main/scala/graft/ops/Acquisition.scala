@@ -140,22 +140,36 @@ object Acquisition {
 
   /** E8: as-of join — for each event, the latest order of the same
     * user at-or-before the event timestamp. Spark lacks a native as-of
-    * join; the idiomatic composition is an equi join on the key with
-    * the range predicate applied post-join + `row_number() = 1`. The
-    * deterministic tiebreak (o_orderdate DESC, o_orderkey DESC) makes
-    * the result oracle-hashable. At scale the shuffled hash join on
-    * user_id dominates; skewed users salt on the event side. */
+    * join; the *scalable* composition is union-and-carry: tag both
+    * streams, union them on (user, time), and carry the last seen
+    * order forward with `last_value(ignoreNulls)` over one window.
+    * One shuffle on user_id, no row fan-out — unlike the naive
+    * range-join + rank, which materializes events × all-earlier-orders
+    * (quadratic per key) before pruning to rank 1. Tiebreaks: at equal
+    * timestamps orders sort before events (an order dated exactly at
+    * the event counts), and later (o_orderdate, o_orderkey) wins. */
   def qAsofLatest(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate")
-    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("ts"),
-        col("o_orderkey").as("asof_order"), col("o_orderdate").as("asof_date"))
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("kind"),
+      lit(null).cast("bigint").as("event_id"),
+      col("o_orderkey"),
+      col("o_orderdate"))
+    val e = Tables.events(spark, d).select(
+      col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      lit(null).cast(o.schema("o_orderdate").dataType).as("o_orderdate"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_order", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_date", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("asof_order").isNotNull)
+      .select(col("event_id"), col("t").as("ts"), col("asof_order"), col("asof_date"))
       .orderBy("event_id")
   }
 
