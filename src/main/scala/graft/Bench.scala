@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT-compiles codegen stages and caches parquet
+    // footers so the timed pass measures the plans, not JVM startup.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
