@@ -35,6 +35,7 @@ object SparkEntry {
     "q_acquisition_plan" -> (Acquisition.acquisitionPlan _),
     // Inventory / completeness analytics (E9-E15, E20)
     "q_group_agg" -> (Inventory.qGroupAgg _),
+    "q_group_agg_salted" -> (Inventory.qGroupAggSalted _),
     "q_distinct" -> (Inventory.qDistinct _),
     "q_rollup" -> (Inventory.qRollup _),
     "q_window_rank" -> (Inventory.qWindowRank _),
@@ -136,6 +137,14 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_group_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_group_agg_salted" ->
       """SELECT user_id, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value,

@@ -44,6 +44,33 @@ object Inventory {
         max("value").as("max_value"))
       .orderBy("user_id", "event_type")
 
+  /** E9 under key skew: two-phase salted aggregation. Phase 1 groups
+    * on (key, salt) so one hot key spreads over `nSalts` reducers;
+    * phase 2 combines the partials. count/sum/min/max recombine
+    * exactly; avg derives from the recombined exact sum. Same result
+    * (and same oracle) as qGroupAgg — this is the documented skew
+    * escape hatch from SURVEY.md §7.5, kept as a first-class query so
+    * its equivalence is machine-checked every round. */
+  def qGroupAggSalted(spark: SparkSession, d: String): DataFrame = {
+    val nSalts = 8
+    Tables.events(spark, d)
+      .withColumn("salt", pmod(col("event_id"), lit(nSalts)))
+      .groupBy("user_id", "event_type", "salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,6)")).as("psum"),
+        min("value").as("pmin"),
+        max("value").as("pmax"))
+      .groupBy("user_id", "event_type")
+      .agg(
+        sum("pn").as("n"),
+        sum("psum").cast("double").as("sum_value"),
+        (sum("psum").cast("double") / sum("pn")).as("avg_value"),
+        min("pmin").as("min_value"),
+        max("pmax").as("max_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** E10: distinct keys fetched (reference skip-list is a distinct key
     * set, app.py:270-273). */
   def qDistinct(spark: SparkSession, d: String): DataFrame =
