@@ -24,6 +24,19 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
+  /** The SQL surface: every testdata table as a temp view (plus
+    * graft's native functions), so `spark.sql("SELECT ... FROM
+    * lineitem JOIN orders ...")` works exactly as it would against the
+    * reference's landed data. Views are lazy — Catalyst still prunes
+    * and pushes down through them. */
+  def createViews(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS) (TESTDATA.md /
     * FIXTURES.md caveat). Spark's vectorized reader cannot map NANOS to
     * its microsecond TimestampType directly; read the column as a long
