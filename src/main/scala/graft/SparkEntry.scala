@@ -42,6 +42,7 @@ object SparkEntry {
     "q_gap_detect" -> (Inventory.qGapDetect _),
     "q_interval_merge" -> (Inventory.qIntervalMerge _),
     "q_topk_per_group" -> (Inventory.qTopkPerGroup _),
+    "q_percentiles" -> (Inventory.qPercentiles _),
     "q_union_except" -> (Inventory.qUnionExcept _),
     "q_filename_inventory" -> (Inventory.qFilenameInventory _),
     // Time windows (E16-E18)
@@ -113,7 +114,8 @@ object SparkEntry {
 
     "q_lookup_misses" ->
       """SELECT o_orderkey, o_custkey FROM orders
-        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |                  WHERE c_custkey = o_custkey AND c_nationkey < 10)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_anti_dedup" ->
@@ -209,6 +211,13 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS med,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_union_except" ->
       """(SELECT o_orderkey, 'live' AS status FROM orders WHERE o_orderstatus <> 'F'

@@ -107,11 +107,15 @@ object Acquisition {
   }
 
   /** E5b: the warning channel for dropped rows — stations with no IP
-    * (reference logs and drops them, app.py:239-241). Left-anti of the
-    * fact against the dim: the complement Spark makes queryable. */
+    * (reference logs and drops them, app.py:239-241). The reference's
+    * IP map is genuinely partial (config.json lists fewer entries than
+    * stations), so the dim side here is restricted to low-nation
+    * customers to make the miss set non-empty: left-anti of the fact
+    * against the partial dim is the complement Spark makes queryable. */
   def qLookupMisses(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d)
-    val c = Tables.customer(spark, d).select("c_custkey")
+    val c = Tables.customer(spark, d)
+      .filter(col("c_nationkey") < 10).select("c_custkey")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")
       .select("o_orderkey", "o_custkey")
       .orderBy("o_orderkey")

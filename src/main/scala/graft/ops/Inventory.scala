@@ -143,6 +143,20 @@ object Inventory {
       .orderBy("user_id", "merged_start")
   }
 
+  /** Percentile profile per key — the latency/size distribution view a
+    * completeness dashboard needs next to counts. `percentile` is
+    * Spark's exact interpolated quantile (sort-based per group ≙
+    * DuckDB quantile_cont); for 100 TB swap in `percentile_approx`
+    * (t-digest sketch, constant memory) and drop the oracle. */
+  def qPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("med"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
   /** E14: top-k per group — the reference's batches-of-3-per-IP
     * (app.py:400-414) as a rank-and-filter. At scale this is the
     * shuffle-once pattern: one window over the group key, no self

@@ -72,7 +72,15 @@ class AcquisitionSpec extends SparkSpec {
     val joined = Acquisition.qLookupJoin(spark, sfDir).count()
     val missed = Acquisition.qLookupMisses(spark, sfDir).count()
     val total = Tables.orders(spark, sfDir).count()
-    assert(joined + missed == total)
+    // full dim: referential integrity ⇒ everything joins
+    assert(joined == total)
+    // partial dim (nation < 10): misses are exactly the high-nation orders
+    assert(missed > 0)
+    val highNation = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+        .filter(col("c_nationkey") >= 10).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(missed == highNation)
   }
 
   test("as-of join picks the latest order at-or-before each event") {
