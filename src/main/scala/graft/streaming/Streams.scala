@@ -44,6 +44,26 @@ object Streams {
       .select(col("user_id"), col("w.start").as("s_start"),
         col("w.end").as("s_end"), col("n"))
 
+  /** R20: the reference's status dashboard (`/get-next-run-time`,
+    * app.py:625-639) maps to a StreamingQueryListener — progress and
+    * termination events collected for any thin HTTP layer to serve.
+    * Thread-safe; `snapshot` returns (progress events seen, last
+    * batch's numInputRows, terminated). */
+  class StatusListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val progressCount = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var lastRows: Long = -1
+    @volatile private var terminated = false
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      progressCount.incrementAndGet()
+      lastRows = event.progress.numInputRows
+    }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      terminated = true
+    def snapshot: (Long, Long, Boolean) = (progressCount.get(), lastRows, terminated)
+  }
+
   /** R14: split a fetch-result stream into ok / dead-letter branches
     * with a status column — the union-sink pattern (placeholders and
     * payloads land in the same sink, app.py:435-463). Works identically

@@ -54,6 +54,54 @@ class IntegrationSpec extends SparkSpec {
     }
   }
 
+  test("AvailableNow file stream skips already-processed files on re-run (R19+R9)") {
+    val base = Files.createTempDirectory("graft_incr_").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/out"
+    val events = Tables.events(spark, sfDir)
+    events.limit(100).write.parquet(srcDir)
+    def runOnce(): Long = {
+      val q = spark.readStream.schema(events.schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+    assert(runOnce() == 100)          // first run lands everything
+    assert(runOnce() == 100)          // re-run: processed-files log skips all
+    events.limit(150).write.mode("append").parquet(srcDir)
+    assert(runOnce() > 100)           // only genuinely new files processed
+  }
+
+  test("StreamingQueryListener surfaces progress + termination (R20 status API)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new graft.streaming.Streams.StatusListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Long]
+    val q = input.toDF().writeStream.format("noop").start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      val (nProgress, lastRows, _) = listener.snapshot
+      assert(nProgress >= 1)
+      assert(lastRows == 3)
+    } finally {
+      q.stop()
+      q.awaitTermination()
+      // termination event is delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (!listener.snapshot._3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.snapshot._3)
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("binaryFile listing source: full-bucket scan with metadata (R21)") {
     val inv = spark.read.format("binaryFile")
       .load(s"$sfDir/*.parquet")
