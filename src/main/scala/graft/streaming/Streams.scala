@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming transforms (SURVEY.md §2.3 E16-E19, reference
   * ops R19/R14/R11). Each takes a (possibly streaming) DataFrame with
@@ -43,6 +44,22 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("s_start"),
         col("w.end").as("s_end"), col("n"))
+
+  /** Custom streaming state via `mapGroupsWithState`: per-key running
+    * totals that survive across micro-batches — the shape of the
+    * reference's per-station completeness tracking (placeholder counts
+    * accumulate run over run, app.py:467-480). State is one Long per
+    * key; bound the key space (or add a timeout) before 100 TB. */
+  def runningCounts(events: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+  }
 
   /** R20: the reference's status dashboard (`/get-next-run-time`,
     * app.py:625-639) maps to a StreamingQueryListener — progress and

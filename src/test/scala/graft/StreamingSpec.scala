@@ -68,6 +68,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-key counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.runningCounts(input.toDS())
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      input.addData((1L, 12L))
+      q.processAllAvailable()
+      // update mode: latest emission per key wins
+      val latest = spark.table("state_test").groupBy("user_id")
+        .agg(max("n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest(1L) == 3L) // state carried across batches: 2 then +1
+      assert(latest(2L) == 1L)
+    } finally q.stop()
+  }
+
   test("dead-letter split flags empty and missing payloads like the reference") {
     import spark.implicits._
     val df = Seq(
