@@ -42,6 +42,7 @@ object SparkEntry {
     "q_gap_detect" -> (Inventory.qGapDetect _),
     "q_interval_merge" -> (Inventory.qIntervalMerge _),
     "q_topk_per_group" -> (Inventory.qTopkPerGroup _),
+    "q_topk_agg" -> (Inventory.qTopkAgg _),
     "q_percentiles" -> (Inventory.qPercentiles _),
     "q_union_except" -> (Inventory.qUnionExcept _),
     "q_filename_inventory" -> (Inventory.qFilenameInventory _),
@@ -205,6 +206,14 @@ object SparkEntry {
         |ORDER BY user_id, merged_start""".stripMargin,
 
     "q_topk_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+
+    "q_topk_agg" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_orderkey

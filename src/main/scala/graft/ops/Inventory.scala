@@ -171,6 +171,29 @@ object Inventory {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** E14's scale form: the same top-3-per-group through the typed
+    * TopKAggregator — map-side partial aggregation ships at most k
+    * rows per (key, partition), vs the window form's full-group sort.
+    * Checked against the identical oracle SQL as qTopkPerGroup, so the
+    * equivalence of the two physical strategies is machine-verified
+    * every round. */
+  def qTopkAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Double, Long)](
+        3, r => (r._2, r._3)).toColumn.name("topk"))
+      .toDF("l_orderkey", "topk")
+      .select(col("l_orderkey"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("l_orderkey"),
+        col("e._2").cast("int").as("l_linenumber"),
+        col("e._1").as("l_extendedprice"),
+        (col("pos") + 1).as("rn"))
+      .orderBy("l_orderkey", "rn")
+  }
+
   /** E15: set operations — the ok ∪ dead-letter union the reference's
     * sink performs implicitly (placeholders and real payloads land in
     * the same bucket, app.py:435-463), then an EXCEPT inventory diff
