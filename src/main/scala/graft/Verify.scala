@@ -15,10 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, FloatType, IntegerType, ShortType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Width-normalize the dump so the DuckDB compare sees the same
+        // physical types it produces itself (count/len/row_number are
+        // BIGINT there, Spark's size()/row_number are INT): values are
+        // unchanged, only parquet width.
+        val normalized = out.select(out.schema.fields.map(f => f.dataType match {
+          case IntegerType | ShortType | ByteType => col(f.name).cast("long").as(f.name)
+          case FloatType => col(f.name).cast("double").as(f.name)
+          case _ => col(f.name)
+        }).toIndexedSeq: _*)
+        normalized.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
