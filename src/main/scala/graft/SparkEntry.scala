@@ -77,8 +77,11 @@ object SparkEntry {
     * every query ends in a total ORDER BY. */
   def oracleSql: Map[String, String] = Map(
     "q_cross_dims" ->
-      """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin,
+      """SELECT r_name, n_name, location, channel
+        |FROM region CROSS JOIN nation
+        |CROSS JOIN (VALUES ('00'), ('10')) l(location)
+        |CROSS JOIN (VALUES ('HHZ'), ('HHN'), ('HHE')) c(channel)
+        |ORDER BY r_name, n_name, location, channel""".stripMargin,
 
     "q_chunk_explode" ->
       """SELECT day + hh * INTERVAL 1 HOUR AS chunk_start

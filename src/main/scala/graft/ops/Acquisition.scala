@@ -27,14 +27,20 @@ import graft.Tables
   */
 object Acquisition {
 
-  /** E1: dimension enumeration — the `networks × stations × locations
-    * × channels` cross product (reference: app.py:569-575), played by
-    * `region × nation`. Both sides are dims: Catalyst plans a
-    * broadcast nested loop with no shuffle. */
+  /** E1: dimension enumeration — the full 4-way `networks × stations ×
+    * locations × channels` cross product (reference: app.py:569-575):
+    * region × nation plays network × station; location and channel are
+    * literal dims exactly as in the reference's config lists
+    * (config.json:2-15). All sides are dims: Catalyst plans broadcast
+    * nested loops, no shuffle. */
   def qCrossDims(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
     val r = Tables.region(spark, d).select(col("r_name"))
     val n = Tables.nation(spark, d).select(col("n_name"))
-    r.crossJoin(n).orderBy("r_name", "n_name")
+    val locs = Seq("00", "10").toDF("location")
+    val chans = Seq("HHZ", "HHN", "HHE").toDF("channel")
+    r.crossJoin(n).crossJoin(locs).crossJoin(chans)
+      .orderBy("r_name", "n_name", "location", "channel")
   }
 
   /** E2: hourly chunk generation for each distinct UTC day seen in
