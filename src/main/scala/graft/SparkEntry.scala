@@ -294,7 +294,8 @@ object SparkEntry {
         |ORDER BY user_id, event_type, value""".stripMargin,
 
     "q_text_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source
@@ -487,5 +488,48 @@ object SparkEntry {
       """SELECT doc_id, lang, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The corpus is pure ASCII (asserted in SinkSourceSpec), so DuckDB
+    // codepoints equal the engine's UTF-8 bytes and the stubbed
+    // byte-histogram decode is exactly checkable.
+    "q_multimodal_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    [ascii(substr(text, i, 1)) // 64 for i in range(1, length(text) + 1)] AS bs
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(b.bucket AS BIGINT) AS bucket,
+        |    len(list_filter(bs, x -> x = b.bucket)) AS n_in_bucket, n_bytes
+        |  FROM c CROSS JOIN (VALUES (0), (1), (2), (3)) b(bucket))
+        |SELECT doc_id, bucket, n_in_bucket, n_bytes,
+        |  round(n_in_bucket / CAST(greatest(n_bytes, 1) AS DOUBLE), 4) AS share
+        |FROM e ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_acquisition_plan" ->
+      """WITH eod AS (
+        |  SELECT date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS day_end FROM events),
+        |d2 AS (SELECT day_end, day_end - INTERVAL 1 DAY AS day_start FROM eod),
+        |dims AS (SELECT r_name AS network, n_name AS station, n_nationkey AS station_key
+        |         FROM region CROSS JOIN nation),
+        |chunks AS (
+        |  SELECT network, station, station_key, day_start, day_end,
+        |    unnest(generate_series(day_start, day_end - INTERVAL 1 HOUR,
+        |                           INTERVAL 1 HOUR)) AS chunk_start
+        |  FROM dims CROSS JOIN d2),
+        |bounded AS (
+        |  SELECT *, GREATEST(day_start, chunk_start - INTERVAL 120 SECOND) AS query_start,
+        |    LEAST(day_end, chunk_start + INTERVAL 62 MINUTE) AS query_end
+        |  FROM chunks),
+        |resolved AS (
+        |  SELECT b.*, '10.147.20.' || n.n_nationkey || ':8080' AS sensor_ip
+        |  FROM bounded b JOIN nation n ON b.station_key = n.n_nationkey)
+        |SELECT network, station, chunk_start, query_start, query_end, sensor_ip,
+        |  'http://' || sensor_ip || '/data?channel=' || network || '.' || station
+        |    || '.00.HHZ' || '&from=' || CAST(epoch(query_start) AS BIGINT)
+        |    || '&to=' || CAST(epoch(query_end) AS BIGINT) AS url,
+        |  network || '.' || station || '.00.HHZ.'
+        |    || strftime(chunk_start, '%Y%m%dT%H%M%S') || '.mseed' AS filename
+        |FROM resolved
+        |ORDER BY network, station, chunk_start""".stripMargin,
   )
 }

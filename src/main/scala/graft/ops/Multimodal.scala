@@ -41,12 +41,16 @@ object Multimodal {
         md5(col("content")).as("content_md5"))
       .orderBy("doc_id")
 
-  /** STUB decode + feature extraction: 4-bucket byte histogram
-    * normalized to [0,1] — a deterministic stand-in for an image
-    * embedding. Runs as a narrow per-partition typed transform with
-    * the same batch shape a Pandas-UDF/mapInPandas decoder would use.
-    * Declared in `queries` with a rows-only check (no SQL oracle for
-    * the stubbed decode). */
+  /** STUB decode + feature extraction: 4-bucket byte histogram —
+    * a deterministic stand-in for an image embedding. Runs as a narrow
+    * per-partition typed transform with the same batch shape a
+    * Pandas-UDF/mapInPandas decoder would use (binary in, fixed-width
+    * numeric vector out). The decode emits raw bucket counts; the
+    * normalized share is computed relationally so the rounding is the
+    * SQL `round` on both engine and oracle side. Output is exploded to
+    * one row per (doc_id, bucket) — scalar columns only, so the
+    * driver's pandas sort/hash compare works and a DuckDB oracle over
+    * the ASCII corpus (codepoint = byte) checks it exactly. */
   def qMultimodalFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val src = payloadTable(spark, d)
@@ -57,12 +61,16 @@ object Multimodal {
         // ---- STUB: real impl would decode media here (???)
         val hist = new Array[Long](4)
         bytes.foreach(b => hist((b & 0xff) >> 6) += 1)
-        val n = math.max(bytes.length, 1).toDouble
-        (id, hist.map(h => math.round(h / n * 10000.0) / 10000.0).toSeq)
+        (id, bytes.length.toLong, hist.toSeq)
         // ---- end STUB
       }
-    }.toDF("doc_id", "features")
-      .orderBy("doc_id")
+    }.toDF("doc_id", "n_bytes", "hist")
+      .select(col("doc_id"), col("n_bytes"),
+        posexplode(col("hist")).as(Seq("bucket", "n_in_bucket")))
+      .withColumn("share",
+        round(col("n_in_bucket") / greatest(col("n_bytes"), lit(1L)).cast("double"), 4))
+      .select("doc_id", "bucket", "n_in_bucket", "n_bytes", "share")
+      .orderBy("doc_id", "bucket")
   }
 
   /** STUB frame sampling: every `stride`-th byte as a "frame" — the

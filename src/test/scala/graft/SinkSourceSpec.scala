@@ -67,12 +67,14 @@ class SinkSourceSpec extends SparkSpec {
     val joined = meta.join(docs, Seq("doc_id"))
       .filter(col("n_bytes") =!= length(col("text")))
     assert(joined.count() == 0) // ASCII corpus: bytes == chars
-    val feats = Multimodal.qMultimodalFeatures(spark, sfDir).collect()
-    assert(feats.nonEmpty)
-    feats.foreach { r =>
-      val h = r.getSeq[Double](1)
-      assert(h.length == 4)
-      assert(math.abs(h.sum - 1.0) < 0.01) // histogram sums to ~1
-    }
+    val feats = Multimodal.qMultimodalFeatures(spark, sfDir)
+    assert(feats.count() > 0)
+    // per doc: 4 bucket rows, counts sum to n_bytes, shares sum to ~1
+    val perDoc = feats.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rows"), sum("n_in_bucket").as("n_sum"),
+        first("n_bytes").as("nb"), sum("share").as("share_sum"))
+      .filter(col("n_rows") =!= 4 || col("n_sum") =!= col("nb") ||
+        abs(col("share_sum") - 1.0) > 0.01)
+    assert(perDoc.count() == 0)
   }
 }
