@@ -38,12 +38,14 @@ object SparkEntry {
     "q_group_agg_salted" -> (Inventory.qGroupAggSalted _),
     "q_distinct" -> (Inventory.qDistinct _),
     "q_rollup" -> (Inventory.qRollup _),
+    "q_cube" -> (Inventory.qCube _),
     "q_window_rank" -> (Inventory.qWindowRank _),
     "q_gap_detect" -> (Inventory.qGapDetect _),
     "q_interval_merge" -> (Inventory.qIntervalMerge _),
     "q_topk_per_group" -> (Inventory.qTopkPerGroup _),
     "q_topk_agg" -> (Inventory.qTopkAgg _),
     "q_percentiles" -> (Inventory.qPercentiles _),
+    "q_percentiles_approx" -> (Inventory.qPercentilesApprox _),
     "q_union_except" -> (Inventory.qUnionExcept _),
     "q_filename_inventory" -> (Inventory.qFilenameInventory _),
     // Time windows (E16-E18)
@@ -61,6 +63,9 @@ object SparkEntry {
     "q_simhash" -> (Quality.qSimhash _),
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
     "q_json_extract" -> (Quality.qJsonExtract _),
+    // JSON ingestion surface (R1)
+    "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
+    "q_from_json" -> (graft.sources.JsonSource.qFromJson _),
     // Similarity search (E24 + north star)
     "q_cosine_topk" -> (Similarity.qCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
@@ -167,6 +172,14 @@ object SparkEntry {
         |FROM (SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
         |        o_totalprice FROM orders)
         |GROUP BY ROLLUP(o_year, o_month)
+        |ORDER BY gid, o_year NULLS FIRST, o_month NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT GROUPING(o_year, o_month) AS gid, o_year, o_month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM (SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        |        o_totalprice FROM orders)
+        |GROUP BY CUBE(o_year, o_month)
         |ORDER BY gid, o_year NULLS FIRST, o_month NULLS FIRST""".stripMargin,
 
     "q_window_rank" ->
@@ -426,6 +439,18 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
+    // q_json_config round-trips the nation dim through a multiLine JSON
+    // config document; the oracle is the dim itself.
+    "q_json_config" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_from_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -471,16 +496,31 @@ object SparkEntry {
         |SELECT probe_id, cluster, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
 
+    // Bucketed semantics: candidate pairs share one of their top-2 IVF
+    // clusters (multi-probe nprobe=2, same assignment rule as
+    // q_ann_ivf), exact cosine verifies candidates — the engine's
+    // 100 TB shape; brute-force all-pairs is spec-only ground truth.
     "q_embed_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
         |n AS (
         |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
         |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
-        |      / (a.nrm * b.nrm) AS c
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |  SELECT vec_a, vec_b,
+        |    list_sum([na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)])
+        |      / (na.nrm * nb.nrm) AS c
+        |  FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
         |SELECT vec_a, vec_b, round(c, 4) AS cos_sim
         |FROM p WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
 

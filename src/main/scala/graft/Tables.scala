@@ -45,8 +45,10 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     // Session conf (not a read option): Spark's schema converter only
-    // honors nanos-as-long via SQLConf.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // honors nanos-as-long via SQLConf. Set-if-absent so a library
+    // caller's explicit session configuration is never overwritten.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$d/events.parquet")
     val tsType = raw.schema("ts").dataType.typeName
     // Integer `div`, NOT `/`: long/1000 promotes to double, and epoch

@@ -91,6 +91,21 @@ object Inventory {
       .select("gid", "o_year", "o_month", "n", "sum_price")
       .orderBy(col("gid"), col("o_year").asc_nulls_first, col("o_month").asc_nulls_first)
 
+  /** E11b: cube over the same date hierarchy — all 4 grouping sets
+    * (year+month, year, month, grand total), where rollup emits only
+    * the prefix sets. Same single-shuffle expand-based physical plan. */
+  def qCube(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        col("o_totalprice"))
+      .cube("o_year", "o_month")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .select("gid", "o_year", "o_month", "n", "sum_price")
+      .orderBy(col("gid"), col("o_year").asc_nulls_first, col("o_month").asc_nulls_first)
+
   /** E12: row_number per partition — the reference's per-IP batch
     * slicing (app.py:413-414) as a window function. */
   def qWindowRank(spark: SparkSession, d: String): DataFrame = {
@@ -155,6 +170,20 @@ object Inventory {
         round(expr("percentile(value, 0.5)"), 4).as("med"),
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** The 100 TB percentile path: `percentile_approx` (a bounded-memory
+    * quantile sketch with map-side partial merge) instead of the exact
+    * sort-based `percentile`. No DuckDB oracle — sketch results are
+    * implementation-defined; the driver records a rows-only check and
+    * InventorySpec bounds the error against the exact form. */
+  def qPercentilesApprox(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("med"),
+        round(expr("percentile_approx(value, 0.95, 10000)"), 4).as("p95"),
+        round(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99"))
       .orderBy("event_type")
 
   /** E14: top-k per group — the reference's batches-of-3-per-IP

@@ -51,26 +51,34 @@ object Multimodal {
     * one row per (doc_id, bucket) — scalar columns only, so the
     * driver's pandas sort/hash compare works and a DuckDB oracle over
     * the ASCII corpus (codepoint = byte) checks it exactly. */
-  def qMultimodalFeatures(spark: SparkSession, d: String): DataFrame = {
+  def qMultimodalFeatures(spark: SparkSession, d: String): DataFrame =
+    featuresFromPayload(spark, payloadTable(spark, d))
+      .orderBy("doc_id", "bucket")
+
+  /** The decode/feature-extract transform itself, over ANY
+    * `(doc_id, content: binary)` frame — the parquet payload table and
+    * the `binaryFile` listing scan (R21→R12 flow, IntegrationSpec)
+    * both feed this. Narrow (no shuffle); payload bytes die inside the
+    * partition. */
+  def featuresFromPayload(spark: SparkSession, payload: DataFrame): DataFrame = {
     import spark.implicits._
-    val src = payloadTable(spark, d)
+    payload
       .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
-    src.mapPartitions { rows =>
-      rows.map { case (id, bytes) =>
-        // ---- STUB: real impl would decode media here (???)
-        val hist = new Array[Long](4)
-        bytes.foreach(b => hist((b & 0xff) >> 6) += 1)
-        (id, bytes.length.toLong, hist.toSeq)
-        // ---- end STUB
-      }
-    }.toDF("doc_id", "n_bytes", "hist")
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          // ---- STUB: real impl would decode media here (???)
+          val hist = new Array[Long](4)
+          bytes.foreach(b => hist((b & 0xff) >> 6) += 1)
+          (id, bytes.length.toLong, hist.toSeq)
+          // ---- end STUB
+        }
+      }.toDF("doc_id", "n_bytes", "hist")
       .select(col("doc_id"), col("n_bytes"),
         posexplode(col("hist")).as(Seq("bucket", "n_in_bucket")))
       .withColumn("share",
         round(col("n_in_bucket") / greatest(col("n_bytes"), lit(1L)).cast("double"), 4))
       .select("doc_id", "bucket", "n_in_bucket", "n_bytes", "share")
-      .orderBy("doc_id", "bucket")
   }
 
   /** STUB frame sampling: every `stride`-th byte as a "frame" — the

@@ -36,12 +36,6 @@ object Quality {
     * '\s+')` on the clean single-spaced testdata. */
   private val toks = "split(text, '\\\\s+')"
 
-  /** Distinct character 5-gram shingles; rows shorter than one shingle
-    * are filtered out on both engine and oracle side (Spark `sequence`
-    * would generate a *descending* range on a negative span). */
-  private val shingles =
-    "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
-
   /** E21: exact dedup on `events` business key (user_id, event_type,
     * value) keeping the smallest event_id — the deterministic form of
     * `dropDuplicates`. Map-side combine makes this a key-shuffle only. */
@@ -131,14 +125,24 @@ object Quality {
 
   /** Document fingerprinting: whole-text md5 plus min/max shingle
     * hashes (a 2-hash winnowing sketch) — enough to detect exact and
-    * prefix/suffix-shifted duplicates in one linear pass. */
+    * prefix/suffix-shifted duplicates in one linear pass.
+    *
+    * Formulated as explode + hash aggregate, NOT array lambdas: the
+    * lambda form ran interpreted and Catalyst inlined the shingle
+    * array into both the min and max transforms (63 s at sf0.1 — the
+    * single most expensive query until this rewrite; 0.8 s after).
+    * min/max are duplicate-insensitive, so the oracle's
+    * `list_distinct` needs no engine-side counterpart. */
   def qDocFingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        md5(col("text")).as("full_md5"),
-        expr(s"array_min(transform($shingles, s -> md5(s)))").as("min_shingle_md5"),
-        expr(s"array_max(transform($shingles, s -> md5(s)))").as("max_shingle_md5"))
+      .select(col("doc_id"), md5(col("text")).as("full_md5"),
+        col("text"), explode(expr("sequence(1, length(text) - 4)")).as("i"))
+      .select(col("doc_id"), col("full_md5"),
+        md5(expr("substring(text, i, 5)")).as("h"))
+      .groupBy("doc_id", "full_md5")
+      .agg(min(col("h")).as("min_shingle_md5"),
+        max(col("h")).as("max_shingle_md5"))
       .orderBy("doc_id")
 
   /** Distinct word 3-gram shingles as an exploded (lang, doc_id,
@@ -152,7 +156,7 @@ object Quality {
     * `split` into every lambda reference (measured 70 s for 5000 docs);
     * the window form is whole-stage-codegen end to end and shuffles
     * once on doc_id. */
-  private def wordShingleInv(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def wordShingleInv(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(spark, d)
@@ -166,6 +170,17 @@ object Quality {
       .distinct()
   }
 
+  /** Hot-band cap: an LSH band group of k docs expands to k² candidate
+    * pairs, so one near-universal band value (all-identical boilerplate
+    * docs, or a degenerate hash) can dominate the whole job. Groups
+    * larger than this are dropped before pair expansion — standard LSH
+    * practice: such a band carries no discriminative signal, and any
+    * true near-dups inside it still collide on their other 3 bands.
+    * The bound makes per-band work ≤ cap² regardless of corpus size;
+    * at sf0.01/0.1 no group comes near it (asserted in QualitySpec),
+    * so oracle results are unchanged. */
+  private[graft] val maxBandGroup = 1000
+
   /** E22: MinHash + LSH near-duplicate pairs, verified with exact
     * Jaccard ≥ 0.5 over word 3-gram shingles.
     *
@@ -175,12 +190,18 @@ object Quality {
     * ~1/2e5 per-band false-collision rate, which the exact verify
     * absorbs (and the oracle replicates bit-for-bit).
     *
-    * Candidates: group by (band_idx, band_val) and expand in-group
-    * pairs from the sorted doc list — the signature subtree is
-    * evaluated once (a self-join would recompute it per side). At
-    * scale a pathological band (all-identical docs) makes k² pairs of
-    * one group; cap/salt such groups before expanding if k is
-    * unbounded.
+    * Plan hygiene: the expensive shared subtrees are `.persist()`ed —
+    * Catalyst does not share common subplans, so without the caches the
+    * inverted index would be recomputed once per reference (signature
+    * agg + both sides of the verify join; measured ~4× the work). The
+    * per-doc set size rides along in the signature aggregate, so sizing
+    * needs no extra pass over the index.
+    *
+    * Candidates: band rows self-join on (band_idx, band_val) after
+    * hot groups are capped away (`maxBandGroup`) — both the group-size
+    * window and the join reuse the same hash partitioning, and the
+    * whole path is codegen'd (the previous collect_list +
+    * transform/slice expansion ran interpreted).
     *
     * Everything up to the pair expansion is plain codegen'd
     * aggregation — signatures are `min(substring(md5))` aggregates
@@ -188,25 +209,36 @@ object Quality {
     * measured 10×+ slower). The verify counts common shingles through
     * the inverted index restricted to candidates, so no shingle array
     * is ever materialized or shuffled. */
-  def qMinhashNeardup(spark: SparkSession, d: String): DataFrame = {
-    val inv = wordShingleInv(spark, d)
+  /** 8-slice minhash signature + shingle-set size, one pass over the
+    * inverted index. */
+  private[graft] def minhashSig(inv: DataFrame): DataFrame = {
     val h = inv.withColumn("h", md5(col("shingle")))
     val mins = (0 until 8).map(j =>
       min(substring(col("h"), 4 * j + 1, 4)).as(s"m$j"))
-    val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bands = sig.select(col("doc_id"), posexplode(array(
+    h.groupBy("doc_id")
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+  }
+
+  /** Signature → 4 LSH band rows per doc (2 slices per band). */
+  private[graft] def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array(
       (0 until 4).map(b => concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
       .as(Seq("band_idx", "band_val")))
-    val cand = bands.groupBy("band_idx", "band_val")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-          |  i -> transform(slice(ds, i + 1, size(ds) - i),
-          |    y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+  def qMinhashNeardup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = wordShingleInv(spark, d).persist()
+    val sig = minhashSig(inv).persist()
+    val capped = minhashBands(sig)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
+      .filter(col("k") <= maxBandGroup)
+      .persist()
+    val cand = capped.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sig.select(col("doc_id"), col("sz"))
     val common = cand
       .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(inv.select(col("doc_id").as("doc_b"), col("shingle")),
@@ -225,17 +257,25 @@ object Quality {
   /** SimHash: 16-bit signature from per-token md5 nibbles (high bit of
     * each of the first 16 hex digits, ±1 vote per token). Near-identical
     * docs land on equal/adjacent signatures; the signature itself is the
-    * verifiable artifact. */
-  def qSimhash(spark: SparkSession, d: String): DataFrame =
+    * verifiable artifact.
+    *
+    * Formulated as explode + 16 codegen'd conditional-sum aggregates
+    * (one per bit), not `transform`/`aggregate` lambdas — the HOF form
+    * ran interpreted (12 s at sf0.1; 1 s after). The per-bit vote is a
+    * sum over the token multiset, so order and grouping don't matter
+    * and map-side partial aggregation applies. */
+  def qSimhash(spark: SparkSession, d: String): DataFrame = {
+    val bitVotes = (1 to 16).map(b =>
+      sum(when(substring(col("m"), b, 1) >= "8", 1).otherwise(-1)).as(s"b$b"))
     Tables.documents(spark, d)
-      .select(col("doc_id"),
-        expr(s"transform($toks, t -> md5(t))").as("tok_md5"))
-      .select(col("doc_id"), expr(
-        """array_join(transform(sequence(1, 16), b ->
-          |  CASE WHEN aggregate(tok_md5, 0,
-          |    (acc, m) -> acc + CASE WHEN substring(m, b, 1) >= '8' THEN 1 ELSE -1 END) > 0
-          |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+      .select(col("doc_id"), explode(expr(toks)).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), concat(
+        (1 to 16).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** n-gram Jaccard near-dup: exact word-3-gram Jaccard ≥ 0.5 over
     * same-lang pairs, via the inverted-index plan: explode shingles,
@@ -248,8 +288,10 @@ object Quality {
     * prefix filter (index only each doc's rarest |A|−⌈τ|A|⌉+1
     * shingles) before this join. */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val inv = wordShingleInv(spark, d)
-    val sizes = inv.groupBy("doc_id", "lang").agg(count(lit(1)).as("sz"))
+    // the index is referenced 3× (both join sides + sizes) and Catalyst
+    // does not share common subplans — persist it once
+    val inv = wordShingleInv(spark, d).persist()
+    val sizes = inv.groupBy("doc_id", "lang").agg(count(lit(1)).as("sz")).persist()
     val common = inv.select(col("lang"), col("doc_id").as("doc_a"), col("shingle"))
       .join(inv.select(col("lang"), col("doc_id").as("doc_b"), col("shingle")),
         Seq("lang", "shingle"))

@@ -61,24 +61,40 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
-  /** IVF-bucketed ANN: centroids = vec_id < 8 (a deterministic stand-in
-    * for k-means training), each vector assigned to its nearest
-    * centroid, probes (vec_id < 5) search only their own cluster,
-    * top-3. The candidate set shrinks ~8×; recall is traded exactly as
-    * in a real IVF index with nprobe=1. */
-  def qAnnIvf(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** IVF cluster assignment shared by the ANN and near-dup paths:
+    * centroids = vec_id < 8 (a deterministic stand-in for k-means
+    * training), every vector assigned to its nearest centroid.
+    *
+    * The assignment is a hash aggregate, not a window: the corpus ×
+    * centroids expansion happens inside each map task (centroids are
+    * broadcast) and `max_by` collapses it back to one row per vector
+    * via map-side partial aggregation — nothing ×8-expanded ever
+    * shuffles, and there is no per-key sort. Tie-break matches the
+    * oracle's `ORDER BY cos DESC, centroid_id`: lexicographic max of
+    * (cos, -centroid_id). */
+  private[graft] def ivfAssigned(spark: SparkSession, d: String): DataFrame = {
     val v = withNorm(spark, Tables.embeddings(spark, d))
     val centroids = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("e").as("ea"), col("nrm").as("na"))
     val corpus = v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("centroid_id"))
-    val assigned = corpus.join(broadcast(centroids), lit(true))
+    corpus.join(broadcast(centroids), lit(true))
       .withColumn("cos", expr(s"$dot / (na * nb)"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cluster"), col("eb"), col("nb"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("centroid_id"), col("eb"), col("nb")),
+        struct(col("cos"), (-col("centroid_id")).as("neg_centroid"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("cluster"),
+        col("best.eb").as("eb"), col("best.nb").as("nb"))
+  }
+
+  /** IVF-bucketed ANN: probes (vec_id < 5) search only their own
+    * cluster, top-3. The candidate set shrinks ~8×; recall is traded
+    * exactly as in a real IVF index with nprobe=1. The assignment is
+    * referenced twice (probe side + corpus side), so it is persisted —
+    * Catalyst would otherwise evaluate the subtree per reference. */
+  def qAnnIvf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssigned(spark, d).persist()
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("cluster"),
         col("eb").as("ea"), col("nb").as("na"))
@@ -93,11 +109,61 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.45). All-pairs at
-    * sf scale; at 100 TB this query is served by the IVF buckets above
-    * (compare within-cluster only) — kept brute-force here as the
-    * ground truth the bucketed variant is measured against. */
+  /** Multi-probe IVF assignment: each vector's top-`nprobe` centroids,
+    * one (cluster, vec_id) row per probe. Same shuffle shape as
+    * `ivfAssigned` — the ×8 centroid expansion collapses map-side
+    * (collect_list partial aggregation concatenates locally, the 8
+    * candidate rows of a vector never leave their input partition), the
+    * per-vector top-k is a sort of a constant 8-element array, not a
+    * window over the expanded corpus. */
+  private[graft] def ivfAssignedK(spark: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val centroids = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ea"), col("nrm").as("na"))
+    val corpus = v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+    corpus.join(broadcast(centroids), lit(true))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .groupBy("vec_id")
+      .agg(collect_list(
+        struct((-col("cos")).as("neg_cos"), col("centroid_id"))).as("cands"))
+      // lexicographic sort on (-cos, centroid_id) == cos DESC, centroid ASC
+      .select(col("vec_id"),
+        explode(slice(sort_array(col("cands")), 1, nprobe)).as("c"))
+      .select(col("vec_id"), col("c.centroid_id").as("cluster"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.45), bucketed:
+    * candidate pairs share at least one of their top-2 IVF clusters
+    * (multi-probe, nprobe=2 both sides), then exact cosine verifies
+    * each candidate — precision 1 by construction, recall ~0.86 on the
+    * planted near-dups (asserted vs the brute-force ground truth in
+    * SimilaritySpec; nprobe=1 was 0.14 — cos 0.45 neighbors often
+    * straddle a Voronoi boundary, the second probe catches them).
+    * The equi-join on `cluster` replaces the all-pairs cartesian:
+    * candidate pairs scale with cluster sizes, not corpus². This is
+    * the 100 TB shape; the cartesian variant below is spec-only
+    * ground truth. */
   def qEmbedNeardup(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("e"), col("nrm")).persist()
+    val asg = ivfAssignedK(spark, d, nprobe = 2).persist()
+    val cand = asg.select(col("cluster"), col("vec_id").as("vec_a"))
+      .join(asg.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct() // a pair may share both probes
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
+    * exists as the ground truth `qEmbedNeardup`'s recall is measured
+    * against (SimilaritySpec). */
+  private[graft] def embedNeardupBrute(spark: SparkSession, d: String): DataFrame = {
     val v = withNorm(spark, Tables.embeddings(spark, d))
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))

@@ -37,13 +37,28 @@ object Sinks {
 
   /** R22: verify-then-delete move. Returns (rowsMoved, deletedSource).
     * The source survives any verification failure — exactly the
-    * reference's keep-on-mismatch rule (upload_to_rfs.py:206-216). */
-  def moveVerified(spark: SparkSession, srcDir: String, dstDir: String): (Long, Boolean) = {
+    * reference's keep-on-mismatch rule (upload_to_rfs.py:206-216).
+    * Verification is the DELTA at the destination (`after − before ==
+    * expected`), not `after >= expected`: a destination pre-populated
+    * by earlier moves must not vouch for a partial copy. */
+  def moveVerified(spark: SparkSession, srcDir: String, dstDir: String): (Long, Boolean) =
+    moveVerifiedImpl(spark, srcDir, dstDir,
+      (df, dst) => df.write.mode(SaveMode.Append).parquet(dst))
+
+  /** Copy step injectable so the keep-on-partial-copy contract is
+    * testable (SinkSourceSpec simulates a half-written copy). */
+  private[graft] def moveVerifiedImpl(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      copy: (org.apache.spark.sql.DataFrame, String) => Unit): (Long, Boolean) = {
     val src = spark.read.parquet(srcDir)
     val expected = src.count()
-    src.write.mode(SaveMode.Append).parquet(dstDir)
-    val landed = spark.read.parquet(dstDir).count()
-    if (landed >= expected && expected > 0) {
+    val dstPath = new Path(dstDir)
+    val dstFs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val landedBefore =
+      if (dstFs.exists(dstPath)) spark.read.parquet(dstDir).count() else 0L
+    copy(src, dstDir)
+    val landedAfter = spark.read.parquet(dstDir).count()
+    if (landedAfter - landedBefore == expected && expected > 0) {
       val p = new Path(srcDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       (expected, fs.delete(p, true))
@@ -62,8 +77,13 @@ object Sinks {
         val existing = spark.read.parquet(path).select(key)
         df.join(existing, Seq(key), "left_anti")
       } else df
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
-    n
+    // persist so the anti-join runs once, not once for the count and
+    // again for the write
+    fresh.persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+      n
+    } finally fresh.unpersist()
   }
 }

@@ -26,9 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the reference's group-by-sensor-IP (app.py:391-397), so a 1000-
   *    executor cluster fetches from distinct sensors concurrently while
   *    each host sees one task;
-  *  - `maxConcurrentPerHost` (default 3) — carried to the partition as
-  *    the in-task client-pool bound (the semaphore), exposed in the
-  *    output for inspection.
+  *  - `maxConcurrentPerHost` (default 3) — ENFORCED in the reader by a
+  *    fixed client pool of that size (the reference's semaphore), and
+  *    exposed in the output for inspection; the bound is asserted by a
+  *    contract test.
   *
   * Usage: `spark.read.format("graft.sources.HttpPlaceholderSource")
   * .option("urls", "http://10.0.0.1/a,http://10.0.0.2/b").load()`.
@@ -56,6 +57,13 @@ object HttpPlaceholderSource {
     val stripped = url.replaceFirst("^[a-z]+://", "")
     stripped.takeWhile(c => c != '/' && c != '?')
   }
+
+  /** Test instrumentation: highest number of simultaneously in-flight
+    * fetches ever observed, per host, in this JVM (local-mode tests
+    * share the executor JVM; on a cluster this is per-executor). The
+    * contract spec asserts it never exceeds `maxConcurrentPerHost`. */
+  private[graft] val observedMaxConcurrent =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
 private class HttpTable(options: CaseInsensitiveStringMap)
@@ -97,18 +105,46 @@ private class HttpScanBuilder(options: CaseInsensitiveStringMap)
 private case class HttpHostPartition(
     host: String, urls: Array[String], maxPerHost: Int) extends InputPartition
 
-/** One reader per host; a real implementation would hold a client pool
-  * of size `maxPerHost` here and stream responses — the STUB emits the
-  * reference's CONNECTION_ERROR placeholder row per request instead. */
+/** One reader per host, fetching through a REAL bounded client pool of
+  * `maxPerHost` threads — the reference's per-IP semaphore(3)
+  * (app.py:399-401) made enforceable: at no point are more than
+  * `maxPerHost` fetches in flight against this host, measured and
+  * asserted in SinkSourceSpec via `observedMaxConcurrent`. Only the
+  * fetch BODY is stubbed (no live sensors): it simulates network
+  * latency and yields the reference's CONNECTION_ERROR placeholder row
+  * (app.py:315-334). Rows surface in submission order, so output is
+  * deterministic regardless of completion interleaving. */
 private class HttpHostReader(p: HttpHostPartition)
     extends PartitionReader[InternalRow] {
+  import java.util.concurrent.{Callable, Executors, Future}
+
+  private val pool = Executors.newFixedThreadPool(math.max(p.maxPerHost, 1))
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def fetch(url: String): InternalRow = {
+    val now = inFlight.incrementAndGet()
+    HttpPlaceholderSource.observedMaxConcurrent
+      .merge(p.host, Int.box(now), (a, b) => Int.box(math.max(a, b)))
+    try {
+      // ---- STUB: a real impl would issue the HTTP request here (???)
+      Thread.sleep(2) // simulated network latency keeps the pool busy
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(url),
+        UTF8String.fromString(p.host),
+        UTF8String.fromString("PLACEHOLDER_FILE"),
+        UTF8String.fromString("CONNECTION_ERROR"),
+        p.maxPerHost))
+      // ---- end STUB
+    } finally inFlight.decrementAndGet()
+  }
+
+  private val futures: Array[Future[InternalRow]] =
+    p.urls.map(u => pool.submit(new Callable[InternalRow] {
+      override def call(): InternalRow = fetch(u)
+    }))
+
   private var i = -1
-  override def next(): Boolean = { i += 1; i < p.urls.length }
-  override def get(): InternalRow = new GenericInternalRow(Array[Any](
-    UTF8String.fromString(p.urls(i)),
-    UTF8String.fromString(p.host),
-    UTF8String.fromString("PLACEHOLDER_FILE"),
-    UTF8String.fromString("CONNECTION_ERROR"),
-    p.maxPerHost))
-  override def close(): Unit = ()
+  override def next(): Boolean = { i += 1; i < futures.length }
+  override def get(): InternalRow = futures(i).get()
+  override def close(): Unit = pool.shutdownNow()
 }

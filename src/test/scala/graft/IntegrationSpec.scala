@@ -111,4 +111,28 @@ class IntegrationSpec extends SparkSpec {
     assert(names.contains("lineitem") && names.contains("documents"))
     assert(inv.collect().forall(_.getLong(1) > 0))
   }
+
+  test("binaryFile payloads flow into the multimodal decode (R21 -> R12)") {
+    import graft.ops.Multimodal
+    // land 20 payloads as loose binary objects, exactly the reference's
+    // per-chunk files in a bucket
+    val dir = Files.createTempDirectory("graft_payloads_").toString
+    val docs = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").limit(20).collect()
+    docs.foreach { r =>
+      Files.write(java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+        r.getAs[String]("text").getBytes("UTF-8"))
+    }
+    // binaryFile scan -> (doc_id parsed from the key, content) -> decode
+    val scanned = spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    val viaFiles = Multimodal.featuresFromPayload(spark, scanned)
+    val viaTable = Multimodal.qMultimodalFeatures(spark, sfDir)
+      .filter(col("doc_id").isin(docs.map(_.getLong(0)).toSeq: _*))
+    assert(viaFiles.count() == 20 * 4)
+    assert(viaFiles.exceptAll(viaTable).count() == 0) // same decode either way in
+    assert(viaTable.exceptAll(viaFiles).count() == 0)
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Inventory
+import graft.sources.JsonSource
+
+/** Cube/percentile-sketch additions + the JSON ingestion surface. */
+class InventorySpec extends SparkSpec {
+
+  test("cube contains rollup's grouping sets plus the month-only slice") {
+    val cube = Inventory.qCube(spark, sfDir).cache()
+    val rollup = Inventory.qRollup(spark, sfDir)
+    // every rollup row appears verbatim in the cube
+    assert(rollup.exceptAll(cube.select(rollup.columns.map(col): _*)).count() == 0)
+    // the extra sets are exactly gid=2 (year grouped away, month kept)
+    val extra = cube.select(rollup.columns.map(col): _*).exceptAll(rollup)
+    assert(extra.filter(col("gid") =!= 2).count() == 0)
+    assert(extra.count() > 0)
+    cube.unpersist()
+  }
+
+  test("approx percentiles land inside a quantile neighborhood of the exact form") {
+    // percentile_approx returns an actual data point with bounded RANK
+    // error (1/accuracy), while exact `percentile` interpolates — so the
+    // right assertion is containment in [p(q-δ), p(q+δ)], not an absolute
+    // value tolerance (data spacing dominates in small groups).
+    val windows = Seq(0.5 -> (0.45, 0.55), 0.95 -> (0.90, 1.0), 0.99 -> (0.94, 1.0))
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr(s"percentile(value, ${windows.map(_._2._1).mkString("array(", ",", ")")})").as("lo"),
+        expr(s"percentile(value, ${windows.map(_._2._2).mkString("array(", ",", ")")})").as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    val approx = Inventory.qPercentilesApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      Seq(1, 2, 3).zipWithIndex.foreach { case (colIdx, w) =>
+        val v = r.getDouble(colIdx)
+        assert(v >= lo(w) - 1e-4 && v <= hi(w) + 1e-4,
+          s"${r.getString(0)} q=${windows(w)._1}: $v outside [${lo(w)}, ${hi(w)}]")
+      }
+    }
+  }
+
+  test("json config round-trip equals the dim it was written from") {
+    val back = JsonSource.qJsonConfig(spark, sfDir).collect()
+    val dim = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey").collect()
+    assert(back.length == dim.length)
+    back.zip(dim).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("from_json typed parse agrees with the string-path extraction") {
+    val typed = JsonSource.qFromJson(spark, sfDir)
+    val stringPath = graft.ops.Quality.qJsonExtract(spark, sfDir)
+    assert(typed.exceptAll(stringPath).count() == 0)
+    assert(stringPath.exceptAll(typed).count() == 0)
+  }
+}

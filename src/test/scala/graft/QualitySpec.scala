@@ -37,6 +37,15 @@ class QualitySpec extends SparkSpec {
     assert(exact.subsetOf(lsh))
   }
 
+  test("LSH band groups stay far below the hot-band cap at this sf") {
+    val maxGroup = Quality.minhashBands(
+        Quality.minhashSig(Quality.wordShingleInv(spark, sfDir)))
+      .groupBy("band_idx", "band_val").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxGroup < Quality.maxBandGroup,
+      s"hot band of $maxGroup docs approaches cap ${Quality.maxBandGroup}")
+  }
+
   test("simhash: signature is 16 bits and deterministic across runs") {
     val a = Quality.qSimhash(spark, sfDir).collect()
     val b = Quality.qSimhash(spark, sfDir).collect()

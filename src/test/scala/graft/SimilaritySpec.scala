@@ -70,4 +70,19 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("clustered near-dup is a subset of brute force with useful recall, no cartesian") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = pairs(Similarity.qEmbedNeardup(spark, sfDir).collect())
+    val brute = pairs(Similarity.embedNeardupBrute(spark, sfDir).collect())
+    assert(clustered.nonEmpty)
+    assert(clustered.subsetOf(brute)) // precision 1: exact cosine on every emitted pair
+    val recall = clustered.size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-bucketed recall $recall vs brute ${brute.size} pairs")
+    // and the declared query's physical plan must not contain a cartesian
+    val plan = Similarity.qEmbedNeardup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+  }
 }

@@ -34,6 +34,19 @@ class SinkSourceSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 5)
   }
 
+  test("partial copy onto a pre-populated destination does NOT delete the source") {
+    val src = tmp() + "/src"
+    val dst = tmp() + "/dst"
+    Tables.nation(spark, sfDir).write.parquet(src) // 25 rows
+    // destination already holds rows from an earlier move — under the
+    // old `landed >= expected` rule these would vouch for a bad copy
+    Tables.nation(spark, sfDir).write.parquet(dst)
+    val (expected, deleted) = Sinks.moveVerifiedImpl(spark, src, dst,
+      (df, d) => df.limit(10).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d))
+    assert(expected == 25 && !deleted)
+    assert(new java.io.File(src).exists()) // keep-on-mismatch
+  }
+
   test("idempotent append: second run with same keys writes nothing") {
     val out = tmp() + "/sink"
     val df = Tables.region(spark, sfDir)
@@ -58,6 +71,20 @@ class SinkSourceSpec extends SparkSpec {
       assert(r.getString(r.fieldIndex("url"))
         .contains(r.getString(r.fieldIndex("host"))))
     }
+  }
+
+  test("HTTP source enforces maxConcurrentPerHost: in-flight never exceeds the bound") {
+    import graft.sources.HttpPlaceholderSource
+    HttpPlaceholderSource.observedMaxConcurrent.clear()
+    val urls = (1 to 24).map(i => s"http://10.0.9.9:8080/chunk$i").mkString(",")
+    val rows = spark.read.format("graft.sources.HttpPlaceholderSource")
+      .option("urls", urls)
+      .option("maxConcurrentPerHost", 3)
+      .load().collect()
+    assert(rows.length == 24)
+    val observed = HttpPlaceholderSource.observedMaxConcurrent.get("10.0.9.9:8080")
+    assert(observed != null && observed <= 3, s"observed $observed in-flight > bound 3")
+    assert(observed >= 2, "pool never ran fetches concurrently — bound not exercised")
   }
 
   test("multimodal: metadata matches payload and features are unit-normalized histograms") {
