@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout/stderr verbatim: sbt's default logged
+// strategy prefixes every line with "[info] "/"[error] ", which breaks
+// any driver that parses Bench's single JSON stdout line (BENCH_r01/r02
+// came back `parsed: null`). StdoutOutput pipes the child streams
+// straight through, so the JSON line is the only thing on its line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,6 +32,8 @@ object SparkEntry {
     "q_anti_dedup" -> (Acquisition.qAntiDedup _),
     "q_semi_present" -> (Acquisition.qSemiPresent _),
     "q_asof_latest" -> (Acquisition.qAsofLatest _),
+    "q_range_join" -> (Acquisition.qRangeJoin _),
+    "q_skew_join_salted" -> (Acquisition.qSkewJoinSalted _),
     "q_acquisition_plan" -> (Acquisition.acquisitionPlan _),
     // Inventory / completeness analytics (E9-E15, E20)
     "q_group_agg" -> (Inventory.qGroupAgg _),
@@ -62,6 +64,9 @@ object SparkEntry {
     "q_minhash_neardup" -> (Quality.qMinhashNeardup _),
     "q_simhash" -> (Quality.qSimhash _),
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
+    "q_tfidf" -> (Quality.qTfidf _),
+    "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
+    "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     // JSON ingestion surface (R1)
     "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
@@ -69,6 +74,7 @@ object SparkEntry {
     // Similarity search (E24 + north star)
     "q_cosine_topk" -> (Similarity.qCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
+    "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
@@ -146,6 +152,20 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, count(p.event_id) AS n_prior,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_prior_value
+        |FROM events e LEFT JOIN events p
+        |  ON p.user_id = e.user_id
+        | AND CAST(p.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 24 HOUR
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    "q_skew_join_salted" ->
+      """SELECT event_id, user_id, c_name, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
 
     "q_group_agg" ->
       """SELECT user_id, event_type, count(*) AS n,
@@ -434,6 +454,62 @@ object SparkEntry {
         |SELECT lang, doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY lang, doc_a, doc_b""".stripMargin,
 
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rn
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    // Connected components over the same-lang word-3-gram Jaccard
+    // pairs (q_ngram_jaccard's pair semantics); canonical = min
+    // reachable doc_id, DuckDB side via recursive reachability.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tkt AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |j AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.s, b.s))
+        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS doc_id, min(r) AS canonical_id FROM reach GROUP BY d)
+        |SELECT doc_id, canonical_id,
+        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+        |  doc_id = canonical_id AS is_canonical
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source,
+        |  substr(md5('smpl:' || doc_id), 1, 4) AS hk
+        |FROM documents
+        |WHERE substr(md5('smpl:' || doc_id), 1, 4)
+        |  < CASE WHEN lang = 'en' THEN '1999' ELSE '6666' END
+        |ORDER BY doc_id""".stripMargin,
+
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  count(*) AS n
@@ -494,6 +570,36 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
         |  FROM sc)
         |SELECT probe_id, cluster, vec_id, round(c, 4) AS cos_sim, rn
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |hp AS (SELECT vec_id - 8 AS h, e AS he FROM v WHERE vec_id >= 8 AND vec_id < 24),
+        |sig AS (
+        |  SELECT b.vec_id,
+        |    sum(CASE WHEN list_sum([hp.he[i] * b.e[i] for i in range(1, len(b.e) + 1)]) >= 0
+        |         THEN CAST(1 << h AS BIGINT) ELSE 0 END) AS sig
+        |  FROM v b CROSS JOIN hp GROUP BY b.vec_id),
+        |bands AS (
+        |  SELECT vec_id, band_idx, (sig // p) % 16 AS band_val
+        |  FROM sig CROSS JOIN (VALUES (0, 1), (1, 16), (2, 256), (3, 4096)) t(band_idx, p)),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+        |  FROM bands p JOIN bands c
+        |    ON p.band_idx = c.band_idx AND p.band_val = c.band_val
+        |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+        |sc AS (
+        |  SELECT probe_id, cand.vec_id,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]) / (a.nrm * b.nrm) AS c
+        |  FROM cand JOIN n a ON a.vec_id = probe_id JOIN n b ON b.vec_id = cand.vec_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |  FROM sc)
+        |SELECT probe_id, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
 
     // Bucketed semantics: candidate pairs share one of their top-2 IVF

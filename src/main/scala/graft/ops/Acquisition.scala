@@ -183,6 +183,62 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** E8b: bounded-range join, bucketed — per event, the same user's
+    * earlier events inside the trailing 24 h (the "recent activity in
+    * the acquisition window" feature; reference window derivation
+    * app.py:559-566 bounds every fetch with the same ±interval shape).
+    *
+    * A naive theta join `on user && prev.ts in [ts-24h, ts)` gives
+    * Catalyst no equi-key: BroadcastNestedLoopJoin, events × events.
+    * The scalable shape quantizes time into buckets exactly as wide as
+    * the range (24 h): a prior event can only match events in its own
+    * or the next bucket, so the probe side is replicated to those TWO
+    * bucket keys and the join becomes a plain shuffled equi-join on
+    * (user, bucket) with the exact range predicate evaluated inside
+    * the join — constant 2× fan-out instead of quadratic, AQE/skew
+    * handling applies, and both sides partition-prune on the bucket. */
+  def qRangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val bucketUs = 86400L * 1000000L // 24 h in microseconds
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val e = ev.select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("bucket", expr(s"unix_micros(ts) div $bucketUs"))
+    val p = ev.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+      .withColumn("pb", expr(s"unix_micros(p_ts) div $bucketUs"))
+      .withColumn("bucket", explode(array(col("pb"), col("pb") + 1)))
+    e.join(p,
+        e("user_id") === p("p_user") && e("bucket") === p("bucket") &&
+          p("p_ts") < e("ts") &&
+          p("p_ts") >= e("ts") - expr("INTERVAL 24 HOURS"),
+        "left")
+      .groupBy(e("event_id"))
+      .agg(count(col("p_event")).as("n_prior"),
+        sum(col("p_value").cast("decimal(18,6)")).cast("double").as("sum_prior_value"))
+      .orderBy("event_id")
+  }
+
+  /** E5c: the salted-join skew escape hatch — same result (and same
+    * oracle) as a plain `events ⋈ customer` lookup, but robust to one
+    * hot user owning a whole shuffle partition: the fact side salts its
+    * key with `event_id mod 8`, the dim side replicates each row to all
+    * 8 salts, and the join key becomes (key, salt) so a hot key spreads
+    * over 8 reducers. The replicated dim is still tiny and broadcast,
+    * so here the salt costs nothing — the query exists to machine-check
+    * the rewrite's equivalence every round, like q_group_agg_salted. */
+  def qSkewJoinSalted(spark: SparkSession, d: String): DataFrame = {
+    val nSalts = 8
+    val e = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(nSalts)))
+    val c = Tables.customer(spark, d).select("c_custkey", "c_name")
+      .withColumn("salt", explode(array((0 until nSalts).map(lit(_)): _*)))
+    e.join(broadcast(c),
+        e("user_id") === c("c_custkey") && e("salt") === c("salt"), "inner")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** The flagship end-to-end acquisition plan (SURVEY.md §7.2): dims
     * cross product → previous-day window → hourly chunks → buffered
     * bounds → broadcast IP lookup → anti-join against landed inventory

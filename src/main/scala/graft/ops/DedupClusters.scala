@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: the step after pair detection that an
+  * actual training-data dedup pipeline needs — group transitive
+  * near-dup pairs into connected components and elect one canonical
+  * document per component (reference analogue: the skip-if-exists
+  * idempotence of app.py:270-273 picks one winner per filename; here
+  * the "filename" is a similarity cluster).
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each iteration does (a) one hop of neighbor-label propagation and
+  * (b) one label-of-label shortcut (path compression), giving
+  * O(log diameter) convergence instead of O(diameter) — the property
+  * that matters when a boilerplate cluster chains thousands of docs.
+  * All per-iteration state is (doc_id, label) pairs: bytes shuffled
+  * scale with cluster membership, never with pair count squared, and
+  * each iteration's result is `localCheckpoint()`ed: a plain
+  * `persist()` caches the DATA but the logical plan still compounds
+  * ~6× per iteration (every analysis/explain walks it — measured OOM
+  * at 8 iterations), while a checkpoint truncates the lineage to a
+  * `LogicalRDD` leaf so iteration N's plan is constant-size. On a
+  * fault-tolerant cluster run, prefer reliable `checkpoint()` with a
+  * checkpoint dir — localCheckpoint trades executor-loss recovery for
+  * speed, the right trade in a single-JVM deployment.
+  *
+  * Convergence is detected with a count of changed labels — a driver
+  * action per iteration, which is how every iterative-graph Spark
+  * algorithm (GraphX/GraphFrames connected components included)
+  * terminates; the data never collects.
+  */
+object DedupClusters {
+
+  /** Pairs → (doc_id, canonical_id, cluster_size, is_canonical) for
+    * every doc that belongs to a near-dup cluster. Canonical = min
+    * doc_id reachable through the pair graph (deterministic, and the
+    * usual "keep the earliest-ingested copy" policy). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Undirected edges PLUS a self-loop per node: the self-loop makes
+    // the per-node neighbor-min aggregate include the node's own label,
+    // so the iteration needs no union inside the loop (a union over
+    // checkpointed frames trips Catalyst's constraint rewrite — the
+    // checkpointed LogicalRDD preserves constraints that mention
+    // pre-checkpoint attribute ids).
+    val nodes = pairs.select(col("doc_a").as("s"))
+      .union(pairs.select(col("doc_b").as("s"))).distinct()
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .union(nodes.select(col("s"), col("s").as("t")))
+      .localCheckpoint()
+    var labels = nodes.select(col("s").as("d"))
+      .withColumn("lbl", col("d")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      // (a) min over own + neighbor labels (self-loops carry "own")
+      val hop = edges.join(labels, edges("s") === labels("d"))
+        .groupBy(edges("t")).agg(min("lbl").as("lbl"))
+        .select(col("t").as("d"), col("lbl"))
+        .localCheckpoint() // referenced twice by the self-join below
+      // (b) pointer jumping: follow your label's label
+      val next = hop.as("x")
+        .join(hop.as("y"), col("x.lbl") === col("y.d"), "left")
+        .select(col("x.d").as("d"),
+          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "d")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sized = labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("lbl")))
+    sized.select(col("d").as("doc_id"), col("lbl").as("canonical_id"),
+        col("cluster_size"), (col("d") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Declared query: clusters over the exact same-lang word-3-gram
+    * Jaccard ≥ 0.5 pairs (Quality.qNgramJaccard's pair semantics). */
+  def qDedupClusters(spark: SparkSession, d: String): DataFrame =
+    connectedComponents(Quality.qNgramJaccard(spark, d).select("doc_a", "doc_b"))
+}

@@ -308,6 +308,41 @@ object Quality {
       .orderBy("lang", "doc_a", "doc_b")
   }
 
+  /** TF-IDF top terms: the per-document salient-term view a corpus
+    * curation pipeline uses for topic filtering and dedup triage.
+    * tf = term count in doc, df = docs containing term, score =
+    * tf · ln(N/df), top-3 terms per doc.
+    *
+    * Plan: explode → two hash aggregates (tf, then df over tf's
+    * distinct doc-term pairs — no second pass over the corpus) → equi
+    * join — the inverted-index shape whose bytes shuffled scale with
+    * distinct doc-term pairs. The corpus size N joins in as a
+    * broadcast single-row aggregate, never a driver-side collect. The
+    * tf aggregate feeds both its own join side and the df rollup, so
+    * it is persisted (Catalyst shares no common subplans).
+    *
+    * Determinism note: ln is evaluated on the same IEEE double in both
+    * engines (exact division first); ties in score are exact-equal
+    * (same tf, df) and break on the term string. */
+  def qTfidf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val tf = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wTop = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** E25: JSON extraction from `events.props` (`{"k": <int>}`) +
     * aggregation over the extracted key. */
   def qJsonExtract(spark: SparkSession, d: String): DataFrame =

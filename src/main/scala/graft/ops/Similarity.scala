@@ -160,6 +160,66 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Random-hyperplane LSH signatures: 16 sign bits, one per
+    * hyperplane, packed into a BIGINT. The "hyperplanes" are corpus
+    * vectors 8..23 — a deterministic stand-in for sampled Gaussian
+    * directions (the engine has no cross-engine-reproducible RNG; any
+    * fixed direction set gives the same locality property:
+    * P[bit differs] = angle/π). The ×16 expansion collapses map-side
+    * into one packed signature per vector — like `ivfAssigned`,
+    * nothing expanded ever shuffles. */
+  private[graft] def lshSig(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val hp = v.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+      .select((col("vec_id") - 8).cast("int").as("h"), col("e").as("ea"))
+    val corpus = v.select(col("vec_id"), col("e").as("eb"))
+    corpus.join(broadcast(hp), lit(true))
+      .withColumn("bit",
+        when(expr(dot) >= 0, expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(lit(0L)))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).as("sig"))
+  }
+
+  /** Signature → 4 bands of 4 bits each (band join on any shared band
+    * ≙ "at most 4 of 16 bits differ in some quarter"). Integer
+    * div/mod, not shifts, for exact DuckDB parity. */
+  private[graft] def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("vec_id"), posexplode(array(
+      (0 until 4).map(b => expr(s"sig div ${1L << (4 * b)} % 16")): _*))
+      .as(Seq("band_idx", "band_val")))
+
+  /** LSH-bucketed ANN — the hyperplane-hash alternative to `qAnnIvf`:
+    * probes (vec_id < 5) take as candidates every vector sharing at
+    * least one 4-bit signature band, then exact cosine scores the
+    * candidates, top-3. Both index variants ship because they trade
+    * differently at 100 TB: IVF needs a (broadcastable) centroid set
+    * and gives tunable probe counts; LSH needs no training and its
+    * index is one BIGINT per row, but band collision rates are fixed
+    * by the bit layout. Shared shape: signatures per-row, candidates
+    * via equi-join on (band_idx, band_val), exact verify on candidates
+    * only — never all pairs. */
+  def qAnnLsh(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("e"), col("nrm")).persist()
+    val bands = lshBands(lshSig(spark, d)).persist()
+    val probes = bands.filter(col("vec_id") < 5)
+      .select(col("band_idx"), col("band_val"), col("vec_id").as("probe_id"))
+    val cand = bands.join(probes, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val wTop = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(v.select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na")),
+        "probe_id")
+      .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb")), "vec_id")
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

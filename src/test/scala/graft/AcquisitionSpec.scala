@@ -93,4 +93,36 @@ class AcquisitionSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
   }
+
+  test("bucketed range join ≡ naive theta join, and plans an equi shuffle join") {
+    val bucketed = Acquisition.qRangeJoin(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val p = ev.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("p_event"), col("value").as("p_value"))
+    val naive = ev.join(p,
+        ev("user_id") === p("p_user") && p("p_ts") < ev("ts") &&
+          p("p_ts") >= ev("ts") - expr("INTERVAL 24 HOURS"), "left")
+      .groupBy(ev("event_id"))
+      .agg(count(col("p_event")).as("n_prior"),
+        sum(col("p_value").cast("decimal(18,6)")).cast("double").as("sum_prior_value"))
+    val rows = bucketed.collect()
+    val bs = rows.map(_.toString).sorted
+    val ns = naive.orderBy("event_id").collect().map(_.toString).sorted
+    assert(bs.sameElements(ns))
+    assert(rows.exists(_.getLong(1) > 0)) // trailing-24h activity is non-vacuous
+    // the scale property: no nested-loop join in the bucketed plan
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
+  test("salted join ≡ plain lookup join") {
+    val salted = Acquisition.qSkewJoinSalted(spark, sfDir).collect().map(_.toString)
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val plain = e.join(c, e("user_id") === c("c_custkey"))
+      .select("event_id", "user_id", "c_name", "value")
+      .orderBy("event_id").collect().map(_.toString)
+    assert(salted.nonEmpty && salted.sameElements(plain))
+  }
 }

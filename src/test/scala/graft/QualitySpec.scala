@@ -77,4 +77,26 @@ class QualitySpec extends SparkSpec {
       assert(ttr > 0.0 && ttr <= 1.0)
     }
   }
+
+  test("tfidf: 3 ranked terms per doc, df consistent with the corpus, idf monotone") {
+    val out = Quality.qTfidf(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // independent df recompute for the emitted terms
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .distinct().groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.sameElements(1 to rs.length) && rs.length <= 3)
+      // scores non-increasing down the ranks
+      val byRank = rs.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) == df(r.getString(1))) // df matches corpus
+      assert(r.getLong(3) <= nDocs)
+      val expected = r.getLong(2) * math.log(nDocs.toDouble / r.getLong(3))
+      assert(math.abs(r.getDouble(4) - expected) < 1e-3)
+    }
+  }
 }

@@ -71,6 +71,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH ANN: reported cosines are exact, candidates share a signature band") {
+    val out = Similarity.qAnnLsh(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // exactness: each emitted cosine equals the directly-computed one
+    GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .select(col("vec_id"), col("e"),
+        expr("sqrt(vec_dot(e, e))").as("nrm"))
+    val exact = v.as("a").join(v.as("b"), expr("a.vec_id < 5 AND b.vec_id <> a.vec_id"))
+      .select(col("a.vec_id").as("p"), col("b.vec_id").as("v"),
+        round(expr("vec_dot(a.e, b.e) / (a.nrm * b.nrm)"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+    // bucketing: every (probe, candidate) shares at least one band
+    val bands = Similarity.lshBands(Similarity.lshSig(spark, sfDir)).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    out.foreach { r =>
+      assert(bands(r.getLong(0)).intersect(bands(r.getLong(1))).nonEmpty)
+    }
+  }
+
   test("clustered near-dup is a subset of brute force with useful recall, no cartesian") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1))).toSet
