@@ -65,6 +65,8 @@ object SparkEntry {
     "q_simhash" -> (Quality.qSimhash _),
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
     "q_tfidf" -> (Quality.qTfidf _),
+    "q_contamination" -> (Quality.qContamination _),
+    "q_repetition" -> (Quality.qRepetition _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
@@ -470,6 +472,37 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_contamination" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |bench AS (SELECT DISTINCT shingle FROM shr WHERE doc_id < 10)
+        |SELECT c.doc_id, count(b.shingle) AS n_overlap, count(*) AS n_shingles,
+        |  round(count(b.shingle) / CAST(count(*) AS DOUBLE), 4) AS overlap_ratio
+        |FROM shr c LEFT JOIN bench b ON c.shingle = b.shingle
+        |WHERE c.doc_id >= 10
+        |GROUP BY c.doc_id
+        |HAVING count(b.shingle) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |shr AS (
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+        |    for i in range(1, len(tk) - 1)]) AS shingle
+        |  FROM tkt WHERE len(tk) >= 3),
+        |per AS (SELECT doc_id, shingle, count(*) AS n FROM shr GROUP BY doc_id, shingle)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shingles, count(*) AS n_distinct,
+        |  max(n) AS max_repeat,
+        |  round(1 - count(*) / CAST(sum(n) AS DOUBLE), 4) AS repetition_ratio
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Connected components over the same-lang word-3-gram Jaccard
     // pairs (q_ngram_jaccard's pair semantics); canonical = min

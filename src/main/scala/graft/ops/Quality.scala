@@ -156,7 +156,10 @@ object Quality {
     * `split` into every lambda reference (measured 70 s for 5000 docs);
     * the window form is whole-stage-codegen end to end and shuffles
     * once on doc_id. */
-  private[graft] def wordShingleInv(spark: SparkSession, d: String): DataFrame = {
+  /** The raw (multiset) word-3-gram stream — one row per shingle
+    * OCCURRENCE. Repetition analysis needs the multiplicities;
+    * everything set-based goes through `wordShingleInv` below. */
+  private[graft] def wordShingles(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(spark, d)
@@ -167,8 +170,10 @@ object Quality {
       .filter(col("t2").isNotNull)
       .select(col("lang"), col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
   }
+
+  private[graft] def wordShingleInv(spark: SparkSession, d: String): DataFrame =
+    wordShingles(spark, d).distinct()
 
   /** Hot-band cap: an LSH band group of k docs expands to k² candidate
     * pairs, so one near-universal band value (all-identical boilerplate
@@ -307,6 +312,49 @@ object Quality {
       .select("lang", "doc_a", "doc_b", "jaccard")
       .orderBy("lang", "doc_a", "doc_b")
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-3-gram shingle with a held-out "benchmark" set (doc_id < 10
+    * stands in for the eval suite) — the standard overlap check run
+    * before any training corpus ships. The benchmark shingle set is
+    * small by construction (eval suites are), so it broadcasts and the
+    * corpus side streams map-only: at 100 TB this is one scan of the
+    * corpus shingles against an in-memory hash set. Left join + HAVING
+    * keeps only contaminated docs, with the overlap share for triage. */
+  def qContamination(spark: SparkSession, d: String): DataFrame = {
+    val inv = wordShingleInv(spark, d).persist()
+    val bench = inv.filter(col("doc_id") < 10)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    inv.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_overlap"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_overlap") > 0)
+      .withColumn("overlap_ratio",
+        expr("round(n_overlap / cast(n_shingles AS DOUBLE), 4)"))
+      .select("doc_id", "n_overlap", "n_shingles", "overlap_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition (the Gopher-style quality filter):
+    * share of word-3-gram occurrences that are repeats of an earlier
+    * shingle in the same doc, plus the hottest shingle's multiplicity.
+    * Two stacked hash aggregates — per-(doc, shingle) counts collapse
+    * map-side, then per-doc totals — all codegen, one shuffle each. */
+  def qRepetition(spark: SparkSession, d: String): DataFrame =
+    wordShingles(spark, d)
+      .groupBy("doc_id", "shingle")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max("n").as("max_repeat"))
+      .withColumn("repetition_ratio",
+        expr("round(1 - n_distinct / cast(n_shingles AS DOUBLE), 4)"))
+      .select("doc_id", "n_shingles", "n_distinct", "max_repeat", "repetition_ratio")
+      .orderBy("doc_id")
 
   /** TF-IDF top terms: the per-document salient-term view a corpus
     * curation pipeline uses for topic filtering and dedup triage.

@@ -81,6 +81,22 @@ object Streams {
     def snapshot: (Long, Long, Boolean) = (progressCount.get(), lastRows, terminated)
   }
 
+  /** E21's streaming form: exactly-once-per-key output under
+    * at-least-once delivery — the streaming face of the reference's
+    * skip-if-exists idempotence (app.py:270-273, 419-421). A re-fetched
+    * or re-delivered record with an already-seen `event_id` is dropped.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * watermark: a key's fingerprint is evicted once the watermark
+    * passes it, so state size tracks the lateness horizon, not the
+    * stream's lifetime — the only dedup shape that survives an
+    * unbounded stream. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** R14: split a fetch-result stream into ok / dead-letter branches
     * with a status column — the union-sink pattern (placeholders and
     * payloads land in the same sink, app.py:435-463). Works identically

@@ -78,6 +78,43 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("contamination: only non-benchmark docs flagged, every flag is a real overlap") {
+    val out = Quality.qContamination(spark, sfDir).collect()
+    assert(out.nonEmpty) // the shared vocabulary guarantees overlaps
+    val benchShingles = Quality.wordShingleInv(spark, sfDir)
+      .filter(col("doc_id") < 10).select("shingle")
+      .collect().map(_.getString(0)).toSet
+    val docShingles = Quality.wordShingleInv(spark, sfDir)
+      .filter(col("doc_id") >= 10).collect()
+      .groupBy(_.getLong(1)).map { case (id, rs) => id -> rs.map(_.getString(2)).toSet }
+    out.foreach { r =>
+      val (id, nOv, nSh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(id >= 10) // benchmark docs never flag themselves
+      assert(docShingles(id).count(benchShingles) == nOv) // overlap is exact
+      assert(nOv >= 1 && nOv <= nSh)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("repetition: ratio consistent with counts, recomputed exactly for one doc") {
+    val out = Quality.qRepetition(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (total, distinct, maxRep) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(distinct <= total && maxRep >= 1 && maxRep <= total - distinct + 1)
+      assert(math.abs(r.getDouble(4) - (1.0 - distinct.toDouble / total)) < 1e-3)
+    }
+    // exact recompute of the first doc's shingle multiset in plain Scala
+    val first = out.head.getLong(0)
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === first).select("text").collect().head.getString(0)
+    val toks = text.split("\\s+")
+    val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    assert(out.head.getLong(1) == shingles.length)
+    assert(out.head.getLong(2) == shingles.distinct.length)
+    assert(out.head.getLong(3) == shingles.groupBy(identity).values.map(_.size).max)
+  }
+
   test("tfidf: 3 ranked terms per doc, df consistent with the corpus, idf monotone") {
     val out = Quality.qTfidf(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()

@@ -90,6 +90,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-within-watermark drops redelivered keys, keeps state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = Streams.dedupWithinWatermark(
+      input.toDF().toDF("ts", "event_id"), lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:30"), 2L))
+      q.processAllAvailable()
+      // at-least-once redelivery of key 1 within the watermark → dropped
+      input.addData((ts("2024-01-01 10:00:05"), 1L), (ts("2024-01-01 10:01:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(1)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L))) // each key exactly once
+    } finally q.stop()
+  }
+
   test("dead-letter split flags empty and missing payloads like the reference") {
     import spark.implicits._
     val df = Seq(
