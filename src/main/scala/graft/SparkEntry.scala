@@ -67,6 +67,8 @@ object SparkEntry {
     "q_tfidf" -> (Quality.qTfidf _),
     "q_contamination" -> (Quality.qContamination _),
     "q_repetition" -> (Quality.qRepetition _),
+    "q_vocab_coverage" -> (Quality.qVocabCoverage _),
+    "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
@@ -490,6 +492,45 @@ object SparkEntry {
         |GROUP BY c.doc_id
         |HAVING count(b.shingle) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |r AS (
+        |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+        |  FROM c)
+        |SELECT rank, term, n,
+        |  round(n / CAST(n_total AS DOUBLE), 4) AS share,
+        |  round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) / CAST(n_total AS DOUBLE), 4) AS cum_share
+        |FROM r CROSS JOIN tot WHERE rank <= 50
+        |ORDER BY rank""".stripMargin,
+
+    "q_pmi_bigrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |toks AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        |uni AS (SELECT tok AS t, count(*) AS n_t FROM toks GROUP BY tok),
+        |ntok AS (SELECT count(*) AS n_tok FROM toks),
+        |bi AS (
+        |  SELECT pair[1] AS a, pair[2] AS b, count(*) AS n_ab
+        |  FROM tk, unnest([[t[i], t[i+1]] for i in range(1, len(t))]) u(pair)
+        |  GROUP BY 1, 2),
+        |npairs AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pairs FROM bi),
+        |top AS (
+        |  SELECT a, b, n_ab, row_number() OVER (ORDER BY n_ab DESC, a, b) AS rn
+        |  FROM bi)
+        |SELECT rn, a, b, n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * n_tok * n_tok
+        |    / (CAST(n_pairs AS DOUBLE) * ua.n_t * ub.n_t)), 4) AS pmi
+        |FROM top
+        |JOIN uni ua ON ua.t = top.a
+        |JOIN uni ub ON ub.t = top.b
+        |CROSS JOIN ntok CROSS JOIN npairs
+        |WHERE rn <= 20
+        |ORDER BY rn""".stripMargin,
 
     "q_repetition" ->
       """WITH tkt AS (

@@ -391,6 +391,70 @@ object Quality {
       .orderBy("doc_id", "rn")
   }
 
+  /** Vocabulary coverage: the top-50 terms by corpus frequency with
+    * cumulative coverage share — the curve a tokenizer-vocabulary
+    * decision reads off ("how much of the corpus do the first k types
+    * cover"). One hash aggregate over the exploded token stream, then
+    * then `orderBy().limit(k)` — Catalyst plans TakeOrderedAndProject
+    * (per-partition partial top-k, merge on the driver-side exchange),
+    * so no single task ever sorts the whole vocabulary; the rank
+    * window runs over just the k survivors. */
+  def qVocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, d)
+      .select(explode(expr(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .persist() // feeds both the total and the top-k
+    val total = counts.agg(sum("n").as("n_total"))
+    val wRank = Window.orderBy(col("n").desc, col("term"))
+    val top = counts
+      .orderBy(col("n").desc, col("term")).limit(50) // TakeOrderedAndProject
+      .withColumn("rank", row_number().over(wRank))
+    val wCum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("share", expr("round(n / cast(n_total AS DOUBLE), 4)"))
+      .withColumn("cum_share",
+        round(sum("n").over(wCum) / col("n_total").cast("double"), 4))
+      .select("rank", "term", "n", "share", "cum_share")
+      .orderBy("rank")
+  }
+
+  /** Pointwise mutual information over adjacent word pairs — the
+    * collocation signal ("new york" vs chance co-occurrence) corpus
+    * analysis uses for phrase mining. Bigram and unigram counts are
+    * two codegen hash aggregates; the PMI expression is written with
+    * identical left-to-right association in the engine and the oracle
+    * so the IEEE doubles match bit-for-bit. Top-20 bigrams by count
+    * keeps the output bounded and the final sort constant-size. */
+  def qPmiBigrams(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toksStream = Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "tok")))
+      .persist() // unigram counts + bigram stream share it
+    val uni = toksStream.groupBy(col("tok").as("t")).agg(count(lit(1)).as("n_t"))
+    val nTok = toksStream.agg(count(lit(1)).as("n_tok"))
+    val bi = toksStream
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("tok").as("a"), col("t1").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist() // pair-total aggregate + top-20 both read it
+    val nPairs = bi.agg(sum("n_ab").as("n_pairs"))
+    val wTop = Window.orderBy(col("n_ab").desc, col("a"), col("b"))
+    bi.orderBy(col("n_ab").desc, col("a"), col("b")).limit(20) // TakeOrdered
+      .withColumn("rn", row_number().over(wTop))
+      .join(uni.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPairs.select(col("n_pairs"))))
+      .withColumn("pmi", expr(
+        "round(ln(CAST(n_ab AS DOUBLE) * n_tok * n_tok / (CAST(n_pairs AS DOUBLE) * n_a * n_b)), 4)"))
+      .select("rn", "a", "b", "n_ab", "pmi")
+      .orderBy("rn")
+  }
+
   /** E25: JSON extraction from `events.props` (`{"k": <int>}`) +
     * aggregation over the extracted key. */
   def qJsonExtract(spark: SparkSession, d: String): DataFrame =

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -80,20 +81,64 @@ private class HttpTable(options: CaseInsensitiveStringMap)
   }
 }
 
+/** ScanBuilder with REAL pushdown, the part of a fetch source that
+  * matters at scale: a pushed `host = …`/`host IN …` predicate prunes
+  * whole host PARTITIONS — those sensors are never contacted at all
+  * (the DSv2 analogue of partition pruning), and a pushed
+  * `url LIKE 'prefix%'` prunes individual requests before any fetch.
+  * Column pruning trims the emitted rows to the projected fields so a
+  * `select("host")` never materializes the rest. Unsupported filters
+  * are returned to Spark and evaluated post-scan as usual. */
 private class HttpScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = HttpPlaceholderSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def build(): Scan = this
-  override def readSchema(): StructType = HttpPlaceholderSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"http_placeholder PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("host", _: String) => true
+      case In("host", vs) => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith("url", _) => true
+      case IsNotNull(_) => true // this source never emits nulls
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-applies these after the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def hostSurvives(host: String): Boolean = pushed.forall {
+    case EqualTo("host", v: String) => host == v
+    case In("host", vs) => vs.contains(host)
+    case _ => true
+  }
+  private def urlSurvives(url: String): Boolean = pushed.forall {
+    case StringStartsWith("url", prefix) => url.startsWith(prefix)
+    case _ => true
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val urls = Option(options.get("urls")).map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Seq.empty)
     val maxPerHost = options.getInt("maxConcurrentPerHost", 3)
-    urls.groupBy(HttpPlaceholderSource.hostOf)
+    urls.filter(urlSurvives)
+      .groupBy(HttpPlaceholderSource.hostOf)
+      .filter { case (host, _) => hostSurvives(host) }
       .toSeq.sortBy(_._1)
       .map { case (host, hostUrls) =>
-        HttpHostPartition(host, hostUrls.sorted.toArray, maxPerHost): InputPartition
+        HttpHostPartition(host, hostUrls.sorted.toArray, maxPerHost,
+          required.fieldNames): InputPartition
       }.toArray
   }
 
@@ -103,7 +148,8 @@ private class HttpScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 private case class HttpHostPartition(
-    host: String, urls: Array[String], maxPerHost: Int) extends InputPartition
+    host: String, urls: Array[String], maxPerHost: Int,
+    fields: Array[String]) extends InputPartition
 
 /** One reader per host, fetching through a REAL bounded client pool of
   * `maxPerHost` threads — the reference's per-IP semaphore(3)
@@ -128,12 +174,14 @@ private class HttpHostReader(p: HttpHostPartition)
     try {
       // ---- STUB: a real impl would issue the HTTP request here (???)
       Thread.sleep(2) // simulated network latency keeps the pool busy
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(url),
-        UTF8String.fromString(p.host),
-        UTF8String.fromString("PLACEHOLDER_FILE"),
-        UTF8String.fromString("CONNECTION_ERROR"),
-        p.maxPerHost))
+      val full = Map[String, Any](
+        "url" -> UTF8String.fromString(url),
+        "host" -> UTF8String.fromString(p.host),
+        "status" -> UTF8String.fromString("PLACEHOLDER_FILE"),
+        "error_type" -> UTF8String.fromString("CONNECTION_ERROR"),
+        "max_concurrent" -> p.maxPerHost)
+      // emit only the pruned columns, in the scan's field order
+      new GenericInternalRow(p.fields.map(full(_)))
       // ---- end STUB
     } finally inFlight.decrementAndGet()
   }

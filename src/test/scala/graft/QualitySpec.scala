@@ -115,6 +115,37 @@ class QualitySpec extends SparkSpec {
     assert(out.head.getLong(3) == shingles.groupBy(identity).values.map(_.size).max)
   }
 
+  test("vocab coverage: ranks dense, counts non-increasing, cum_share monotone to <= 1") {
+    val out = Quality.qVocabCoverage(spark, sfDir).collect()
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .distinct().count()
+    assert(out.length == math.min(50, vocab))
+    assert(out.map(_.getInt(0)).sameElements(1 to out.length))
+    val ns = out.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val cums = out.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1.0 && cums.head == out.head.getDouble(3))
+  }
+
+  test("pmi: top bigram count matches a direct recompute; pmi finite") {
+    val out = Quality.qPmiBigrams(spark, sfDir).collect()
+    assert(out.length == 20)
+    val topDirect = Tables.documents(spark, sfDir)
+      .select(split(col("text"), "\\s+").as("t"))
+      .select(posexplode(col("t")).as(Seq("i", "a")), col("t"))
+      .withColumn("b", expr("get(t, i + 1)")).filter(col("b").isNotNull)
+      .groupBy("a", "b").count()
+      .orderBy(col("count").desc, col("a"), col("b"))
+      .limit(1).collect().head
+    val first = out.head
+    assert(first.getString(1) == topDirect.getString(0))
+    assert(first.getString(2) == topDirect.getString(1))
+    assert(first.getLong(3) == topDirect.getLong(2))
+    out.foreach(r => assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite))
+  }
+
   test("tfidf: 3 ranked terms per doc, df consistent with the corpus, idf monotone") {
     val out = Quality.qTfidf(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()

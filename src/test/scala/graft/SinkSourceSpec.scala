@@ -87,6 +87,40 @@ class SinkSourceSpec extends SparkSpec {
     assert(observed >= 2, "pool never ran fetches concurrently — bound not exercised")
   }
 
+  test("HTTP source pushdown: host filter prunes partitions (pruned hosts never fetched)") {
+    import graft.sources.HttpPlaceholderSource
+    HttpPlaceholderSource.observedMaxConcurrent.clear()
+    val df = spark.read.format("graft.sources.HttpPlaceholderSource")
+      .option("urls",
+        "http://10.0.1.1:8080/a,http://10.0.1.1:8080/b,http://10.0.1.2:8080/c")
+      .load()
+      .filter(col("host") === "10.0.1.1:8080")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    // THE point of the pushdown: the other sensor was never contacted
+    assert(HttpPlaceholderSource.observedMaxConcurrent.containsKey("10.0.1.1:8080"))
+    assert(!HttpPlaceholderSource.observedMaxConcurrent.containsKey("10.0.1.2:8080"))
+    assert(df.rdd.getNumPartitions == 1) // pruned at planning, not post-scan
+    // and the filter is visible as pushed in the scan
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+
+  test("HTTP source pushdown: url prefix prunes requests, column pruning trims rows") {
+    import graft.sources.HttpPlaceholderSource
+    HttpPlaceholderSource.observedMaxConcurrent.clear()
+    val df = spark.read.format("graft.sources.HttpPlaceholderSource")
+      .option("urls",
+        "http://10.0.2.1:8080/keep1,http://10.0.2.1:8080/keep2,http://10.0.2.1:8080/drop")
+      .load()
+      .filter(col("url").startsWith("http://10.0.2.1:8080/keep"))
+      .select("host")
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.forall(_.getString(0) == "10.0.2.1:8080"))
+    // column pruning reached the scan: its output is just `host`
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) == Seq("host"))
+  }
+
   test("multimodal: metadata matches payload and features are unit-normalized histograms") {
     import graft.ops.Multimodal
     val meta = Multimodal.qMultimodalMeta(spark, sfDir)
