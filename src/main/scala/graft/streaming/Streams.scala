@@ -97,6 +97,30 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** R11/R12's correlation shape as a stream-stream join: planned
+    * requests joined to the fetch responses that arrive for them, with
+    * BOTH sides watermarked and the join range-bounded so Spark can
+    * evict buffered state — an unbounded stream-stream join would
+    * otherwise hold every request forever waiting for a match. A
+    * request joins responses within [req_ts, req_ts + timeout]; once
+    * the response watermark passes a request's timeout the request's
+    * buffered row is dropped (and with a left-outer flavor would emit
+    * as a dead-letter — kept inner here to keep the state contract
+    * crisp). Both inputs must carry (key, ts). */
+  def correlateWithinTimeout(
+      requests: DataFrame,
+      responses: DataFrame,
+      timeout: String = "10 minutes",
+      lateness: String = "1 minute"): DataFrame = {
+    val req = requests.withWatermark("req_ts", lateness)
+    val resp = responses.withWatermark("resp_ts", lateness)
+    req.join(resp,
+      expr(s"""
+        req_key = resp_key AND
+        resp_ts >= req_ts AND
+        resp_ts <= req_ts + INTERVAL $timeout"""))
+  }
+
   /** R14: split a fetch-result stream into ok / dead-letter branches
     * with a status column — the union-sink pattern (placeholders and
     * payloads land in the same sink, app.py:435-463). Works identically

@@ -109,6 +109,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join correlates responses within the timeout only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Long, Timestamp)]
+    val resps = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.correlateWithinTimeout(
+      reqs.toDF().toDF("req_key", "req_ts"),
+      resps.toDF().toDF("resp_key", "resp_ts"),
+      timeout = "10 minutes", lateness = "1 minute")
+    val q = joined.writeStream.format("memory")
+      .queryName("corr_test").outputMode(OutputMode.Append()).start()
+    try {
+      reqs.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      resps.addData(
+        (1L, ts("2024-01-01 10:05:00")), // within timeout → correlates
+        (2L, ts("2024-01-01 10:20:00"))) // past the 10-min timeout → no match
+      q.processAllAvailable()
+      val keys = spark.table("corr_test").collect().map(_.getLong(0)).sorted
+      assert(keys.sameElements(Array(1L)))
+    } finally q.stop()
+  }
+
   test("dead-letter split flags empty and missing payloads like the reference") {
     import spark.implicits._
     val df = Seq(
