@@ -46,6 +46,8 @@ object SparkEntry {
     "q_interval_merge" -> (Inventory.qIntervalMerge _),
     "q_topk_per_group" -> (Inventory.qTopkPerGroup _),
     "q_topk_agg" -> (Inventory.qTopkAgg _),
+    "q_pivot" -> (Inventory.qPivot _),
+    "q_unpivot" -> (Inventory.qUnpivot _),
     "q_percentiles" -> (Inventory.qPercentiles _),
     "q_percentiles_approx" -> (Inventory.qPercentilesApprox _),
     "q_union_except" -> (Inventory.qUnionExcept _),
@@ -260,6 +262,32 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM w
+        |  UNION ALL SELECT user_id, 'error', error FROM w
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM w
+        |  UNION ALL SELECT user_id, 'signup', signup FROM w
+        |  UNION ALL SELECT user_id, 'view', view FROM w)
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

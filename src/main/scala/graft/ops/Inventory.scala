@@ -223,6 +223,33 @@ object Inventory {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** Pivot: per-user event counts widened to one column per event
+    * type — the completeness-matrix view (station × channel landed
+    * counts) the reference's tag design implies. The pivot values are
+    * EXPLICIT: with them Spark plans one pass (a single hash aggregate
+    * with N conditional counts); without them it must first scan for
+    * distinct values — an extra job a 100 TB run doesn't want, and
+    * non-deterministic output columns besides. Absent combinations
+    * fill 0, matching the oracle's count-over-CASE. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, eventTypes)
+      .orderBy("user_id")
+
+  /** Unpivot (melt): the inverse — the wide completeness matrix back
+    * to (user_id, event_type, n) rows, zero-count combinations
+    * included. Narrow per-row transform, no shuffle of its own. */
+  def qUnpivot(spark: SparkSession, d: String): DataFrame =
+    qPivot(spark, d)
+      .unpivot(Array(col("user_id")),
+        eventTypes.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   /** E15: set operations — the ok ∪ dead-letter union the reference's
     * sink performs implicitly (placeholders and real payloads land in
     * the same bucket, app.py:435-463), then an EXCEPT inventory diff

@@ -61,4 +61,17 @@ class InventorySpec extends SparkSpec {
     assert(typed.exceptAll(stringPath).count() == 0)
     assert(stringPath.exceptAll(typed).count() == 0)
   }
+
+  test("unpivot ∘ pivot = the direct group counts (zeros only for absent combos)") {
+    import org.apache.spark.sql.functions._
+    val narrow = Inventory.qUnpivot(spark, sfDir)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val nonZero = narrow.filter(col("n") > 0)
+    assert(nonZero.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(nonZero).count() == 0)
+    // the wide matrix is complete: users × 5 event types
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(narrow.count() == users * 5)
+  }
 }
