@@ -39,6 +39,7 @@ object SparkEntry {
     "q_group_agg" -> (Inventory.qGroupAgg _),
     "q_group_agg_salted" -> (Inventory.qGroupAggSalted _),
     "q_distinct" -> (Inventory.qDistinct _),
+    "q_distinct_approx" -> (Inventory.qDistinctApprox _),
     "q_rollup" -> (Inventory.qRollup _),
     "q_cube" -> (Inventory.qCube _),
     "q_window_rank" -> (Inventory.qWindowRank _),

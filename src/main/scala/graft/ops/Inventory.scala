@@ -223,6 +223,21 @@ object Inventory {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** E10's 100 TB path: HyperLogLog++ approximate distinct counts per
+    * key next to the exact form — `approx_count_distinct` keeps a
+    * constant-size sketch per group with map-side merge, where exact
+    * distinct must shuffle every distinct value. No DuckDB oracle
+    * (sketch estimates are implementation-defined); the driver records
+    * a rows-only check and InventorySpec bounds the relative error
+    * against the exact counts. */
+  def qDistinctApprox(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("value"), 0.02).as("approx_values"))
+      .orderBy("event_type")
+
   /** Pivot: per-user event counts widened to one column per event
     * type — the completeness-matrix view (station × channel landed
     * counts) the reference's tag design implies. The pivot values are

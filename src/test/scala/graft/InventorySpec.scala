@@ -62,6 +62,21 @@ class InventorySpec extends SparkSpec {
     assert(stringPath.exceptAll(typed).count() == 0)
   }
 
+  test("approx distinct stays within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val approx = Inventory.qDistinctApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"), countDistinct(col("value")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (u, v)) =>
+      val (au, av) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.05, s"$k users: $au vs $u")
+      assert(math.abs(av - v).toDouble / v <= 0.05, s"$k values: $av vs $v")
+    }
+  }
+
   test("unpivot ∘ pivot = the direct group counts (zeros only for absent combos)") {
     import org.apache.spark.sql.functions._
     val narrow = Inventory.qUnpivot(spark, sfDir)
