@@ -53,6 +53,19 @@ object SparkEntry {
     "q_percentiles_approx" -> (Inventory.qPercentilesApprox _),
     "q_union_except" -> (Inventory.qUnionExcept _),
     "q_filename_inventory" -> (Inventory.qFilenameInventory _),
+    // Relational analytics (star schema, windows, funnel, profile)
+    "q_star_join" -> (Analytics.qStarJoin _),
+    "q_rolling_stats" -> (Analytics.qRollingStats _),
+    "q_ntile_cume" -> (Analytics.qNtileCume _),
+    "q_funnel" -> (Analytics.qFunnel _),
+    "q_value_histogram" -> (Analytics.qValueHistogram _),
+    "q_winsorize" -> (Analytics.qWinsorize _),
+    "q_scd2" -> (Analytics.qScd2 _),
+    // Corpus layout (bucketing, packing, sharding, passage dedup)
+    "q_length_buckets" -> (Packing.qLengthBuckets _),
+    "q_pack_greedy" -> (Packing.qPackGreedy _),
+    "q_shard_assign" -> (Packing.qShardAssign _),
+    "q_passage_dedup" -> (Packing.qPassageDedup _),
     // Time windows (E16-E18)
     "q_tumbling_daily" -> (TimeWindows.qTumblingDaily _),
     "q_sliding_window" -> (TimeWindows.qSlidingWindow _),
@@ -75,14 +88,16 @@ object SparkEntry {
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
-    // JSON ingestion surface (R1)
+    // JSON/CSV ingestion surface (R1)
     "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
     "q_from_json" -> (graft.sources.JsonSource.qFromJson _),
+    "q_csv_config" -> (graft.sources.CsvSource.qCsvConfig _),
     // Similarity search (E24 + north star)
     "q_cosine_topk" -> (Similarity.qCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
+    "q_kmeans_step" -> (Similarity.qKmeansStep _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -318,6 +333,158 @@ object SparkEntry {
         |  substr(regexp_extract(filename, '^([^.]+)\.([^.]+)\.([^.]+)\.([^.]+)\.([^.]+)\.mseed$', 5), 1, 8) AS date_part,
         |  substr(regexp_extract(filename, '^([^.]+)\.([^.]+)\.([^.]+)\.([^.]+)\.([^.]+)\.mseed$', 5), 1, 8) || '/' || filename AS s3_key
         |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_rolling_stats" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS roll_avg,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_ntile_cume" ->
+      """SELECT event_type, event_id, value,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  CASE WHEN p.first_purchase IS NOT NULL THEN 'purchase'
+        |       WHEN c.first_click IS NOT NULL THEN 'click'
+        |       ELSE 'view' END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_value_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(CAST(floor(value / CAST(25.0 AS DOUBLE)) AS BIGINT), 19) AS bin
+        |  FROM events)
+        |SELECT event_type, bin, bin * CAST(25.0 AS DOUBLE) AS bin_lo,
+        |  (bin + 1) * CAST(25.0 AS DOUBLE) AS bin_hi, count(*) AS n
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH pct AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p05,
+        |    round(quantile_cont(value, 0.95), 4) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value, p.p05, p.p95,
+        |  greatest(least(e.value, p.p95), p.p05) AS winsorized
+        |FROM events e JOIN pct p ON e.event_type = p.event_type
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,
+        |  lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+        |  row_number() OVER w AS version,
+        |  lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(string_split_regex(text, '\s+')) AS n_tokens FROM documents)
+        |SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_pack_greedy" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT shard, doc_id, n_tokens, cum_before // 512 AS bin_id,
+        |  cum_before - (cum_before // 512) * 512 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH t AS (
+        |  SELECT substr(md5('shard:' || doc_id), 1, 1) AS shard, doc_id, n_chars
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_passage_dedup" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |ch AS (
+        |  SELECT doc_id, s.ci, s.ch FROM (
+        |    SELECT doc_id,
+        |      unnest([{'ci': i, 'ch': array_to_string(tk[10*i+1:10*i+10], ' ')}
+        |              for i in range(0, (len(tk)+9)//10)]) AS s
+        |    FROM tkt)),
+        |fl AS (
+        |  SELECT doc_id, ci, row_number() OVER (PARTITION BY ch ORDER BY doc_id, ci) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_kmeans_step" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, eb, cluster FROM (
+        |    SELECT b.vec_id, b.e AS eb, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |x AS (
+        |  SELECT cluster, s.dim, s.x FROM (
+        |    SELECT cluster,
+        |      unnest([{'dim': i, 'x': eb[i + 1]} for i in range(0, len(eb))]) AS s
+        |    FROM asg))
+        |SELECT cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
+        |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS centroid
+        |FROM x GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+
+    "q_csv_config" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics over the landed dataset — the dashboard/report
+  * layer a completeness store feeds (reference: the S3-tag inventory,
+  * app.py:467-480, is exactly the fact table these queries consume).
+  *
+  * Everything here is a single declarative plan: star joins broadcast
+  * their dims, windows shuffle once on their partition key, and the
+  * percentile thresholds in `qWinsorize` are a tiny broadcast side.
+  * Float aggregates route through exact DECIMAL sums (see Inventory)
+  * so results are partial-aggregation-order independent.
+  */
+object Analytics {
+
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Star-schema join: fact (orders) against the dim chain
+    * customer→nation→region, revenue rolled up per (region, nation).
+    * nation/region are explicitly broadcast (config-sized dims — at
+    * 100 TB they are still config-sized); customer is left to
+    * Catalyst/AQE, which broadcasts it at test SF and shuffle-joins it
+    * when it outgrows the threshold on a real cluster. One shuffle
+    * total (the final group-by). */
+  def qStarJoin(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("r_name", "n_name")
+
+  /** Rolling per-key stats: count/sum/avg/min/max over the trailing 7
+    * rows (6 preceding + current) per user ordered by time — the
+    * moving-average view of a sensor's recent throughput. ROWS frames
+    * are streaming-friendly: one shuffle on user_id, one ordered pass
+    * per partition, O(frame) state. */
+  def qRollingStats(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("roll_avg", col("roll_sum") / col("roll_n"))
+      .withColumn("roll_min", min(col("value")).over(w))
+      .withColumn("roll_max", max(col("value")).over(w))
+      .select("user_id", "event_id", "ts", "value",
+        "roll_n", "roll_sum", "roll_avg", "roll_min", "roll_max")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Distribution ranks per group: quartile (ntile), percent_rank and
+    * cume_dist over value within each event_type. The window orders by
+    * (value, event_id) — the unique tiebreaker makes rank ≡ row_number
+    * on both engines, so the rank functions are deterministic and
+    * oracle-exact. */
+  def qNtileCume(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .withColumn("cd", round(cume_dist().over(w), 4))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Conversion funnel: per user, the first 'view', the first 'click'
+    * strictly after it, the first 'purchase' strictly after that, and
+    * the furthest stage reached. Each stage is a key-only aggregate
+    * joined back on user_id — three narrow hash aggregates over an
+    * ever-shrinking key set, no window over the raw events. */
+  def qFunnel(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        when(col("first_purchase").isNotNull, "purchase")
+          .when(col("first_click").isNotNull, "click")
+          .otherwise("view").as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** Fixed-bin histogram of value per event_type: 20 bins of width 25
+    * over [0, 500). Bin edges are data-independent constants, so the
+    * histogram is a single map-side-combining aggregate — the profile
+    * view that runs as one pass at any scale (vs data-dependent edges,
+    * which would need a min/max pre-pass). */
+  def qValueHistogram(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        least(floor(col("value") / 25.0), lit(19)).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin") * 25.0)
+      .withColumn("bin_hi", (col("bin") + 1) * 25.0)
+      .select("event_type", "bin", "bin_lo", "bin_hi", "n")
+      .orderBy("event_type", "bin")
+
+  /** Winsorization: clip value to the per-group [p05, p95] band. The
+    * thresholds are one tiny exact-percentile aggregate (5 groups),
+    * broadcast back onto the stream — the raw table never shuffles.
+    * Thresholds are rounded to 4 decimals BEFORE clipping on both
+    * engines, so interpolated-quantile last-ulp differences cannot
+    * leak into the comparison of values near the edges. */
+  def qWinsorize(spark: SparkSession, d: String): DataFrame = {
+    val pct = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.05)"), 4).as("p05"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    Tables.events(spark, d)
+      .join(broadcast(pct), "event_type")
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("p05"), col("p95"),
+        greatest(least(col("value"), col("p95")), col("p05")).as("winsorized"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** SCD2 versioning: each event is a state change for its user; the
+    * version's validity runs to the next change (open-ended for the
+    * latest). lead() over one shuffle on the natural key — the shape
+    * that builds a slowly-changing dimension from a change stream. */
+  def qScd2(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed("ts", "valid_from")
+      .select("user_id", "event_id", "valid_from", "valid_to", "version", "is_current")
+      .orderBy("user_id", "version")
+  }
+}

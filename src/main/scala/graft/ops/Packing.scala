@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus layout operators for a training-data pipeline: sequence-length
+  * bucketing, greedy token packing, deterministic sharding, and
+  * cross-document passage dedup.
+  *
+  * These are the steps between "clean documents" and "training batches":
+  * group documents by length so batches pad minimally, pack token
+  * streams into fixed context windows, split the corpus into balanced
+  * shards with a content-stable hash, and drop boilerplate passages
+  * repeated across documents.
+  */
+object Packing {
+
+  private def tokens = split(col("text"), "\\s+")
+
+  /** Sequence-length bucketing: documents grouped into power-of-two
+    * token-length buckets (bucket = number of binary digits of
+    * n_tokens, i.e. floor(log2)+1 computed exactly via bin() — no
+    * floating log at bucket boundaries). One map-side-combining
+    * aggregate; the bucket histogram is what a batch scheduler reads
+    * to size padded batches. */
+  def qLengthBuckets(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(size(tokens).as("n_tokens"))
+      .select(length(bin(col("n_tokens"))).cast("long").as("bucket"), col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+      .orderBy("bucket")
+
+  /** Greedy sequence packing: within each of 8 hash shards, documents
+    * are laid head-to-tail in doc_id order and cut into 512-token
+    * context bins — bin = cumulative-tokens-before div 512, offset =
+    * position within the bin. This is the scalable packing shape: the
+    * running sum is one window per shard (shards are independent, so
+    * the sort parallelism is the shard count — at 100 TB raise the
+    * shard count, not the window width). A document may straddle a bin
+    * boundary by design (token streams are contiguous); exact first-fit
+    * would serialize per shard for <2% padding gain. */
+  def qPackGreedy(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", expr("cum_before div 512"))
+      .withColumn("bin_offset", col("cum_before") - col("bin_id") * 512)
+      .select("shard", "doc_id", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic balanced sharding: shard = first hex digit of
+    * md5("shard:" || doc_id) — 16 shards, content-stable (a rerun or a
+    * late-arriving partition lands every doc in the same shard),
+    * balanced by the hash. The aggregate is the shard manifest a
+    * distributed writer emits next to the data. */
+  def qShardAssign(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 1).as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  /** Cross-document passage dedup (the line-level dedup of a corpus
+    * whose documents are single lines): token streams are chunked into
+    * fixed 10-token passages, a passage is kept only at its first
+    * occurrence corpus-wide (min (doc_id, chunk_idx)), and each
+    * document reports its retained fraction — the CCNet/Gopher-style
+    * boilerplate-removal measure.
+    *
+    * Shape: posexplode the tokens (chunking is integer division on the
+    * position — no higher-order functions on the hot path, see the HOF
+    * inlining note at Quality.qTokenCount), reassemble passages with a
+    * grouped sort of ≤10-element arrays, then one window keyed on the
+    * passage string for first-occurrence, one aggregate back to docs.
+    * Passage cardinality ≈ token count / 10; everything shuffles at
+    * passage granularity, never document². */
+  def qPassageDedup(spark: SparkSession, d: String): DataFrame = {
+    val passages = Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+      .withColumn("ci", expr("pos div 10"))
+      .groupBy("doc_id", "ci")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("ch"))
+    val firstSeen = Window.partitionBy("ch").orderBy("doc_id", "ci")
+    passages
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept") / col("n_chunks").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+}

@@ -220,6 +220,24 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
+  /** One k-means (Lloyd) refinement step for the IVF index: re-compute
+    * each cluster's centroid as the element-wise mean of its members.
+    * posexplode to (cluster, dim, x) and hash-aggregate — the ×dims
+    * expansion combines map-side, so bytes shuffled ∝ clusters × dims,
+    * not corpus size. Iterating this (assignment is `ivfAssigned`) IS
+    * distributed k-means; one step ships as a declared query so the
+    * training path of the index is oracle-checked. Component sums go
+    * through DECIMAL(18,6) for partial-aggregation-order independence
+    * (same contract as Inventory.decSum). */
+  def qKmeansStep(spark: SparkSession, d: String): DataFrame =
+    ivfAssigned(spark, d)
+      .select(col("cluster"), posexplode(col("eb")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("centroid"))
+      .orderBy("cluster", "dim")
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star join totals equal the ungrouped fact totals (no row loss/dup through the dim chain)") {
+    val joined = Analytics.qStarJoin(spark, sfDir)
+    val Seq((nJoined, sumJoined)) = joined
+      .agg(sum("n_orders"), round(sum("sum_price"), 2)).as[(Long, Double)].collect().toSeq
+    val Seq((nFact, sumFact)) = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)), round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2))
+      .as[(Long, Double)].collect().toSeq
+    assert(nJoined == nFact)     // every order has a customer→nation→region chain
+    assert(sumJoined == sumFact) // and is counted exactly once
+  }
+
+  test("star join broadcasts the dims (no shuffle exchange on nation/region)") {
+    val plan = Analytics.qStarJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("rolling stats frame is the trailing 7 rows: roll_n caps at 7, first row of each user is its own frame") {
+    val df = Analytics.qRollingStats(spark, sfDir).cache()
+    assert(df.filter(col("roll_n") > 7).count() == 0)
+    // per-user first row (version order = ts, event_id): frame is just itself
+    val first = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+    assert(first.filter(col("roll_n") =!= 1 || col("roll_sum") =!= col("value")
+      || col("roll_min") =!= col("value") || col("roll_max") =!= col("value")).count() == 0)
+    df.unpersist()
+  }
+
+  test("ntile quartiles are balanced within 1 and ordered by value") {
+    val df = Analytics.qNtileCume(spark, sfDir).cache()
+    val sizes = df.groupBy("event_type", "quartile").count()
+      .groupBy("event_type").agg((max("count") - min("count")).as("spread"))
+    assert(sizes.filter(col("spread") > 1).count() == 0)
+    // quartile boundaries respect value order: max(value) of q ≤ min(value) of q+1
+    val bounds = df.groupBy("event_type", "quartile")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val crossed = bounds.as("a").join(bounds.as("b"),
+      $"a.event_type" === $"b.event_type" && $"a.quartile" + 1 === $"b.quartile")
+      .filter($"a.hi" > $"b.lo")
+    assert(crossed.count() == 0)
+    df.unpersist()
+  }
+
+  test("funnel stages are consistent: timestamps strictly increase along the funnel") {
+    val df = Analytics.qFunnel(spark, sfDir).cache()
+    assert(df.filter(col("first_click").isNotNull && !(col("first_click") > col("first_view"))).count() == 0)
+    assert(df.filter(col("first_purchase").isNotNull && !(col("first_purchase") > col("first_click"))).count() == 0)
+    // stage label agrees with which timestamps exist
+    assert(df.filter(col("stage") === "purchase" && col("first_purchase").isNull).count() == 0)
+    assert(df.filter(col("stage") === "click" &&
+      (col("first_click").isNull || col("first_purchase").isNotNull)).count() == 0)
+    df.unpersist()
+  }
+
+  test("histogram covers every event exactly once and bins bound their members") {
+    val hist = Analytics.qValueHistogram(spark, sfDir)
+    val total = hist.agg(sum("n")).as[Long].collect().head
+    assert(total == Tables.events(spark, sfDir).count())
+    assert(hist.filter(col("bin") < 0 || col("bin") > 19).count() == 0)
+  }
+
+  test("winsorized values are clipped into [p05, p95] and untouched inside the band") {
+    val df = Analytics.qWinsorize(spark, sfDir).cache()
+    assert(df.filter(col("winsorized") < col("p05") || col("winsorized") > col("p95")).count() == 0)
+    assert(df.filter(col("value").between(col("p05"), col("p95")) &&
+      col("winsorized") =!= col("value")).count() == 0)
+    df.unpersist()
+  }
+
+  test("scd2 versions tile each user's timeline: valid_to = next valid_from, one open version per user") {
+    val df = Analytics.qScd2(spark, sfDir).cache()
+    assert(df.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+    // non-current versions end exactly where the next begins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val gaps = df.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(gaps.count() == 0)
+    df.unpersist()
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("length buckets partition the corpus: doc counts sum to corpus size, bucket bounds nest in powers of two") {
+    val df = Packing.qLengthBuckets(spark, sfDir).cache()
+    assert(df.agg(sum("n_docs")).as[Long].collect().head ==
+      Tables.documents(spark, sfDir).count())
+    // bucket b holds token counts in [2^(b-1), 2^b)
+    val bad = df.filter(
+      col("min_tokens") < pow(lit(2.0), col("bucket") - 1).cast("long") ||
+      col("max_tokens") >= pow(lit(2.0), col("bucket")).cast("long"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("greedy packing is gap-free per shard: offsets advance by exactly n_tokens across bins") {
+    val df = Packing.qPackGreedy(spark, sfDir).cache()
+    // reconstruct the global position: bin_id * 512 + bin_offset must equal
+    // the running sum of preceding docs' tokens in doc_id order per shard
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val check = df.withColumn("expect", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("bin_id") * 512 + col("bin_offset") =!= col("expect"))
+    assert(check.count() == 0)
+    assert(df.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0)
+    df.unpersist()
+  }
+
+  test("shard assignment is total, deterministic, and roughly balanced") {
+    val df = Packing.qShardAssign(spark, sfDir).cache()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(df.agg(sum("n_docs")).as[Long].collect().head == nDocs)
+    val counts = df.select("n_docs").as[Long].collect()
+    // 16-way md5 split of 500 docs: every shard populated, none pathological
+    assert(counts.length <= 16 && counts.min >= 1)
+    assert(counts.max <= nDocs / 2)
+    df.unpersist()
+  }
+
+  test("passage dedup keeps every chunk of a duplicate-free corpus prefix and counts chunks = ceil(tokens/10)") {
+    val df = Packing.qPassageDedup(spark, sfDir).cache()
+    val withTokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(df, "doc_id")
+    assert(withTokens.filter(col("n_chunks") =!= ceil(col("n_tokens") / lit(10.0)).cast("long"))
+      .count() == 0)
+    // kept ratio is a valid fraction and at least one doc keeps everything
+    // (the corpus-wide first document by (doc_id, ci) always keeps chunk 0)
+    assert(df.filter(col("kept_ratio") < 0 || col("kept_ratio") > 1).count() == 0)
+    assert(df.filter(col("n_kept") > col("n_chunks")).count() == 0)
+    df.unpersist()
+  }
+
+  test("kmeans step: per-cluster member counts sum to the corpus and centroids move toward members") {
+    val step = graft.ops.Similarity.qKmeansStep(spark, sfDir).cache()
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    val perCluster = step.groupBy("cluster").agg(max("n_members").as("m"), min("n_members").as("lo"))
+    // n_members is constant across dims within a cluster
+    assert(perCluster.filter(col("m") =!= col("lo")).count() == 0)
+    assert(perCluster.agg(sum("m")).as[Long].collect().head == corpus)
+    // 8 clusters × 64 dims
+    assert(step.count() == 8 * 64)
+    step.unpersist()
+  }
+
+  test("csv config round-trip equals the dim it was written from") {
+    val back = graft.sources.CsvSource.qCsvConfig(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val dim = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+    assert(back.exceptAll(dim).count() == 0 && dim.exceptAll(back).count() == 0)
+  }
+}
