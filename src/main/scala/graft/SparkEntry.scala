@@ -61,6 +61,8 @@ object SparkEntry {
     "q_value_histogram" -> (Analytics.qValueHistogram _),
     "q_winsorize" -> (Analytics.qWinsorize _),
     "q_scd2" -> (Analytics.qScd2 _),
+    "q_zscore_outliers" -> (Analytics.qZscoreOutliers _),
+    "q_upsert_compact" -> (Inventory.qUpsertCompact _),
     // Corpus layout (bucketing, packing, sharding, passage dedup)
     "q_length_buckets" -> (Packing.qLengthBuckets _),
     "q_pack_greedy" -> (Packing.qPackGreedy _),
@@ -86,7 +88,9 @@ object SparkEntry {
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
+    "q_simhash_neardup" -> (Quality.qSimhashNeardup _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
+    "q_group_sample" -> (Sampling.qGroupSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     // JSON/CSV ingestion surface (R1)
     "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
@@ -771,6 +775,66 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
         |  doc_id = canonical_id AS is_canonical
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_upsert_compact" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  ts AS last_ts, value AS last_value FROM (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, s / n AS mean,
+        |    sqrt((s2 - s * s / n) / (n - 1)) AS std
+        |  FROM st)
+        |SELECT e.event_type, e.event_id, e.value,
+        |  round(m.mean, 4) AS mean, round(m.std, 4) AS std,
+        |  round((e.value - m.mean) / m.std, 4) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs((e.value - m.mean) / m.std) > 2.5
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    "q_simhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, [md5(x) for x in string_split_regex(text, '\s+')] AS tm
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    array_to_string([CASE WHEN list_sum(
+        |        [CASE WHEN substr(m, b, 1) >= '8' THEN 1 ELSE -1 END for m in tm]) > 0
+        |      THEN '1' ELSE '0' END for b in range(1, 33)], '') AS simhash
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, simhash, b AS band_idx, substr(simhash, 8*b + 1, 8) AS band_val
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)
+        |      THEN 1 ELSE 0 END for i in range(1, 33)]) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5('gs:' || doc_id), 1, 13), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source,

@@ -132,6 +132,31 @@ object Analytics {
       .orderBy("event_type", "event_id")
   }
 
+  /** Z-score outliers: events whose value sits more than 2.5 sample
+    * standard deviations from its group mean. Mean and variance derive
+    * from exact DECIMAL sums of value and value² (one map-side-combining
+    * aggregate over 5 groups, broadcast back), so the flag set is
+    * partial-aggregation-order independent; the final double arithmetic
+    * is written with identical association on both engines. */
+  def qZscoreOutliers(spark: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value")).as("s"),
+        decSum(col("value") * col("value")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("std"))
+    Tables.events(spark, d)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** SCD2 versioning: each event is a state change for its user; the
     * version's validity runs to the next change (open-ended for the
     * latest). lead() over one shuffle on the natural key — the shape

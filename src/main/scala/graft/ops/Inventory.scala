@@ -238,6 +238,25 @@ object Inventory {
         approx_count_distinct(col("value"), 0.02).as("approx_values"))
       .orderBy("event_type")
 
+  /** Changelog compaction (upsert keep-latest): one row per key with
+    * its most recent state by (ts, event_id) — the read-side view of an
+    * upsert sink, and the compaction pass a CDC-fed table needs. One
+    * `max_by` hash aggregate with map-side combine: each partition
+    * ships one candidate row per key, vs the window form's shuffle of
+    * every version. The struct ordering (ts, event_id) makes the
+    * winner deterministic under equal timestamps. */
+  def qUpsertCompact(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts").as("last_ts"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id", "event_type")
+
   /** Pivot: per-user event counts widened to one column per event
     * type — the completeness-matrix view (station × channel landed
     * counts) the reference's tag design implies. The pivot values are

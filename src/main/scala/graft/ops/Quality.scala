@@ -282,6 +282,53 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-duplicate pairs: 32-bit signatures (all 32 md5 hex
+    * positions — 16 bits is under-discriminative on a small-vocabulary
+    * corpus), banded LSH candidates, exact Hamming verify ≤ 1.
+    *
+    * The 4 × 8-bit bands give a pigeonhole GUARANTEE, not a
+    * probabilistic one: two signatures differing in ≤ 3 bits must agree
+    * on at least one band, so every pair within the Hamming threshold
+    * is a candidate — recall 1 by construction, precision restored by
+    * the exact verify. Candidates come from an equi-join on
+    * (band_idx, band_val) — pair work scales with band-bucket sizes,
+    * never corpus². The verify is `bit_count(sig_a ^ sig_b)` on packed
+    * longs: one codegen'd instruction (POPCNT) per candidate, no
+    * per-bit loop. */
+  /** 32-bit simhash signatures: binary string + packed long. */
+  private[graft] def simhashSigs32(spark: SparkSession, d: String): DataFrame = {
+    val bitVotes = (1 to 32).map(b =>
+      sum(when(substring(col("m"), b, 1) >= "8", 1).otherwise(-1)).as(s"b$b"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(toks)).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), concat(
+        (1 to 32).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("sig_str"))
+      .withColumn("sig", conv(col("sig_str"), 2, 10).cast("long"))
+  }
+
+  def qSimhashNeardup(spark: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs32(spark, d)
+    // referenced twice (both sides of the band self-join) — persist
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("sig_str"), 8 * b + 1, 8)): _*)).as(Seq("band_idx", "band_val")))
+      .persist()
+    val cand = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** n-gram Jaccard near-dup: exact word-3-gram Jaccard ≥ 0.5 over
     * same-lang pairs, via the inverted-index plan: explode shingles,
     * self-join on (lang, shingle) to count common shingles per pair,

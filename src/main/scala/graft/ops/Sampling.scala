@@ -36,4 +36,31 @@ object Sampling {
       .filter(col("hk") < col("thresh"))
       .select("doc_id", "lang", "source", "hk")
       .orderBy("doc_id")
+
+  /** Exact-k per-stratum sample: the 5 documents per language with the
+    * smallest salted-md5 hash — deterministic (same winners on every
+    * rerun/engine) and bounded-output. Rate sampling (above) can't
+    * promise "exactly k"; the naive exact-k (row_number over a window)
+    * full-sorts every stratum. This form routes through the bounded
+    * TopKAggregator: map-side partial aggregation ships ≤ k rows per
+    * (stratum, partition), so bytes shuffled are k × strata regardless
+    * of corpus size. The 13-hex-char hash prefix (52 bits) is exact in
+    * the aggregator's Double key, and fixed-width hex compares
+    * lexicographically as its numeric value, so the oracle's
+    * string-ordered row_number picks identical winners. */
+  def qGroupSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("lang"), col("doc_id"),
+        negate(conv(substring(md5(concat(lit("gs:"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("double")).as("nk"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(String, Long, Double)](
+        5, r => (r._3, r._2)).toColumn.name("topk"))
+      .toDF("lang", "topk")
+      .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e._2").as("doc_id"), (col("pos") + 1).as("rn"))
+      .orderBy("lang", "rn")
+  }
 }

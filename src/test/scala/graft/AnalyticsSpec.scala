@@ -77,6 +77,23 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("zscore outliers flag exactly the tails: |z| > 2.5, consistent with stddev_samp within tolerance") {
+    val flagged = Analytics.qZscoreOutliers(spark, sfDir).cache()
+    assert(flagged.filter(abs(col("z")) <= 2.5).count() == 0)
+    // cross-check against Spark's built-in stats (different summation
+    // order → tiny double drift; compare with a guard band)
+    val ref = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(avg("value").as("rmean"), stddev_samp("value").as("rstd"))
+    val strict = Tables.events(spark, sfDir).join(ref, "event_type")
+      .withColumn("rz", (col("value") - col("rmean")) / col("rstd"))
+    val mustFlag = strict.filter(abs(col("rz")) > 2.51).count()
+    val mayFlag = strict.filter(abs(col("rz")) > 2.49).count()
+    val n = flagged.count()
+    assert(n >= mustFlag && n <= mayFlag)
+    flagged.unpersist()
+  }
+
   test("scd2 versions tile each user's timeline: valid_to = next valid_from, one open version per user") {
     val df = Analytics.qScd2(spark, sfDir).cache()
     assert(df.filter(col("is_current")).groupBy("user_id").count()

@@ -89,4 +89,21 @@ class InventorySpec extends SparkSpec {
     val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
     assert(narrow.count() == users * 5)
   }
+
+  test("upsert compaction keeps exactly the latest version per key") {
+    import org.apache.spark.sql.functions._
+    val compact = Inventory.qUpsertCompact(spark, sfDir).cache()
+    val keys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(compact.count() == keys) // one surviving row per key
+    // nothing in the raw table is strictly later than the kept row
+    val later = Tables.events(spark, sfDir).as("e")
+      .join(compact.as("c"),
+        col("e.user_id") === col("c.user_id") &&
+        col("e.event_type") === col("c.event_type"))
+      .filter(struct(col("e.ts"), col("e.event_id")) >
+        struct(col("c.last_ts"), col("c.last_event_id")))
+    assert(later.count() == 0)
+    compact.unpersist()
+  }
 }

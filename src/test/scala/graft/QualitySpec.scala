@@ -167,4 +167,19 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - expected) < 1e-3)
     }
   }
+
+  test("simhash neardup banded candidates lose no pair: result equals the brute-force hamming<=1 set") {
+    import org.apache.spark.sql.functions._
+    val banded = Quality.qSimhashNeardup(spark, sfDir)
+      .select("doc_a", "doc_b", "hamming")
+    val sigs = Quality.simhashSigs32(spark, sfDir).select("doc_id", "sig")
+    val brute = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+    assert(banded.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(banded).count() == 0) // pigeonhole recall = 1
+  }
 }

@@ -34,4 +34,26 @@ class SamplingSpec extends SparkSpec {
         s"$lang: rate $got vs nominal $want (n=$n, tol=$tol)")
     }
   }
+
+  test("group sample: the bounded aggregator picks exactly the window form's winners") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val agg = Sampling.qGroupSample(spark, sfDir)
+    val w = Window.partitionBy("lang")
+      .orderBy(substring(md5(concat(lit("gs:"), col("doc_id").cast("string"))), 1, 13),
+        col("doc_id"))
+    val windowForm = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long"))
+    val aggNorm = agg.select(col("lang"), col("doc_id"), col("rn").cast("long"))
+    assert(aggNorm.exceptAll(windowForm).count() == 0)
+    assert(windowForm.exceptAll(aggNorm).count() == 0)
+    // exactly min(5, group size) rows per language
+    val sizes = Tables.documents(spark, sfDir).groupBy("lang").count()
+    val got = agg.groupBy("lang").count().withColumnRenamed("count", "got")
+    assert(sizes.join(got, "lang")
+      .filter(col("got") =!= least(col("count"), lit(5L))).count() == 0)
+  }
 }
