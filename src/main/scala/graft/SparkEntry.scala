@@ -62,7 +62,10 @@ object SparkEntry {
     "q_winsorize" -> (Analytics.qWinsorize _),
     "q_scd2" -> (Analytics.qScd2 _),
     "q_zscore_outliers" -> (Analytics.qZscoreOutliers _),
+    "q_rolling_time" -> (Analytics.qRollingTime _),
+    "q_full_outer" -> (Analytics.qFullOuter _),
     "q_upsert_compact" -> (Inventory.qUpsertCompact _),
+    "q_surrogate_key" -> (Packing.qSurrogateKey _),
     // Corpus layout (bucketing, packing, sharding, passage dedup)
     "q_length_buckets" -> (Packing.qLengthBuckets _),
     "q_pack_greedy" -> (Packing.qPackGreedy _),
@@ -775,6 +778,27 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
         |  doc_id = canonical_id AS is_canonical
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_rolling_time" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT COALESCE(o_custkey, user_id) AS join_key,
+        |  COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events
+        |FROM o FULL JOIN e ON o_custkey = user_id
+        |ORDER BY join_key""".stripMargin,
+
+    "q_surrogate_key" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS sk
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_upsert_compact" ->
       """SELECT user_id, event_type, event_id AS last_event_id,

@@ -132,6 +132,46 @@ object Analytics {
       .orderBy("event_type", "event_id")
   }
 
+  /** Time-RANGE rolling window: per-user event count and exact sum
+    * over the trailing 24 hours — the windowed form of
+    * Acquisition.qRangeJoin's semantics, and the plan you actually
+    * want at scale: ONE shuffle on user_id and one ordered pass per
+    * partition, vs the join form's bucket-replicated equi-join.
+    * (Both ship so the trade is machine-checked: the join form
+    * generalizes to joining two DIFFERENT tables; the window form
+    * wins when the "prior rows" come from the same stream.) The
+    * order key is integer epoch microseconds — RANGE bounds must be
+    * numeric in Spark, and integer micros are exact on both engines. */
+  def qRollingTime(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-86400000000L, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select("user_id", "event_id", "ts", "n_24h", "sum_24h")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Full outer join: per-key activity from two facts (orders vs
+    * events), keys present on either side — the reconciliation view
+    * (which customers order but never browse, and vice versa). Both
+    * sides pre-aggregate to key-level BEFORE the join, so the outer
+    * join sees |keys| rows, not |facts|. */
+  def qFullOuter(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    o.join(e, col("o_custkey") === col("user_id"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("user_id")).as("join_key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("join_key")
+  }
+
   /** Z-score outliers: events whose value sits more than 2.5 sample
     * standard deviations from its group mean. Mean and variance derive
     * from exact DECIMAL sums of value and value² (one map-side-combining

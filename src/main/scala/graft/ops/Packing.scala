@@ -75,6 +75,25 @@ object Packing {
         max("doc_id").as("max_doc"))
       .orderBy("shard")
 
+  /** Stable dense surrogate keys 0..n−1 in doc_id order — the
+    * contiguous sample indices a training dataloader addresses. The
+    * declarative form (`row_number() OVER (ORDER BY doc_id)`) plans a
+    * single-task global sort — THE anti-pattern at 100 TB — so this is
+    * one of the rare justified RDD drops: `sortBy` range-partitions the
+    * keys across the cluster, and `zipWithIndex` assigns contiguous
+    * indices with one extra O(partitions) job that collects only
+    * per-partition COUNTS, never rows. Deterministic because doc_id is
+    * unique. */
+  def qSurrogateKey(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .toDF("doc_id", "sk")
+      .orderBy("doc_id")
+  }
+
   /** Cross-document passage dedup (the line-level dedup of a corpus
     * whose documents are single lines): token streams are chunked into
     * fixed 10-token passages, a passage is kept only at its first

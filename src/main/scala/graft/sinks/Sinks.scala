@@ -65,6 +65,31 @@ object Sinks {
     } else (expected, false)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. The small-files problem is the classic
+    * failure mode of streaming/per-batch sinks at scale (a 100 TB table
+    * fed by minutely microbatches accretes millions of KB-files; every
+    * downstream scan then pays per-file open/footer costs and the
+    * NameNode/listing pays the metadata). One pass: size the input from
+    * the file statuses (no data read), `repartition(ceil(bytes/target))`,
+    * write to a temp sibling, then atomically swap via rename —
+    * readers never observe a half-compacted directory. Returns the
+    * (before, after) file counts. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, p.getName + "._compacting")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val out = fs.listStatus(tmp).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (files.length, out)
+  }
+
   /** R9 + R16: idempotent append — only rows whose `key` is absent
     * from the existing sink are written (the reference's
     * skip-if-exists re-run safety, app.py:270-273, 419-421). Returns

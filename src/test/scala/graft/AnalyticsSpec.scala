@@ -77,6 +77,34 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("time-RANGE rolling window agrees with the range-join form on count semantics") {
+    // qRangeJoin counts STRICTLY-prior events in (t-24h, t); the RANGE
+    // frame counts [t-24h, t] INCLUDING self and same-μs peers. On
+    // unique (user_id, ts) pairs: window count = join count + 1.
+    val win = Analytics.qRollingTime(spark, sfDir)
+      .select(col("event_id"), col("n_24h"))
+    val join = graft.ops.Acquisition.qRangeJoin(spark, sfDir)
+      .select(col("event_id"), (col("n_prior") + 1).as("n_24h"))
+    val tsUnique = Tables.events(spark, sfDir)
+      .groupBy("user_id", "ts").count().filter(col("count") > 1).count() == 0
+    assume(tsUnique) // precondition for the +1 equivalence
+    assert(win.exceptAll(join).count() == 0 && join.exceptAll(win).count() == 0)
+  }
+
+  test("full outer join covers both key sets exactly once, zero-filled") {
+    val out = Analytics.qFullOuter(spark, sfDir).cache()
+    val oKeys = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct()
+    val eKeys = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+    val union = oKeys.withColumnRenamed("o_custkey", "join_key")
+      .union(eKeys.withColumnRenamed("user_id", "join_key")).distinct()
+    assert(out.count() == union.count())
+    assert(out.filter(col("n_orders") === 0 && col("n_events") === 0).count() == 0)
+    // order-only keys and event-only keys both survive
+    assert(out.filter(col("n_events") === 0).count() ==
+      oKeys.exceptAll(eKeys.withColumnRenamed("user_id", "o_custkey")).count())
+    out.unpersist()
+  }
+
   test("zscore outliers flag exactly the tails: |z| > 2.5, consistent with stddev_samp within tolerance") {
     val flagged = Analytics.qZscoreOutliers(spark, sfDir).cache()
     assert(flagged.filter(abs(col("z")) <= 2.5).count() == 0)

@@ -70,6 +70,18 @@ class PackingSpec extends SparkSpec {
     step.unpersist()
   }
 
+  test("surrogate keys are dense 0..n-1 and monotone in doc_id") {
+    val sk = Packing.qSurrogateKey(spark, sfDir).cache()
+    val n = sk.count()
+    assert(sk.agg(min("sk"), max("sk")).as[(Long, Long)].collect().head == (0L, n - 1))
+    assert(sk.select("sk").distinct().count() == n)
+    // monotone: sorting by doc_id equals sorting by sk
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    assert(sk.withColumn("rn", row_number().over(w) - 1)
+      .filter(col("sk") =!= col("rn")).count() == 0)
+    sk.unpersist()
+  }
+
   test("csv config round-trip equals the dim it was written from") {
     val back = graft.sources.CsvSource.qCsvConfig(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))

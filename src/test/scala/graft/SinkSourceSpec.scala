@@ -121,6 +121,21 @@ class SinkSourceSpec extends SparkSpec {
     assert(scan.output.map(_.name) == Seq("host"))
   }
 
+  test("compaction collapses small files, preserves content exactly, and swaps atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate a microbatch-accreted sink: 16 tiny files
+    Tables.nation(spark, sfDir).repartition(16)
+      .write.parquet(dir)
+    // materialize BEFORE compacting — the lazy frame's files are replaced
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val (nBefore, nAfter) = graft.sinks.Sinks.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore >= 16 && nAfter == 1) // everything fits one target-sized file
+    val afterRows = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(afterRows.sameElements(beforeRows))
+    // no straggler temp dir left behind
+    assert(!new java.io.File(dir + "._compacting").exists())
+  }
+
   test("multimodal: metadata matches payload and features are unit-normalized histograms") {
     import graft.ops.Multimodal
     val meta = Multimodal.qMultimodalMeta(spark, sfDir)
