@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guardrails — the properties that decide whether the
+  * engine survives a 100 TB run, asserted against the ACTUAL physical
+  * plans so a regression (a lost pushdown, an accidental cartesian)
+  * fails CI instead of surfacing as a cluster fire.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val plan = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    // the predicate lands in the scan, not a Filter above it
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"filter not pushed:\n$plan")
+    // the scan reads ONLY the projected columns — ts (rewritten by the
+    // nanos shim in Tables.events) is pruned away when unused
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  /** Queries whose physical plan legitimately contains a
+    * BroadcastNestedLoopJoin: in every case the broadcast side is
+    * constant-size by construction (config dims, k centroids/
+    * hyperplanes/probes, or a 1-row corpus count), so the "nested
+    * loop" is a map-side constant expansion, not an n² join. */
+  private val nestedLoopAllowed = Set(
+    "q_cross_dims",        // region × nation × literal dims (the reference's enumeration)
+    "q_acquisition_plan",  // same dim cross product feeding the flagship plan
+    "q_cosine_topk",       // probes (5 rows) broadcast against the corpus
+    "q_ann_ivf",           // centroids (8) broadcast for assignment
+    "q_ann_lsh",           // hyperplanes (16) broadcast for signatures
+    "q_embed_neardup",     // multi-probe assignment, same centroid broadcast
+    "q_kmeans_step",       // assignment step, same centroid broadcast
+    "q_tfidf",             // 1-row corpus count N broadcast
+    "q_vocab_coverage",    // 1-row total-token count broadcast
+    "q_pmi_bigrams")       // 1-row totals broadcast
+
+  test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      spark.catalog.clearCache() // drop per-query persisted subtrees
+      val cartesian = if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      val nlj = if (plan.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name))
+        Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
+      cartesian ++ nlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

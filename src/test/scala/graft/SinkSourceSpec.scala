@@ -136,6 +136,20 @@ class SinkSourceSpec extends SparkSpec {
     assert(!new java.io.File(dir + "._compacting").exists())
   }
 
+  test("schema evolution: mergeSchema unions columns across generations, old rows null-fill") {
+    // generation 1 lands (doc_id, lang); generation 2 adds quality_score
+    // — the additive-column evolution a long-lived corpus goes through
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    val docs = Tables.documents(spark, sfDir)
+    docs.select("doc_id", "lang").limit(10).write.parquet(dir)
+    docs.select(col("doc_id"), col("lang"), (length(col("text")) % 100).as("quality_score"))
+      .limit(10).write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.sameElements(Array("doc_id", "lang", "quality_score")))
+    assert(merged.count() == 20)
+    assert(merged.filter(col("quality_score").isNull).count() == 10) // gen-1 rows null-fill
+  }
+
   test("multimodal: metadata matches payload and features are unit-normalized histograms") {
     import graft.ops.Multimodal
     val meta = Multimodal.qMultimodalMeta(spark, sfDir)
