@@ -66,6 +66,12 @@ object SparkEntry {
     "q_full_outer" -> (Analytics.qFullOuter _),
     "q_upsert_compact" -> (Inventory.qUpsertCompact _),
     "q_surrogate_key" -> (Packing.qSurrogateKey _),
+    "q_corr_group" -> (Analytics.qCorrGroup _),
+    "q_mad_outliers" -> (Analytics.qMadOutliers _),
+    // Warehouse-shaped multi-join reports (TPC-H Q1/Q3/Q5 patterns)
+    "q_tpch_pricing" -> (Relational.qTpchPricing _),
+    "q_tpch_shipping" -> (Relational.qTpchShipping _),
+    "q_tpch_volume" -> (Relational.qTpchVolume _),
     // Corpus layout (bucketing, packing, sharding, passage dedup)
     "q_length_buckets" -> (Packing.qLengthBuckets _),
     "q_pack_greedy" -> (Packing.qPackGreedy _),
@@ -95,10 +101,14 @@ object SparkEntry {
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_group_sample" -> (Sampling.qGroupSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
+    "q_entropy" -> (Quality.qEntropy _),
     // JSON/CSV ingestion surface (R1)
     "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
     "q_from_json" -> (graft.sources.JsonSource.qFromJson _),
     "q_csv_config" -> (graft.sources.CsvSource.qCsvConfig _),
+    "q_orc_roundtrip" -> (graft.sources.OrcSource.qOrcRoundtrip _),
+    "q_text_lines" -> (graft.sources.TextSource.qTextLines _),
+    "q_partition_prune" -> (graft.sources.PartitionedSource.qPartitionPrune _),
     // Similarity search (E24 + north star)
     "q_cosine_topk" -> (Similarity.qCosineTopk _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
@@ -492,6 +502,108 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_text_lines" ->
+      """SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_volume" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_corr_group" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+        |  round((sxy - sx * sy / n)
+        |    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |wm AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM wm GROUP BY event_type)
+        |SELECT w.event_type, w.event_id, w.value,
+        |  round(w.med, 4) AS med, round(d.mad, 4) AS mad
+        |FROM wm w JOIN mad d ON w.event_type = d.event_type
+        |WHERE abs(w.value - w.med) > 3 * d.mad
+        |ORDER BY w.event_type, w.event_id""".stripMargin,
+
+    "q_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest([substring(text, i, 1)
+        |            for i in range(1, CAST(length(text) AS INT) + 1)]) AS ch
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, n_chars, ch, count(*) AS c
+        |  FROM chars GROUP BY doc_id, n_chars, ch)
+        |SELECT doc_id, n_chars, count(*) AS n_distinct_chars,
+        |  - CAST(sum(CAST((c / n_chars) * ln(c / n_chars) AS DECIMAL(18,12))) AS DOUBLE)
+        |    AS entropy
+        |FROM cc GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin,
 
     "q_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,

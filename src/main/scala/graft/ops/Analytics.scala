@@ -212,4 +212,53 @@ object Analytics {
       .select("user_id", "event_id", "valid_from", "valid_to", "version", "is_current")
       .orderBy("user_id", "version")
   }
+
+  /** Per-group Pearson correlation + sample covariance between
+    * quantity and price. Built from the five exact DECIMAL moment sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combining aggregate —
+    * the same single-pass moment pattern as qZscoreOutliers, and the
+    * reason this scales: a builtin `corr()` is also one pass, but its
+    * double partial-merge order varies with AQE, while decimal moments
+    * are order-independent and hash-match the oracle. Final double
+    * arithmetic is association-pinned; round(6) absorbs the ulp
+    * boundary of sqrt/division chains. */
+  def qCorrGroup(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("l_quantity")).as("sx"),
+        decSum(col("l_extendedprice")).as("sy"),
+        decSum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        decSum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        decSum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+          .as("covar_samp"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("corr"))
+      .orderBy("l_returnflag")
+
+  /** Median-absolute-deviation outliers: the robust alternative to
+    * qZscoreOutliers (a z-score's mean/std are themselves dragged by
+    * the outliers they hunt; the median/MAD pair is not). Two exact
+    * percentile aggregates over 5 groups — each output is tiny and
+    * broadcast back, so the events table never shuffles. At 100 TB
+    * swap `percentile` for `percentile_approx` exactly as
+    * qPercentiles/qPercentilesApprox document. */
+  def qMadOutliers(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(abs(col("value") - col("med")) > lit(3) * col("mad"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      .orderBy("event_type", "event_id")
+  }
 }

@@ -510,4 +510,28 @@ object Quality {
       .groupBy("k")
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
+
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/boilerplate quality signal (low entropy = repeated
+    * filler, high = random noise; natural text sits in a band).
+    * Plan: posexplode to one row per character position (the same
+    * codegen-friendly shape as qDocFingerprint — no HOF lambdas),
+    * count per (doc, char), then fold −Σ p·ln(p). Each p·ln(p) term
+    * is a bit-identical double on both engines (long/long division
+    * then ln); the SUM over terms routes through DECIMAL(18,12) so
+    * partial-aggregation order cannot perturb the result — the same
+    * discipline as every other float aggregate here. Linear work in
+    * corpus bytes, one shuffle keyed by doc_id. */
+  def qEntropy(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("sequence(1, length(text))")).as("i"), col("text"))
+      .select(col("doc_id"), col("n_chars"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "n_chars", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).as("n_distinct_chars"), // rows are one per (doc, ch) already
+        (-sum(((col("c") / col("n_chars")) * log(col("c") / col("n_chars")))
+          .cast("decimal(18,12)")).cast("double")).as("entropy"))
+      .orderBy("doc_id")
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic warehouse-shaped analytics: the multi-join / aggregate /
+  * top-k reports a completeness store grows into once the landed data
+  * (reference: the S3 inventory tags, app.py:467-480) is queried like
+  * a fact table. Shapes follow the public TPC-H patterns (pricing
+  * summary, shipping priority, local-supplier volume) because those
+  * are the canonical stress tests for join ordering, partial
+  * aggregation, and distributed top-k — the three things that
+  * dominate a 100 TB scan-join-agg plan.
+  *
+  * Scale notes:
+  *  - Every aggregate routes doubles through exact DECIMAL sums, so
+  *    results are independent of partial-aggregation order (AQE may
+  *    change the partial/final split at runtime).
+  *  - Revenue terms multiply DECIMAL-cast operands — decimal×decimal
+  *    is exact in both engines, so the oracle hash-matches without
+  *    float-association caveats. Products stay ≤ DECIMAL(38,12);
+  *    never chain a third decimal factor (precision would overflow 38
+  *    and both engines would round differently).
+  *  - Dims (region/nation/supplier) are explicitly broadcast — they
+  *    stay config-sized at 100 TB. customer/orders/lineitem joins are
+  *    left to Catalyst/AQE: broadcast at test SF, shuffle-hash on a
+  *    cluster, with runtime bloom pruning available (RuntimeFilterSpec).
+  *  - Top-k is `orderBy().limit(k)` → TakeOrderedAndProject: each
+  *    partition keeps k rows, the driver merges partition winners. A
+  *    window rank over an unpartitioned ORDER BY would be a
+  *    single-task global sort (the anti-pattern).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  private def decSum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Revenue term: extendedprice × (1 − discount), exact. */
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+      .cast("double")
+
+  /** Pricing summary (TPC-H Q1 shape): one wide partial-aggregated
+    * scan of lineitem with the ship-date filter pushed into the
+    * parquet reader. The group-by key has 6 distinct values, so the
+    * map-side combine reduces ~everything before the (tiny) shuffle —
+    * the ideal 100 TB aggregation profile. */
+  def qTpchPricing(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base"),
+        revenue.as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Shipping priority (TPC-H Q3 shape): segment-filtered customers ⋈
+    * date-split orders ⋈ lineitem, revenue per order, top 10. Both
+    * date predicates reach their scans (PushedFilters), the customer
+    * filter shrinks the build side before the join, and the final
+    * top-10 is a distributed TakeOrderedAndProject, not a sort. */
+  def qTpchShipping(spark: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    Tables.orders(spark, d)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(
+        Tables.lineitem(spark, d).filter(col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier volume (TPC-H Q5 shape): the 6-table join —
+    * region-filtered nation chain on the customer side, supplier
+    * joined on BOTH l_suppkey and the customer's nation (the classic
+    * "local supplier" equi-pair). region/nation/supplier broadcast;
+    * the orders year filter prunes before the big join. */
+  def qTpchVolume(spark: SparkSession, d: String): DataFrame = {
+    val nr = Tables.nation(spark, d)
+      .join(broadcast(Tables.region(spark, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, d)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+}

@@ -1,0 +1,25 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** ORC ingestion surface (SURVEY.md §2.2 readers): alongside parquet,
+  * ORC is the other columnar container a lake-wide engine must scan —
+  * same predicate-pushdown/column-pruning contract, different file
+  * format. The query lands the nation dim as ORC through the engine's
+  * own writer and reads it back: schema fidelity, type round-trip,
+  * and the ORC scan path are all exercised; the oracle is the dim
+  * itself (byte-equal round-trip), mirroring CsvSource/JsonSource. */
+object OrcSource {
+
+  def qOrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_orc_cfg").toString
+    Tables.nation(spark, d)
+      .repartition(1) // config-sized dim: one file, deterministic layout
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir).orderBy("n_nationkey")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Analytics, Quality, Relational}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricing summary: ship-date filter reaches the parquet scan (PushedFilters)") {
+    val plan = Relational.qTpchPricing(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+  }
+
+  test("pricing summary: discounting never increases revenue, groups partition the filtered fact") {
+    val df = Relational.qTpchPricing(spark, sfDir).cache()
+    assert(df.filter(col("sum_disc_price") > col("sum_base")).count() == 0)
+    val total = df.agg(sum("n_rows")).as[Long].head()
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+    df.unpersist()
+  }
+
+  test("shipping priority: top-10 is a distributed TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.qTpchShipping(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("shipping priority: exactly 10 rows in strictly ordered (revenue desc, date, key) position") {
+    val rows = Relational.qTpchShipping(spark, sfDir)
+      .select("revenue", "o_orderkey").as[(Double, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._1).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("local-supplier volume: dims broadcast, only ASIA nations appear") {
+    val df = Relational.qTpchVolume(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val asia = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").as[String].collect().toSet
+    assert(df.select("n_name").as[String].collect().forall(asia))
+  }
+
+  test("corr is bounded by [-1, 1] and shares its sign with covar") {
+    val df = Analytics.qCorrGroup(spark, sfDir)
+      .select("covar_samp", "corr").as[(Double, Double)].collect()
+    assert(df.nonEmpty)
+    assert(df.forall { case (_, c) => c >= -1.0 && c <= 1.0 })
+    assert(df.forall { case (cv, c) => cv == 0 || c == 0 || (cv > 0) == (c > 0) })
+  }
+
+  test("corr of a column with itself is exactly 1 through the same moment pipeline") {
+    // qty vs qty through the identical decimal-moment formula
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,6)")).cast("double").as("sxx"))
+      .select(round((col("sxx") - col("sx") * col("sx") / col("n")) /
+        (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+          sqrt(col("sxx") - col("sx") * col("sx") / col("n"))), 6).as("corr"))
+      .as[Double].collect()
+    assert(m.forall(_ == 1.0))
+  }
+
+  test("MAD outliers: every flagged row actually satisfies |value - med| > 3 * mad") {
+    val df = Analytics.qMadOutliers(spark, sfDir)
+    // med/mad are rounded for display; recompute exact thresholds
+    val ev = Tables.events(spark, sfDir).select("event_type", "event_id", "value")
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("xmed"))
+    val wm = ev.join(med, "event_type")
+    val mad = wm.groupBy("event_type")
+      .agg(expr("percentile(abs(value - xmed), 0.5)").as("xmad"))
+    val flagged = wm.join(mad, "event_type")
+      .filter(abs(col("value") - col("xmed")) > lit(3) * col("xmad"))
+      .select("event_id").as[Long].collect().toSet
+    val got = df.select("event_id").as[Long].collect().toSet
+    assert(got == flagged)
+  }
+
+  test("MAD is robust where z-score is not: flag sets differ yet agree on extreme tails") {
+    val zs = Analytics.qZscoreOutliers(spark, sfDir).select("event_id").as[Long].collect().toSet
+    val md = Analytics.qMadOutliers(spark, sfDir).select("event_id").as[Long].collect().toSet
+    assert(md.nonEmpty)
+    // not vacuously identical pipelines
+    assert(zs != md || zs.isEmpty)
+  }
+
+  test("entropy: bounded by ln(distinct chars); exact Scala recompute of one document matches") {
+    val df = Quality.qEntropy(spark, sfDir).cache()
+    assert(df.filter(col("entropy") < -1e-12).count() == 0)
+    assert(df.filter(col("entropy") > log(col("n_distinct_chars").cast("double")) + lit(1e-9)).count() == 0)
+    val (docId, nChars, ent) = df.select("doc_id", "n_chars", "entropy")
+      .as[(Long, Long, Double)].head()
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === docId).select("text").as[String].head()
+    val counts = text.groupBy(identity).view.mapValues(_.length.toLong)
+    val sumDec = counts.values.map { c =>
+      val p = c.toDouble / nChars
+      BigDecimal(p * math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(-(sumDec.toDouble) == ent)
+    df.unpersist()
+  }
+}

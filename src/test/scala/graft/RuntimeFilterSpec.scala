@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The 100 TB join-pruning story: when a selective dim filter feeds a
+  * shuffle join, Spark can build a bloom filter from the dim's join
+  * keys at runtime and push it into the fact scan — rows that cannot
+  * match are dropped BEFORE the shuffle, which is the difference
+  * between shuffling 100 TB and shuffling the ~1% that survives.
+  * This is Catalyst's InjectRuntimeFilter rule; the engine's job is to
+  * keep plans in the shape that lets it fire (selective filter on the
+  * creation side, equi-join keys) — declarative plans, which every
+  * graft operator already emits. The spec pins the contract: the
+  * filter injects under cluster-scale thresholds, and never changes
+  * results. */
+class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def selectiveJoin() = {
+    // selective creation side: one priority of orders (~20% of rows)
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+  }
+
+  test("bloom runtime filter injects into the fact side under shuffle-join plans") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join a 100 TB fact gets
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val optimized = selectiveJoin().queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+        s"no bloom filter injected:\n$optimized")
+    }
+  }
+
+  test("runtime filtering never changes results (false positives re-checked by the join)") {
+    val plain = selectiveJoin().orderBy("l_orderkey").collect().toSeq
+    val filtered = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      selectiveJoin().orderBy("l_orderkey").collect().toSeq
+    }
+    assert(plain == filtered)
+  }
+}
