@@ -42,6 +42,8 @@ object SparkEntry {
     "q_distinct_approx" -> (Inventory.qDistinctApprox _),
     "q_rollup" -> (Inventory.qRollup _),
     "q_cube" -> (Inventory.qCube _),
+    "q_grouping_sets" -> (Inventory.qGroupingSets _),
+    "q_intersect" -> (Inventory.qIntersect _),
     "q_window_rank" -> (Inventory.qWindowRank _),
     "q_gap_detect" -> (Inventory.qGapDetect _),
     "q_interval_merge" -> (Inventory.qIntervalMerge _),
@@ -77,6 +79,7 @@ object SparkEntry {
     "q_pack_greedy" -> (Packing.qPackGreedy _),
     "q_shard_assign" -> (Packing.qShardAssign _),
     "q_passage_dedup" -> (Packing.qPassageDedup _),
+    "q_chunk_overlap" -> (Packing.qChunkOverlap _),
     // Time windows (E16-E18)
     "q_tumbling_daily" -> (TimeWindows.qTumblingDaily _),
     "q_sliding_window" -> (TimeWindows.qSlidingWindow _),
@@ -105,6 +108,7 @@ object SparkEntry {
     // JSON/CSV ingestion surface (R1)
     "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
     "q_from_json" -> (graft.sources.JsonSource.qFromJson _),
+    "q_map_explode" -> (graft.sources.JsonSource.qMapExplode _),
     "q_csv_config" -> (graft.sources.CsvSource.qCsvConfig _),
     "q_orc_roundtrip" -> (graft.sources.OrcSource.qOrcRoundtrip _),
     "q_text_lines" -> (graft.sources.TextSource.qTextLines _),
@@ -506,6 +510,44 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT GROUPING(o_year) AS gy, GROUPING(o_priority) AS gp,
+        |  o_year, o_priority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |        o_orderpriority AS o_priority, o_totalprice FROM orders)
+        |GROUP BY GROUPING SETS ((o_year, o_priority), (o_year), (o_priority))
+        |ORDER BY gy, gp, o_year NULLS FIRST, o_priority NULLS FIRST""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus <> 'F'
+        |INTERSECT
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY o_orderkey, o_orderpriority""".stripMargin,
+
+    "q_map_explode" ->
+      """SELECT 'k' AS key, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_val,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_val,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_val
+        |FROM events
+        |WHERE props IS NOT NULL
+        |  AND json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY key""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |w AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, GREATEST(0,
+        |      CAST(ceil((len(tk) - 10) / 5.0) AS INT)) + 1)) AS win_id
+        |  FROM t)
+        |SELECT doc_id, win_id,
+        |  len(tk[win_id * 5 + 1 : win_id * 5 + 10]) AS n_tokens,
+        |  array_to_string(tk[win_id * 5 + 1 : win_id * 5 + 10], ' ') AS chunk
+        |FROM w ORDER BY doc_id, win_id""".stripMargin,
 
     "q_text_lines" ->
       """SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5

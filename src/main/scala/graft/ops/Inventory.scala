@@ -91,6 +91,38 @@ object Inventory {
       .select("gid", "o_year", "o_month", "n", "sum_price")
       .orderBy(col("gid"), col("o_year").asc_nulls_first, col("o_month").asc_nulls_first)
 
+  /** E11c: explicit GROUPING SETS — the general form rollup/cube are
+    * sugar for, declared through the SQL surface (Tables.createViews)
+    * because the Dataset API only exposes the two shorthands. Same
+    * expand-based single-shuffle physical plan as rollup/cube; the
+    * chosen sets (year+priority marginals but no grand total) are the
+    * ones neither shorthand can express. */
+  def qGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    graft.Tables.createViews(spark, d)
+    spark.sql(
+      """SELECT grouping(o_year) AS gy, grouping(o_priority) AS gp,
+        |  o_year, o_priority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |        o_orderpriority AS o_priority, o_totalprice FROM orders)
+        |GROUP BY GROUPING SETS ((o_year, o_priority), (o_year), (o_priority))
+        |ORDER BY gy, gp, o_year ASC NULLS FIRST, o_priority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** E15b: intersect — the third set operation next to qUnionExcept's
+    * union/except (SURVEY §2.2 set-ops row). Set semantics (distinct),
+    * planned as a key-only left-semi aggregate: bytes shuffled scale
+    * with distinct keys on each side. */
+  def qIntersect(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val live = o.filter(col("o_orderstatus") =!= "F")
+      .select("o_orderkey", "o_orderpriority")
+    val big = o.filter(col("o_totalprice") > 150000.0)
+      .select("o_orderkey", "o_orderpriority")
+    live.intersect(big).orderBy("o_orderkey", "o_orderpriority")
+  }
+
   /** E11b: cube over the same date hierarchy — all 4 grouping sets
     * (year+month, year, month, grand total), where rollup emits only
     * the prefix sets. Same single-shuffle expand-based physical plan. */

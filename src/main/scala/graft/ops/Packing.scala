@@ -126,4 +126,27 @@ object Packing {
         round(col("n_kept") / col("n_chunks").cast("double"), 4))
       .orderBy("doc_id")
   }
+
+  /** Overlapping training-sequence chunks: size-10 token windows at
+    * stride 5 (50% overlap) — the standard context-window chunking for
+    * LLM pretraining/RAG, where overlap preserves cross-boundary
+    * context that qPassageDedup's disjoint chunks lose. Window starts
+    * are 0,5,…,⌈(n−10)/5⌉·5 so every token is covered and the tail may
+    * be ragged. slice() on the pre-split token array is a codegen'd
+    * array op (NOT a lambda HOF — those run interpreted); the token
+    * array is built once per row and fanned out by a 2×-ish explode,
+    * so work is linear in corpus tokens with no shuffle at all until
+    * the final ORDER BY. */
+  def qChunkOverlap(spark: SparkSession, d: String): DataFrame =
+    graft.ops.Quality.docTokens(spark, d)
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          "sequence(0, greatest(0, cast(ceil((size(t) - 10) / 5.0) AS INT)))"))
+          .as("win_id"))
+      .select(col("doc_id"), col("win_id"),
+        expr("slice(t, win_id * 5 + 1, 10)").as("win"))
+      .select(col("doc_id"), col("win_id"),
+        size(col("win")).as("n_tokens"),
+        concat_ws(" ", col("win")).as("chunk"))
+      .orderBy("doc_id", "win_id")
 }

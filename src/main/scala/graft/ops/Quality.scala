@@ -36,6 +36,11 @@ object Quality {
     * '\s+')` on the clean single-spaced testdata. */
   private val toks = "split(text, '\\\\s+')"
 
+  /** (doc_id, token array) — the shared entry for operators that
+    * window or slice the token array directly (Packing.qChunkOverlap). */
+  private[ops] def docTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(col("doc_id"), expr(toks).as("t"))
+
   /** E21: exact dedup on `events` business key (user_id, event_type,
     * value) keeping the smallest event_id — the deterministic form of
     * `dropDuplicates`. Map-side combine makes this a key-shuffle only. */

@@ -67,4 +67,23 @@ object JsonSource {
       .groupBy("k")
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
+
+  /** MapType surface: the same props column parsed as a dynamic
+    * `map<string,bigint>` (schema-on-read when keys are not known
+    * up front, e.g. free-form sensor attributes), exploded to
+    * (key, value) rows and profiled per key. Exercises MapType
+    * columns + explode(map) end to end; the one-key testdata keeps
+    * the oracle expressible. */
+  def qMapExplode(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .filter(col("props").isNotNull)
+      .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(StringType, LongType)))
+        .as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        min("val").as("min_val"),
+        max("val").as("max_val"),
+        sum("val").as("sum_val"))
+      .orderBy("key")
 }

@@ -90,6 +90,37 @@ class InventorySpec extends SparkSpec {
     assert(narrow.count() == users * 5)
   }
 
+  test("grouping sets: the (year,priority) set equals a plain groupBy; no grand-total row exists") {
+    import org.apache.spark.sql.functions._
+    val gs = Inventory.qGroupingSets(spark, sfDir).cache()
+    // neither rollup nor cube could express this set list: no () set
+    assert(gs.filter(col("gy") === 1 && col("gp") === 1).count() == 0)
+    val finest = gs.filter(col("gy") === 0 && col("gp") === 0)
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority").as("o_priority"))
+      .agg(count(lit(1)).as("n"))
+    assert(finest.count() == direct.count())
+    // each marginal re-counts every order exactly once
+    val total = Tables.orders(spark, sfDir).count()
+    assert(gs.filter(col("gp") === 1).agg(sum("n")).first().getLong(0) == total)
+    assert(gs.filter(col("gy") === 1).agg(sum("n")).first().getLong(0) == total)
+    gs.unpersist()
+  }
+
+  test("intersect is the set intersection: subset of both sides, equals the join-distinct form") {
+    import org.apache.spark.sql.functions._
+    val it = Inventory.qIntersect(spark, sfDir).cache()
+    val o = Tables.orders(spark, sfDir)
+    val live = o.filter(col("o_orderstatus") =!= "F").select("o_orderkey", "o_orderpriority")
+    val big = o.filter(col("o_totalprice") > 150000.0).select("o_orderkey", "o_orderpriority")
+    assert(it.exceptAll(live.distinct()).count() == 0)
+    assert(it.exceptAll(big.distinct()).count() == 0)
+    val joined = live.distinct().join(big.distinct(), Seq("o_orderkey", "o_orderpriority"))
+    assert(it.count() == joined.count())
+    it.unpersist()
+  }
+
   test("upsert compaction keeps exactly the latest version per key") {
     import org.apache.spark.sql.functions._
     val compact = Inventory.qUpsertCompact(spark, sfDir).cache()

@@ -82,6 +82,29 @@ class PackingSpec extends SparkSpec {
     sk.unpersist()
   }
 
+  test("overlapping chunks: stride-5/size-10 windows tile every token with 50% overlap") {
+    import graft.ops.Packing
+    val ch = Packing.qChunkOverlap(spark, sfDir).cache()
+    // window sizes are capped at 10 and only the last window may be short
+    assert(ch.filter(col("n_tokens") > 10).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("win_id").desc)
+    assert(ch.withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1 && col("n_tokens") < 10).count() == 0)
+    // consecutive full windows share exactly their 5-token overlap
+    val a = ch.filter(col("doc_id") === ch.select(min("doc_id")).first().getLong(0))
+      .orderBy("win_id").select("chunk").as[String].collect()
+    if (a.length >= 2 && a(0).split(" ").length == 10) {
+      assert(a(0).split(" ").drop(5).toSeq == a(1).split(" ").take(5).toSeq)
+    }
+    // every token position is covered: per doc, sum(n_tokens) ≥ token count
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n"))
+    val cov = ch.groupBy("doc_id").agg(sum("n_tokens").as("c")).join(toks, "doc_id")
+    assert(cov.filter(col("c") < col("n")).count() == 0)
+    ch.unpersist()
+  }
+
   test("csv config round-trip equals the dim it was written from") {
     val back = graft.sources.CsvSource.qCsvConfig(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
