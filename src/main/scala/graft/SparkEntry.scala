@@ -67,6 +67,8 @@ object SparkEntry {
     "q_rolling_time" -> (Analytics.qRollingTime _),
     "q_full_outer" -> (Analytics.qFullOuter _),
     "q_upsert_compact" -> (Inventory.qUpsertCompact _),
+    "q_merge_upsert" -> (Inventory.qMergeUpsert _),
+    "q_user_journey" -> (Analytics.qUserJourney _),
     "q_surrogate_key" -> (Packing.qSurrogateKey _),
     "q_corr_group" -> (Analytics.qCorrGroup _),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
@@ -510,6 +512,33 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH changed AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+        |u AS (
+        |  SELECT o_orderkey AS k, 'U' AS status, o_totalprice + 1000.0 AS price
+        |  FROM changed
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, 'I' AS status, o_totalprice AS price
+        |  FROM changed),
+        |b AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders)
+        |SELECT COALESCE(b.k, u.k) AS o_orderkey,
+        |  COALESCE(u.status, b.status) AS status,
+        |  COALESCE(u.price, b.price) AS price,
+        |  CASE WHEN b.k IS NULL THEN 'insert'
+        |       WHEN u.k IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM b FULL OUTER JOIN u ON b.k = u.k
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_user_journey" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, '>'
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT GROUPING(o_year) AS gy, GROUPING(o_priority) AS gp,

@@ -240,6 +240,25 @@ object Analytics {
           .as("corr"))
       .orderBy("l_returnflag")
 
+  /** Per-user event journey: the time-ordered sequence of event types
+    * as one string — the sessionization/path-analysis companion to
+    * qFunnel (which only checks stage presence, not order). One
+    * shuffle on user_id; the in-group ordering rides the aggregation
+    * buffer via array_sort over (ts, event_id)-keyed structs, NOT a
+    * window sort over the raw stream. The post-aggregation transform
+    * lambda runs once per USER on a small array (interpreted HOFs are
+    * only a trap on per-token hot paths). */
+  def qUserJourney(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("journey"))
+      .orderBy("user_id")
+
   /** Median-absolute-deviation outliers: the robust alternative to
     * qZscoreOutliers (a z-score's mean/std are themselves dragged by
     * the outliers they hunt; the median/MAD pair is not). Two exact

@@ -332,6 +332,38 @@ object Inventory {
     live.unionByName(dead).except(migrated).orderBy("o_orderkey", "status")
   }
 
+  /** CDC MERGE (upsert): apply a changelog of updates + inserts onto a
+    * base table in one pass — matched keys take the update's values,
+    * unmatched updates insert, untouched base rows carry through, and
+    * an `action` column records which branch fired (the audit trail a
+    * MERGE INTO emits). Planned as base ⟗ updates on the key: ONE
+    * shuffle each side (or none if both are bucketed on the key), vs
+    * the rewrite-the-table shape naive upserts fall into. The
+    * changelog here is derived deterministically from orders (every
+    * 7th key updates with price+1000; the same rows re-keyed +1e8
+    * insert) so the query is a pure function of the testdata. */
+  def qMergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val base = o.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    val changed = o.filter(col("o_orderkey") % 7 === 0)
+    val updates = changed
+      .select(col("o_orderkey").as("k"), lit("U").as("status"),
+        (col("o_totalprice") + 1000.0).as("price"))
+      .unionByName(changed.select(
+        (col("o_orderkey") + 100000000L).as("k"), lit("I").as("status"),
+        col("o_totalprice").as("price")))
+    base.as("b").join(updates.as("u"), col("b.k") === col("u.k"), "full_outer")
+      .select(
+        coalesce(col("b.k"), col("u.k")).as("o_orderkey"),
+        coalesce(col("u.status"), col("b.status")).as("status"),
+        coalesce(col("u.price"), col("b.price")).as("price"),
+        when(col("b.k").isNull, "insert")
+          .when(col("u.k").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("o_orderkey")
+  }
+
   /** E20: sink-listing inventory — build the reference's S3 keys
     * (app.py:449-459), then parse them back into an inventory table
     * with regexp_extract (the migration script's listing walk,

@@ -121,6 +121,19 @@ object Streams {
         resp_ts <= req_ts + INTERVAL $timeout"""))
   }
 
+  /** Stream-static enrichment join: each streaming micro-batch joined
+    * to a static dimension (the reference's station-catalog lookup,
+    * app.py:238-244, applied to a live stream instead of a batch).
+    * The static side is re-planned per micro-batch and broadcast at
+    * dim size; crucially this keeps ZERO streaming state — unlike a
+    * stream-stream join there is nothing to watermark or evict, which
+    * is why enrichment should always be expressed stream-static when
+    * the dim fits the broadcast threshold. Left join so unmatched
+    * events surface with null dim columns (the q_lookup_misses
+    * channel) rather than silently dropping. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** R14: split a fetch-result stream into ok / dead-letter branches
     * with a status column — the union-sink pattern (placeholders and
     * payloads land in the same sink, app.py:435-463). Works identically

@@ -121,6 +121,27 @@ class InventorySpec extends SparkSpec {
     it.unpersist()
   }
 
+  test("merge upsert: every base row survives, matched rows take update values, inserts add new keys") {
+    import org.apache.spark.sql.functions._
+    val m = Inventory.qMergeUpsert(spark, sfDir).cache()
+    val o = Tables.orders(spark, sfDir)
+    val nBase = o.count()
+    val nChanged = o.filter(col("o_orderkey") % 7 === 0).count()
+    assert(m.count() == nBase + nChanged) // base + inserts, no dup per key
+    assert(m.filter(col("action") === "update").count() == nChanged)
+    assert(m.filter(col("action") === "insert").count() == nChanged)
+    // updated rows carry the changelog's values
+    assert(m.filter(col("action") === "update" && col("status") =!= "U").count() == 0)
+    assert(m.filter(col("action") === "insert" && col("o_orderkey") < 100000000L).count() == 0)
+    // kept rows are byte-identical to base
+    val kept = m.filter(col("action") === "keep").select("o_orderkey", "status", "price")
+    val expectKept = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    assert(kept.exceptAll(expectKept).count() == 0 && expectKept.exceptAll(kept).count() == 0)
+    m.unpersist()
+  }
+
   test("upsert compaction keeps exactly the latest version per key") {
     import org.apache.spark.sql.functions._
     val compact = Inventory.qUpsertCompact(spark, sfDir).cache()

@@ -91,6 +91,20 @@ class RelationalSpec extends SparkSpec {
     assert(zs != md || zs.isEmpty)
   }
 
+  test("user journey: segment count matches event count and order follows event time") {
+    val j = Analytics.qUserJourney(spark, sfDir).cache()
+    // journey length agrees with the count aggregate
+    assert(j.filter(size(split(col("journey"), ">")) =!= col("n_events")).count() == 0)
+    // recompute one user's path directly from the ordered event stream
+    val uid = j.select(min("user_id")).first().getLong(0)
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("user_id") === uid)
+      .orderBy(col("ts"), col("event_id"))
+      .select("event_type").as[String].collect().mkString(">")
+    assert(j.filter(col("user_id") === uid).select("journey").as[String].head() == expected)
+    j.unpersist()
+  }
+
   test("entropy: bounded by ln(distinct chars); exact Scala recompute of one document matches") {
     val df = Quality.qEntropy(spark, sfDir).cache()
     assert(df.filter(col("entropy") < -1e-12).count() == 0)

@@ -143,4 +143,28 @@ class StreamingSpec extends SparkSpec {
     assert(out("b") == (true, Some("HTTP_ERROR")))
     assert(out("c") == (true, Some("CONNECTION_ERROR")))
   }
+
+  test("stream-static enrichment joins each micro-batch to the dim with zero streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "station")
+    val input = MemoryStream[(Timestamp, Long)]
+    val enriched = Streams.enrichWithDim(
+      input.toDF().toDF("ts", "user_id"), dim, "user_id")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 9L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:02"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("enrich_test").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(out(1L) == Some("alpha"))
+      assert(out(2L) == Some("beta"))
+      assert(out(9L) == None) // miss channel surfaces, not dropped
+      // no stateful operator: enrichment must not accumulate state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
