@@ -76,6 +76,7 @@ object SparkEntry {
     "q_tpch_pricing" -> (Relational.qTpchPricing _),
     "q_tpch_shipping" -> (Relational.qTpchShipping _),
     "q_tpch_volume" -> (Relational.qTpchVolume _),
+    "q_brand_sales" -> (Relational.qBrandSales _),
     // Corpus layout (bucketing, packing, sharding, passage dedup)
     "q_length_buckets" -> (Packing.qLengthBuckets _),
     "q_pack_greedy" -> (Packing.qPackGreedy _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_group_sample" -> (Sampling.qGroupSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_entropy" -> (Quality.qEntropy _),
+    "q_redact" -> (Quality.qRedact _),
     // JSON/CSV ingestion surface (R1)
     "q_json_config" -> (graft.sources.JsonSource.qJsonConfig _),
     "q_from_json" -> (graft.sources.JsonSource.qFromJson _),
@@ -533,6 +535,20 @@ object SparkEntry {
         |       ELSE 'update' END AS action
         |FROM b FULL OUTER JOIN u ON b.k = u.k
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_brand_sales" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_redact" ->
+      """SELECT event_id,
+        |  len(regexp_extract_all(props, '[0-9]+')) AS n_redacted,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_user_journey" ->
       """SELECT user_id, count(*) AS n_events,

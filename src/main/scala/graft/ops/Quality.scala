@@ -516,6 +516,20 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** PII-scrub / normalization pattern: redact every digit run in the
+    * raw props payload to a `<NUM>` placeholder and count what was
+    * redacted — the shape of email/phone/SSN scrubbing in a training
+    * pipeline (the regex is the only thing that changes). Pure
+    * codegen'd per-row projection: linear, shuffle-free, trivially
+    * 100 TB-parallel. The digit pattern is shared Java-regex/RE2
+    * syntax so the DuckDB oracle replays it exactly. */
+  def qRedact(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"),
+        expr("size(regexp_extract_all(props, '[0-9]+', 0))").as("n_redacted"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"))
+      .orderBy("event_id")
+
   /** Character-level Shannon entropy per document — the classic
     * gibberish/boilerplate quality signal (low entropy = repeated
     * filler, high = random noise; natural text sits in a band).

@@ -111,4 +111,21 @@ object Relational {
       .agg(revenue.as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** Sales by brand: the fact joined to the mid-size product dim on
+    * partkey (the one dim no other query touches) and rolled up per
+    * brand. part is broadcast at test SF by Catalyst; on a cluster it
+    * crosses the threshold and AQE shuffle-joins it — exactly the dim
+    * size where bucketing both sides on the key (IntegrationSpec's
+    * co-located join) removes the exchange entirely. */
+  def qBrandSales(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        revenue.as("revenue"))
+      .orderBy("p_brand")
 }
