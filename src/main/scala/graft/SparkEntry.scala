@@ -105,6 +105,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
     "q_simhash_neardup" -> (Quality.qSimhashNeardup _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
+    "q_weighted_sample" -> (Sampling.qWeightedSample _),
     "q_group_sample" -> (Sampling.qGroupSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_entropy" -> (Quality.qEntropy _),
@@ -126,6 +127,7 @@ object SparkEntry {
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
+    "q_frame_sample" -> (Multimodal.qFrameSample _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -1058,6 +1060,31 @@ object SparkEntry {
         |    ORDER BY substr(md5('gs:' || doc_id), 1, 13), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    list_sum([(strpos('0123456789abcdef',
+        |                 substr(md5('wsmp:' || doc_id), i, 1)) - 1)
+        |               * pow(16.0, 13 - i) for i in range(1, 14)]) AS u52
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_chars,
+        |    pow(u52 / CAST(4503599627370496 AS DOUBLE),
+        |        CAST(1 AS DOUBLE) / n_chars) AS key
+        |  FROM s)
+        |SELECT doc_id, n_chars, round(key, 6) AS priority
+        |FROM k ORDER BY key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, i, substring(text, i, 1) AS fr
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, CAST(length(text) AS INT) + 1, 4)) AS i
+        |        FROM documents))
+        |SELECT doc_id, count(*) AS n_frames,
+        |  md5(string_agg(fr, '' ORDER BY i)) AS frames_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source,

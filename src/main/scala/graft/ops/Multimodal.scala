@@ -87,4 +87,27 @@ object Multimodal {
   def frameSample(df: DataFrame, stride: Int): DataFrame =
     df.withColumn("frames", expr(
       s"transform(sequence(1, octet_length(content), $stride), i -> substring(content, i, 1))"))
+
+  /** Declared frame-sampling query: every 4th byte of each payload
+    * (decoded — ASCII corpus, so byte = char) as the sampled "frame"
+    * stream, digested per doc. Unlike the lambda API above this is the
+    * codegen'd exploded form — posexplode of the stride positions +
+    * substring per row, whole-stage codegen end to end (HOF lambdas
+    * run interpreted; fine per-call on small arrays, wrong for a
+    * declared 100 TB-shaped scan). The ordered re-assembly rides the
+    * agg buffer via array_sort(collect_list(struct)), once per DOC. */
+  def qFrameSample(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{transform => atransform}
+    payloadTable(spark, d)
+      .select(col("doc_id"), decode(col("content"), "UTF-8").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, length(t), 4)")).as("i"))
+      .select(col("doc_id"), col("i"), expr("substring(t, i, 1)").as("fr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        md5(array_join(
+          atransform(array_sort(collect_list(struct(col("i"), col("fr")))),
+            x => x.getField("fr")), "")).as("frames_md5"))
+      .orderBy("doc_id")
+  }
 }

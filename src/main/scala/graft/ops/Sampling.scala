@@ -27,6 +27,28 @@ object Sampling {
     * throttle the dominant language, keep more of the rest):
     * en is kept at ~10% (0x1999/0x10000), everything else at ~40%
     * (0x6666/0x10000). */
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis priority
+    * sampling): each doc draws a reproducible uniform u from a salted
+    * md5 (13 hex chars = 52 bits, exact in a double) and competes with
+    * key u^(1/w), w = n_chars — longer documents win proportionally
+    * more often, and the top-k by key IS a weighted-without-replacement
+    * sample. Fully distributed: the top-20 is a TakeOrderedAndProject
+    * (per-partition heads, driver merge), no shuffle of the corpus.
+    * u is an exact 52-bit integer scaled by a power of two, so both
+    * engines compute bit-identical inputs to pow(); Java and C pow are
+    * ≤1 ulp apart, negligible against the ~1e-4 typical key spacing
+    * (same accepted boundary risk as every ln-scored query here). */
+  def qWeightedSample(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("u52",
+        conv(substring(md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("double"))
+      .withColumn("key",
+        pow(col("u52") / lit(4503599627370496.0), lit(1.0) / col("n_chars")))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"), round(col("key"), 6).as("priority"))
+
   def qStratifiedSample(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .withColumn("hk",
