@@ -17,6 +17,12 @@ run / fork := true
 // came back `parsed: null`). StdoutOutput pipes the child streams
 // straight through, so the JSON line is the only thing on its line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." stdout
+// line, which otherwise lands AFTER Bench's JSON and defeats a
+// parse-the-last-line driver (BENCH_r03 came back `parsed: null` with
+// the JSON intact one line above the [success] banner).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -505,7 +505,7 @@ object SparkEntry {
         |      unnest([{'dim': i, 'x': eb[i + 1]} for i in range(0, len(eb))]) AS s
         |    FROM asg))
         |SELECT cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
-        |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS centroid
+        |  CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS centroid_sum
         |FROM x GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
 
     "q_csv_config" ->

@@ -17,7 +17,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ByteType, FloatType, IntegerType, ShortType}
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset (comma-separated names) for fast local iteration,
+    // mirroring Bench's SPARK_GRAFT_QUERIES; the driver never sets it.
+    val wanted = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => wanted.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val out = fn(spark, sfDir)
         // Width-normalize the dump so the DuckDB compare sees the same

@@ -228,14 +228,21 @@ object Similarity {
     * distributed k-means; one step ships as a declared query so the
     * training path of the index is oracle-checked. Component sums go
     * through DECIMAL(18,6) for partial-aggregation-order independence
-    * (same contract as Inventory.decSum). */
+    * (same contract as Inventory.decSum).
+    *
+    * The declared output is (n_members, centroid_sum) with the sum as
+    * an exact decimal STRING — same information as the mean (consumer
+    * divides), but hash-stable across engines: the earlier
+    * `round(CAST(sum AS DOUBLE)/count, 4)` form crossed a
+    * double-representation rounding boundary that DuckDB builds
+    * resolve differently (r3 driver red; value-exact locally). No
+    * doubles appear in the checked surface at all. */
   def qKmeansStep(spark: SparkSession, d: String): DataFrame =
     ivfAssigned(spark, d)
       .select(col("cluster"), posexplode(col("eb")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")
       .agg(count(lit(1)).as("n_members"),
-        round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
-          .as("centroid"))
+        sum(col("x").cast("decimal(18,6)")).cast("string").as("centroid_sum"))
       .orderBy("cluster", "dim")
 
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it

@@ -87,6 +87,15 @@ class IntegrationSpec extends SparkSpec {
     try {
       input.addData(1L, 2L, 3L)
       q.processAllAvailable()
+      // processAllAvailable guarantees the batch ran, NOT that the
+      // async listener bus has dispatched its progress event yet —
+      // poll with a deadline (same treatment as termination below).
+      // (poll the full condition: an early zero-row progress event
+      // satisfies nProgress >= 1 while the 3-row event is in flight)
+      val progressDeadline = System.currentTimeMillis() + 10000
+      while ({ val s = listener.snapshot; s._1 < 1 || s._2 != 3 } &&
+          System.currentTimeMillis() < progressDeadline)
+        Thread.sleep(100)
       val (nProgress, lastRows, _) = listener.snapshot
       assert(nProgress >= 1)
       assert(lastRows == 3)
