@@ -339,6 +339,25 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Sketch queries: the oracle states the exact companions and TRUE
+    // for the in-bound booleans — the sketch side is computed only by
+    // the engine, so a sketch regression flips a boolean and fails the
+    // hash without requiring DuckDB to reproduce the sketch itself.
+    "q_percentiles_approx" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS med_exact,
+        |  round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        |  round(quantile_cont(value, 0.99), 4) AS p99_exact,
+        |  TRUE AS med_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_distinct_approx" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT value) AS exact_values,
+        |  TRUE AS users_ok, TRUE AS values_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_union_except" ->
       """(SELECT o_orderkey, 'live' AS status FROM orders WHERE o_orderstatus <> 'F'
         | UNION ALL
@@ -949,22 +968,34 @@ object SparkEntry {
         |  round(1 - count(*) / CAST(sum(n) AS DOUBLE), 4) AS repetition_ratio
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Connected components over the same-lang word-3-gram Jaccard
-    // pairs (q_ngram_jaccard's pair semantics); canonical = min
-    // reachable doc_id, DuckDB side via recursive reachability.
+    // Connected components over the MinHash-LSH near-dup pairs
+    // (q_minhash_neardup's pair semantics — band-bucketed candidates,
+    // exact Jaccard >= 0.5 verify); canonical = min reachable doc_id,
+    // DuckDB side via recursive reachability.
     "q_dedup_clusters" ->
       """WITH RECURSIVE tkt AS (
-        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
         |sh AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id,
         |    list_distinct([array_to_string(tk[i:i+2], ' ')
         |      for i in range(1, len(tk) - 1)]) AS s
         |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
         |j AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(len(list_intersect(a.s, b.s))
-        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
         |edges AS (
         |  SELECT doc_a AS s, doc_b AS t FROM p

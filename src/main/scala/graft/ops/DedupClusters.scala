@@ -86,8 +86,20 @@ object DedupClusters {
       .orderBy("doc_id")
   }
 
-  /** Declared query: clusters over the exact same-lang word-3-gram
-    * Jaccard ≥ 0.5 pairs (Quality.qNgramJaccard's pair semantics). */
+  /** Declared query: clusters over the MinHash-LSH near-dup pair
+    * stream (Quality.qMinhashNeardup) — the 100 TB pair source: LSH
+    * candidate generation is band-bucketed (never all-pairs, hot
+    * bands capped), where the exact inverted-index Jaccard's Σdf²
+    * bound depends on the shingle-frequency profile holding at scale.
+    * The exact-Jaccard-pair clustering stays available below as the
+    * spec's ground truth. */
   def qDedupClusters(spark: SparkSession, d: String): DataFrame =
+    connectedComponents(Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b"))
+
+  /** Spec-only ground truth: clusters over the exact same-lang
+    * word-3-gram Jaccard ≥ 0.5 pairs (Quality.qNgramJaccard's pair
+    * semantics) — DedupClustersSpec asserts the planted near-dup docs
+    * cluster identically through either pair source. */
+  private[graft] def clustersFromExactPairs(spark: SparkSession, d: String): DataFrame =
     connectedComponents(Quality.qNgramJaccard(spark, d).select("doc_a", "doc_b"))
 }

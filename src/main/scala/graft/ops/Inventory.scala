@@ -206,10 +206,35 @@ object Inventory {
 
   /** The 100 TB percentile path: `percentile_approx` (a bounded-memory
     * quantile sketch with map-side partial merge) instead of the exact
-    * sort-based `percentile`. No DuckDB oracle — sketch results are
-    * implementation-defined; the driver records a rows-only check and
-    * InventorySpec bounds the error against the exact form. */
+    * sort-based `percentile`. Sketch estimates are
+    * implementation-defined, so the DECLARED surface makes them
+    * checkable without hashing raw sketch output: exact quantiles as
+    * companion columns (DuckDB-parity proven by q_percentiles) plus
+    * per-quantile booleans asserting the sketch lands inside the
+    * containment window [p(q-δ), p(q+δ)] — the oracle emits the same
+    * exact quantiles and TRUE, so a sketch regression flips a boolean
+    * and fails the hash. The raw sketch form stays available below for
+    * the spec and for production use (where the exact companions would
+    * defeat the purpose). */
   def qPercentilesApprox(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("med_exact"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99_exact"),
+        expr("percentile_approx(value, 0.5, 10000) " +
+          "BETWEEN percentile(value, 0.45) AND percentile(value, 0.55)").as("med_ok"),
+        expr("percentile_approx(value, 0.95, 10000) " +
+          "BETWEEN percentile(value, 0.90) AND percentile(value, 1.0)").as("p95_ok"),
+        expr("percentile_approx(value, 0.99, 10000) " +
+          "BETWEEN percentile(value, 0.94) AND percentile(value, 1.0)").as("p99_ok"))
+      .orderBy("event_type")
+
+  /** Raw sketch-only form (what a 100 TB run would actually execute —
+    * no exact companions): InventorySpec bounds its error against the
+    * exact quantiles. */
+  private[graft] def percentilesApproxRaw(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .groupBy("event_type")
       .agg(
@@ -258,11 +283,26 @@ object Inventory {
   /** E10's 100 TB path: HyperLogLog++ approximate distinct counts per
     * key next to the exact form — `approx_count_distinct` keeps a
     * constant-size sketch per group with map-side merge, where exact
-    * distinct must shuffle every distinct value. No DuckDB oracle
-    * (sketch estimates are implementation-defined); the driver records
-    * a rows-only check and InventorySpec bounds the relative error
-    * against the exact counts. */
+    * distinct must shuffle every distinct value. HLL estimates are
+    * implementation-defined, so the DECLARED surface is the
+    * q_percentiles_approx pattern: exact counts as companion columns
+    * plus booleans asserting the sketch is within 5% relative error —
+    * the oracle emits exact counts and TRUE, so a sketch regression
+    * fails the hash. Raw sketch form below for spec/production. */
   def qDistinctApprox(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("value")).as("exact_values"),
+        (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
+          <= countDistinct(col("user_id")).cast("double") * 0.05).as("users_ok"),
+        (abs(approx_count_distinct(col("value"), 0.02) - countDistinct(col("value")))
+          <= countDistinct(col("value")).cast("double") * 0.05).as("values_ok"))
+      .orderBy("event_type")
+
+  /** Raw sketch-only form (the actual 100 TB execution shape). */
+  private[graft] def distinctApproxRaw(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .groupBy("event_type")
       .agg(

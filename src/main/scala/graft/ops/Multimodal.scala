@@ -85,8 +85,14 @@ object Multimodal {
     * plumbing (binary in, array-of-binary out, no shuffle) is what a
     * video frame sampler needs. */
   def frameSample(df: DataFrame, stride: Int): DataFrame =
+    // empty-payload guard: sequence(start, stop, step) THROWS when
+    // start > stop with a positive step (Spark ANSI), so a zero-byte
+    // payload must short-circuit to an empty frame list
     df.withColumn("frames", expr(
-      s"transform(sequence(1, octet_length(content), $stride), i -> substring(content, i, 1))"))
+      s"""CASE WHEN octet_length(content) >= 1
+         |  THEN transform(sequence(1, octet_length(content), $stride),
+         |                 i -> substring(content, i, 1))
+         |  ELSE CAST(array() AS ARRAY<BINARY>) END""".stripMargin))
 
   /** Declared frame-sampling query: every 4th byte of each payload
     * (decoded — ASCII corpus, so byte = char) as the sampled "frame"
@@ -100,6 +106,9 @@ object Multimodal {
     import org.apache.spark.sql.functions.{transform => atransform}
     payloadTable(spark, d)
       .select(col("doc_id"), decode(col("content"), "UTF-8").as("t"))
+      // stepped sequence(1, 0, 4) throws in ANSI mode — drop
+      // zero-length payloads, matching the oracle's empty range()
+      .filter(length(col("t")) >= 1)
       .select(col("doc_id"), col("t"),
         explode(expr("sequence(1, length(t), 4)")).as("i"))
       .select(col("doc_id"), col("i"), expr("substring(t, i, 1)").as("fr"))

@@ -543,6 +543,11 @@ object Quality {
     * corpus bytes, one shuffle keyed by doc_id. */
   def qEntropy(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
+      // guard: Spark's 2-arg sequence(1, 0) flips DESCENDING for an
+      // empty document ([1,0] — two bogus positions) where the
+      // oracle's range() is empty; filter matches the oracle's
+      // empty-result behavior for zero-length text
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("n_chars"),
         explode(expr("sequence(1, length(text))")).as("i"), col("text"))
       .select(col("doc_id"), col("n_chars"), expr("substring(text, i, 1)").as("ch"))

@@ -43,21 +43,42 @@ object Similarity {
     * oracle's `list_sum([ea[i]*eb[i] ...])`. */
   private val dot = "vec_dot(ea, eb)"
 
+  /** Per-probe bounded top-k over scored candidates — the shared tail
+    * of all three similarity indexes. A `row_number() over (partition
+    * by probe_id)` window would shuffle EVERY candidate row into
+    * |probes| reducer partitions and sort each in one task — at 100×
+    * the corpus that is a handful of giant single-task sorts. The
+    * typed TopKAggregator instead keeps a k-bounded buffer per
+    * (probe, input-partition): map-side partial aggregation ships at
+    * most k rows per probe per partition into the shuffle, identical
+    * ordering contract (cos DESC, vec_id ASC). Equivalence to the
+    * window form is machine-verified: the oracles still rank with
+    * row_number(). */
+  private def probeTopK(spark: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    scored.select(col("probe_id").cast("long"), col("cos"), col("vec_id").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Double, Long)](
+        k, r => (r._2, r._3)).toColumn.name("topk"))
+      .toDF("probe_id", "topk")
+      .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e._2").as("vec_id"),
+        round(col("e._1"), 4).as("cos_sim"), (col("pos") + 1).as("rn"))
+  }
+
   /** E24: brute-force cosine top-k — for each probe (vec_id < 5) the 5
     * nearest corpus vectors. The probe side is broadcast; the corpus
-    * side never shuffles until the final per-probe top-k. */
+    * side never shuffles — the bounded per-probe top-k collapses
+    * map-side (see probeTopK). */
   def qCosineTopk(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = withNorm(spark, Tables.embeddings(spark, d))
     val probes = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na"))
     val corpus = v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val scored = corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cos", expr(s"$dot / (na * nb)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
+    probeTopK(spark, scored, 5)
       .orderBy("probe_id", "rn")
   }
 
@@ -93,19 +114,18 @@ object Similarity {
     * referenced twice (probe side + corpus side), so it is persisted —
     * Catalyst would otherwise evaluate the subtree per reference. */
   def qAnnIvf(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssigned(spark, d).persist()
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("cluster"),
         col("eb").as("ea"), col("nb").as("na"))
-    val wTop = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cluster"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", expr(s"$dot / (na * nb)"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .select(col("probe_id"), col("cluster"), col("vec_id"),
-        round(col("cos"), 4).as("cos_sim"), col("rn"))
+    // each probe lives in exactly one cluster: re-attach it to the
+    // bounded top-k via a 5-row broadcast join
+    probeTopK(spark, scored, 3)
+      .join(broadcast(probes.select(col("probe_id"), col("cluster"))), Seq("probe_id"))
+      .select(col("probe_id"), col("cluster"), col("vec_id"), col("cos_sim"), col("rn"))
       .orderBy("probe_id", "rn")
   }
 
@@ -199,7 +219,6 @@ object Similarity {
     * via equi-join on (band_idx, band_val), exact verify on candidates
     * only — never all pairs. */
   def qAnnLsh(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = withNorm(spark, Tables.embeddings(spark, d))
       .select(col("vec_id"), col("e"), col("nrm")).persist()
     val bands = lshBands(lshSig(spark, d)).persist()
@@ -208,15 +227,12 @@ object Similarity {
     val cand = bands.join(probes, Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
-    val wTop = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    cand
+    val scored = cand
       .join(v.select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na")),
         "probe_id")
       .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb")), "vec_id")
       .withColumn("cos", expr(s"$dot / (na * nb)"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
+    probeTopK(spark, scored, 3)
       .orderBy("probe_id", "rn")
   }
 

@@ -72,8 +72,15 @@ object Sinks {
     * downstream scan then pays per-file open/footer costs and the
     * NameNode/listing pays the metadata). One pass: size the input from
     * the file statuses (no data read), `repartition(ceil(bytes/target))`,
-    * write to a temp sibling, then atomically swap via rename —
-    * readers never observe a half-compacted directory. Returns the
+    * write to a temp sibling, then swap via two renames: the original
+    * is renamed aside first, the compacted copy renamed into place,
+    * and only then is the old copy deleted — a crash at any point
+    * leaves a complete data set on disk (under `dir`, `dir._old`, or
+    * `dir._compacting`), never a deleted canonical path with the new
+    * copy stranded. The swap is two metadata ops, not atomic: a reader
+    * racing the instant between the renames can observe the path
+    * missing (a true atomic directory swap needs a transactional table
+    * layer — see the format comment on the class). Returns the
     * (before, after) file counts. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(dir)
@@ -85,8 +92,11 @@ object Sinks {
     spark.read.parquet(dir).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val out = fs.listStatus(tmp).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    fs.delete(p, true)
+    val old = new Path(p.getParent, p.getName + "._old")
+    fs.delete(old, true) // clear any leftover from a crashed prior run
+    fs.rename(p, old)
     fs.rename(tmp, p)
+    fs.delete(old, true)
     (files.length, out)
   }
 

@@ -26,19 +26,21 @@ object CsvSource {
     * names are \w+ in the testdata (asserted in SinkSourceSpec), so no
     * quoting/escaping ambiguity exists in the round-trip. */
   def qCsvConfig(spark: SparkSession, d: String): DataFrame = {
-    val rows = Tables.nation(spark, d)
-      .select("n_nationkey", "n_name", "n_regionkey")
-      .collect() // config-sized dim (25 rows) — driver-side like JsonSource
-      .sortBy(_.getAs[Number]("n_nationkey").longValue)
-    val body = rows.map { r =>
-      s"${r.getAs[Number]("n_nationkey").longValue},${r.getAs[String]("n_name")},${r.getAs[Number]("n_regionkey").longValue}"
-    }.mkString("n_nationkey,n_name,n_regionkey\n", "\n", "\n")
-    val dir = Files.createTempDirectory("graft_csv_cfg")
-    Files.writeString(Paths.get(dir.toString, "config.csv"), body)
+    val dir = Landing.dir(d, "csv_cfg") { path =>
+      val rows = Tables.nation(spark, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect() // config-sized dim (25 rows) — driver-side like JsonSource
+        .sortBy(_.getAs[Number]("n_nationkey").longValue)
+      val body = rows.map { r =>
+        s"${r.getAs[Number]("n_nationkey").longValue},${r.getAs[String]("n_name")},${r.getAs[Number]("n_regionkey").longValue}"
+      }.mkString("n_nationkey,n_name,n_regionkey\n", "\n", "\n")
+      Files.createDirectories(Paths.get(path))
+      Files.writeString(Paths.get(path, "config.csv"), body)
+    }
     spark.read
       .option("header", "true")
       .schema(dimSchema)
-      .csv(dir.toString)
+      .csv(dir)
       .orderBy("n_nationkey")
   }
 }

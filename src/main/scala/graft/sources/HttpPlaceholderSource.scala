@@ -14,13 +14,22 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 stub for the reference's throttled sensor-HTTP source
-  * (reference: app.py:285-313 fetch, 399-431 per-IP semaphore(3) rate
-  * limiting). There are no live sensors in this environment, so the
-  * fetch itself is STUBBED: every planned request deterministically
-  * yields the dead-letter row the reference writes on connection
-  * failure (app.py:315-334). Everything around the stub is real DSv2
-  * plumbing and is contract-tested:
+/** DataSource V2 source for the reference's throttled sensor-HTTP
+  * ingest (reference: app.py:285-313 fetch, 399-431 per-IP
+  * semaphore(3) rate limiting). Two fetch modes:
+  *
+  *  - `fetchMode=live`: a REAL HTTP GET per url through the bounded
+  *    per-host client pool; success emits a FETCHED row with the body
+  *    byte count, any failure emits the reference's dead-letter
+  *    placeholder row (app.py:315-334) instead of failing the task.
+  *    Contract-tested against a loopback server inside the test JVM
+  *    (no external network in this environment — and no live sensors,
+  *    which is why the default stays stub).
+  *  - `fetchMode=stub` (default): every planned request
+  *    deterministically yields the dead-letter row, exercising all
+  *    planning/throttle plumbing with zero I/O.
+  *
+  * The DSv2 plumbing is identical in both modes and contract-tested:
   *
   *  - `urls` option → the request manifest;
   *  - one `InputPartition` per host — the unit of parallelism, exactly
@@ -30,7 +39,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `maxConcurrentPerHost` (default 3) — ENFORCED in the reader by a
   *    fixed client pool of that size (the reference's semaphore), and
   *    exposed in the output for inspection; the bound is asserted by a
-  *    contract test.
+  *    contract test in both modes.
   *
   * Usage: `spark.read.format("graft.sources.HttpPlaceholderSource")
   * .option("urls", "http://10.0.0.1/a,http://10.0.0.2/b").load()`.
@@ -53,6 +62,7 @@ object HttpPlaceholderSource {
     .add("status", StringType)
     .add("error_type", StringType)
     .add("max_concurrent", IntegerType)
+    .add("n_bytes", IntegerType) // body size on live fetch; -1 for dead-letter/stub rows
 
   private[sources] def hostOf(url: String): String = {
     val stripped = url.replaceFirst("^[a-z]+://", "")
@@ -132,13 +142,14 @@ private class HttpScanBuilder(options: CaseInsensitiveStringMap)
     val urls = Option(options.get("urls")).map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Seq.empty)
     val maxPerHost = options.getInt("maxConcurrentPerHost", 3)
+    val fetchMode = Option(options.get("fetchMode")).getOrElse("stub")
     urls.filter(urlSurvives)
       .groupBy(HttpPlaceholderSource.hostOf)
       .filter { case (host, _) => hostSurvives(host) }
       .toSeq.sortBy(_._1)
       .map { case (host, hostUrls) =>
         HttpHostPartition(host, hostUrls.sorted.toArray, maxPerHost,
-          required.fieldNames): InputPartition
+          required.fieldNames, fetchMode): InputPartition
       }.toArray
   }
 
@@ -149,7 +160,7 @@ private class HttpScanBuilder(options: CaseInsensitiveStringMap)
 
 private case class HttpHostPartition(
     host: String, urls: Array[String], maxPerHost: Int,
-    fields: Array[String]) extends InputPartition
+    fields: Array[String], fetchMode: String) extends InputPartition
 
 /** One reader per host, fetching through a REAL bounded client pool of
   * `maxPerHost` threads — the reference's per-IP semaphore(3)
@@ -167,22 +178,43 @@ private class HttpHostReader(p: HttpHostPartition)
   private val pool = Executors.newFixedThreadPool(math.max(p.maxPerHost, 1))
   private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private def row(url: String, status: String, errorType: String, nBytes: Int): InternalRow = {
+    val full = Map[String, Any](
+      "url" -> UTF8String.fromString(url),
+      "host" -> UTF8String.fromString(p.host),
+      "status" -> UTF8String.fromString(status),
+      "error_type" -> UTF8String.fromString(errorType),
+      "max_concurrent" -> p.maxPerHost,
+      "n_bytes" -> nBytes)
+    // emit only the pruned columns, in the scan's field order
+    new GenericInternalRow(p.fields.map(full(_)))
+  }
+
   private def fetch(url: String): InternalRow = {
     val now = inFlight.incrementAndGet()
     HttpPlaceholderSource.observedMaxConcurrent
       .merge(p.host, Int.box(now), (a, b) => Int.box(math.max(a, b)))
     try {
-      // ---- STUB: a real impl would issue the HTTP request here (???)
-      Thread.sleep(2) // simulated network latency keeps the pool busy
-      val full = Map[String, Any](
-        "url" -> UTF8String.fromString(url),
-        "host" -> UTF8String.fromString(p.host),
-        "status" -> UTF8String.fromString("PLACEHOLDER_FILE"),
-        "error_type" -> UTF8String.fromString("CONNECTION_ERROR"),
-        "max_concurrent" -> p.maxPerHost)
-      // emit only the pruned columns, in the scan's field order
-      new GenericInternalRow(p.fields.map(full(_)))
-      // ---- end STUB
+      if (p.fetchMode == "live") {
+        // real GET; any failure becomes the reference's dead-letter
+        // row (app.py:315-334) rather than a task failure
+        try {
+          val conn = new java.net.URI(url).toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setConnectTimeout(2000)
+          conn.setReadTimeout(5000)
+          val in = conn.getInputStream
+          val body = try in.readAllBytes() finally { in.close(); conn.disconnect() }
+          row(url, "FETCHED", "NONE", body.length)
+        } catch {
+          case _: Exception => row(url, "PLACEHOLDER_FILE", "CONNECTION_ERROR", -1)
+        }
+      } else {
+        // ---- STUB: deterministic dead-letter row, no I/O
+        Thread.sleep(2) // simulated network latency keeps the pool busy
+        row(url, "PLACEHOLDER_FILE", "CONNECTION_ERROR", -1)
+        // ---- end STUB
+      }
     } finally inFlight.decrementAndGet()
   }
 

@@ -47,12 +47,14 @@ object JsonSource {
       val g = r.getAs[Number]("n_regionkey").longValue
       s"""  {"n_nationkey": $k, "n_name": "${r.getAs[String]("n_name")}", "n_regionkey": $g}"""
     }.mkString("[\n", ",\n", "\n]")
-    val dir = Files.createTempDirectory("graft_json_cfg")
-    Files.writeString(Paths.get(dir.toString, "config.json"), doc)
+    val dir = Landing.dir(d, "json_cfg") { path =>
+      Files.createDirectories(Paths.get(path))
+      Files.writeString(Paths.get(path, "config.json"), doc)
+    }
     spark.read
       .option("multiLine", "true")
       .schema(configSchema)
-      .json(dir.toString)
+      .json(dir)
       .orderBy("n_nationkey")
   }
 

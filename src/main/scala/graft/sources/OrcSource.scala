@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,10 +15,11 @@ import graft.Tables
 object OrcSource {
 
   def qOrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_orc_cfg").toString
-    Tables.nation(spark, d)
-      .repartition(1) // config-sized dim: one file, deterministic layout
-      .write.mode("overwrite").orc(dir)
+    val dir = Landing.dir(d, "orc_cfg") { path =>
+      Tables.nation(spark, d)
+        .repartition(1) // config-sized dim: one file, deterministic layout
+        .write.mode("overwrite").orc(path)
+    }
     spark.read.orc(dir).orderBy("n_nationkey")
   }
 }

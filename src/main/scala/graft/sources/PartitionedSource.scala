@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,9 +23,10 @@ import graft.Tables
 object PartitionedSource {
 
   def qPartitionPrune(spark: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_part_orders").toString
-    Tables.orders(spark, d)
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val dir = Landing.dir(d, "part_orders") { path =>
+      Tables.orders(spark, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    }
     spark.read.parquet(dir)
       .filter(col("o_orderstatus") === "O")
       .groupBy("o_orderpriority")

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,11 +23,12 @@ import graft.Tables
 object TextSource {
 
   def qTextLines(spark: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_text_lines").toString
-    Tables.documents(spark, d)
-      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
-      .repartition(1)
-      .write.mode("overwrite").text(dir)
+    val dir = Landing.dir(d, "text_lines") { path =>
+      Tables.documents(spark, d)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .repartition(1)
+        .write.mode("overwrite").text(path)
+    }
     spark.read.text(dir)
       .select(
         substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),

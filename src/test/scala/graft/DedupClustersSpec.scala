@@ -40,4 +40,26 @@ class DedupClustersSpec extends SparkSpec {
       assert(members.length >= 2) // singletons never enter the pair graph
     }
   }
+
+  test("LSH pair stream clusters the planted near-dups identically to the exact ground truth") {
+    // The declared query consumes MinHash-LSH pairs (the 100 TB
+    // source); the exact same-lang Jaccard pairs are the ground
+    // truth. Docs clustered by the exact form must also be clustered
+    // by the LSH form, with the same canonical — LSH only ADDS
+    // cross-lang pairs, it must not miss or split a planted cluster.
+    val lsh = DedupClusters.qDedupClusters(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = DedupClusters.clustersFromExactPairs(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (doc, canonical) =>
+      assert(lsh.contains(doc), s"doc $doc clustered by exact pairs but missed by LSH")
+      assert(lsh(doc) <= canonical,
+        s"doc $doc: LSH canonical ${lsh(doc)} vs exact canonical $canonical")
+      // same-component check: the exact canonical itself must map to
+      // the same LSH component as the member
+      assert(lsh.get(canonical).contains(lsh(doc)),
+        s"doc $doc and its exact canonical $canonical split across LSH clusters")
+    }
+  }
 }

@@ -33,7 +33,7 @@ class InventorySpec extends SparkSpec {
         expr(s"percentile(value, ${windows.map(_._2._2).mkString("array(", ",", ")")})").as("hi"))
       .collect()
       .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
-    val approx = Inventory.qPercentilesApprox(spark, sfDir).collect()
+    val approx = Inventory.percentilesApproxRaw(spark, sfDir).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val (lo, hi) = bounds(r.getString(0))
@@ -64,7 +64,7 @@ class InventorySpec extends SparkSpec {
 
   test("approx distinct stays within 5% of exact per group") {
     import org.apache.spark.sql.functions._
-    val approx = Inventory.qDistinctApprox(spark, sfDir).collect()
+    val approx = Inventory.distinctApproxRaw(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type")

@@ -51,4 +51,19 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("similarity top-k plans use the bounded aggregator, not per-probe window sorts") {
+    // A row_number() window partitioned by probe_id shuffles EVERY
+    // scored candidate into |probes| reducer partitions and sorts each
+    // in a single task — the per-probe top-k must instead collapse
+    // map-side via TopKAggregator (≤ k rows per probe per partition
+    // enter the shuffle).
+    for (name <- Seq("q_cosine_topk", "q_ann_ivf", "q_ann_lsh")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+        s"$name still ranks candidates with a window sort:\n$plan")
+    }
+  }
 }

@@ -121,6 +121,77 @@ class SinkSourceSpec extends SparkSpec {
     assert(scan.output.map(_.name) == Seq("host"))
   }
 
+  test("HTTP source live fetch: loopback server rows FETCHED under the throttle; dead host dead-letters") {
+    import graft.sources.HttpPlaceholderSource
+    // deterministic loopback server inside the test JVM — no external
+    // network; the analog of app.py:285-313's per-chunk GET
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = s"payload:${ex.getRequestURI.getPath}".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      HttpPlaceholderSource.observedMaxConcurrent.clear()
+      val live = (1 to 12).map(i => s"http://127.0.0.1:$port/chunk$i")
+      val dead = s"http://127.0.0.1:1/unreachable" // port 1: connection refused
+      val rows = spark.read.format("graft.sources.HttpPlaceholderSource")
+        .option("urls", (live :+ dead).mkString(","))
+        .option("maxConcurrentPerHost", 3)
+        .option("fetchMode", "live")
+        .load().collect()
+      assert(rows.length == 13)
+      val fetched = rows.filter(_.getString(2) == "FETCHED")
+      assert(fetched.length == 12)
+      fetched.foreach { r =>
+        // body is the deterministic payload for THAT url's path
+        val path = r.getString(0).split(port.toString, 2)(1)
+        assert(r.getInt(5) == s"payload:$path".getBytes("UTF-8").length)
+        assert(r.getString(3) == "NONE")
+      }
+      // the unreachable host dead-letters instead of failing the scan
+      val dl = rows.filter(_.getString(0).contains(":1/"))
+      assert(dl.length == 1 && dl.head.getString(2) == "PLACEHOLDER_FILE"
+        && dl.head.getString(3) == "CONNECTION_ERROR" && dl.head.getInt(5) == -1)
+      // throttle held during real I/O
+      val observed = HttpPlaceholderSource.observedMaxConcurrent.get(s"127.0.0.1:$port")
+      assert(observed != null && observed <= 3, s"observed $observed in-flight > bound 3")
+      assert(observed >= 2, "pool never ran live fetches concurrently")
+    } finally server.stop(0)
+  }
+
+  test("sinks run against an explicit file:// FS URI (path-scheme-parameterized, S3-ready shape)") {
+    // Same Hadoop FS API the sinks would hit under s3a:// — prove the
+    // path handling never assumes the default scheme-less local FS.
+    val base = "file://" + tmp()
+    val raw = (u: String) => u.stripPrefix("file://")
+    // moveVerified over file:// URIs
+    val src = base + "/src"
+    val dst = base + "/dst"
+    Tables.region(spark, sfDir).write.parquet(src)
+    val (moved, deleted) = Sinks.moveVerified(spark, src, dst)
+    assert(moved == 5 && deleted)
+    assert(!new java.io.File(raw(src)).exists())
+    assert(spark.read.parquet(dst).count() == 5)
+    // appendNew over file:// URIs (idempotent on re-run)
+    val sink = base + "/sink"
+    assert(Sinks.appendNew(spark, Tables.region(spark, sfDir), "r_regionkey", sink) == 5)
+    assert(Sinks.appendNew(spark, Tables.region(spark, sfDir), "r_regionkey", sink) == 0)
+    // compact over file:// URIs
+    val cdir = base + "/compact_t"
+    Tables.nation(spark, sfDir).repartition(8).write.parquet(cdir)
+    val (nBefore, nAfter) = Sinks.compact(spark, cdir, targetBytes = 1L << 30)
+    assert(nBefore >= 8 && nAfter == 1)
+    assert(spark.read.parquet(cdir).count() == 25)
+    assert(!new java.io.File(raw(cdir) + "._compacting").exists())
+    assert(!new java.io.File(raw(cdir) + "._old").exists())
+  }
+
   test("compaction collapses small files, preserves content exactly, and swaps atomically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate a microbatch-accreted sink: 16 tiny files
