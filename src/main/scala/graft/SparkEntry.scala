@@ -103,6 +103,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
+    "q_training_pipeline" -> (Pipeline.qTrainingPipeline _),
     "q_simhash_neardup" -> (Quality.qSimhashNeardup _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_weighted_sample" -> (Sampling.qWeightedSample _),
@@ -1010,6 +1011,59 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
         |  doc_id = canonical_id AS is_canonical
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Flagship LLM pipeline: quality filter -> LSH dedup keep-canonical
+    // -> content-stable shard + 512-token greedy pack -> shard manifest.
+    // Pair/cluster CTEs identical to q_dedup_clusters; pack/shard forms
+    // identical to q_pack_greedy/q_shard_assign.
+    "q_training_pipeline" ->
+      """WITH RECURSIVE tkt AS (
+        |  SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS doc_id, min(r) AS canonical_id FROM reach GROUP BY d),
+        |kept AS (
+        |  SELECT t.doc_id, len(t.tk) AS n_tokens
+        |  FROM tkt t LEFT JOIN lab l ON t.doc_id = l.doc_id
+        |  WHERE t.n_chars >= 100 AND len(t.tk) >= 20
+        |    AND (l.doc_id IS NULL OR l.doc_id = l.canonical_id)),
+        |packed AS (
+        |  SELECT substr(md5('shard:' || doc_id), 1, 1) AS shard, doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (
+        |      PARTITION BY substr(md5('shard:' || doc_id), 1, 1) ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin_id
+        |  FROM kept)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  count(DISTINCT bin_id) AS n_bins, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_rolling_time" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
