@@ -109,6 +109,8 @@ object SparkEntry {
     "q_weighted_sample" -> (Sampling.qWeightedSample _),
     "q_group_sample" -> (Sampling.qGroupSample _),
     "q_json_extract" -> (Quality.qJsonExtract _),
+    "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
+    "q_incremental_dedup" -> (Quality.qIncrementalDedup _),
     "q_entropy" -> (Quality.qEntropy _),
     "q_redact" -> (Quality.qRedact _),
     // JSON/CSV ingestion surface (R1)
@@ -854,6 +856,50 @@ object SparkEntry {
         |  FROM cand)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Per-token term is one ln over a long/long division (bit-identical
+    // doubles both engines); the sum goes through DECIMAL(18,12) and the
+    // VARCHAR bridge avoids DuckDB's int128 decimal->double cast edge.
+    "q_perplexity_proxy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |uni AS (SELECT tok, count(*) AS n_t FROM t GROUP BY tok),
+        |tot AS (SELECT count(*) AS n_tok FROM t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(CAST(sum(CAST(-ln(CAST(n_t AS DOUBLE) / n_tok) AS DECIMAL(18,12)))
+        |    AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_surprisal
+        |FROM t JOIN uni USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same shingle/band/verify pipeline as q_minhash_neardup with the
+    // candidate join made asymmetric: arrivals (doc_id >= 400) against
+    // the pre-existing index (doc_id < 400) only.
+    "q_incremental_dedup" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT b.doc_id AS new_doc, a.doc_id AS index_doc, b.s AS sb, a.s AS sa
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < 400 AND b.doc_id >= 400
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT new_doc, index_doc,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand)
+        |SELECT new_doc, index_doc, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY new_doc, index_doc""".stripMargin,
 
     "q_simhash" ->
       """WITH t AS (

@@ -541,6 +541,74 @@ object Quality {
     * partial-aggregation order cannot perturb the result — the same
     * discipline as every other float aggregate here. Linear work in
     * corpus bytes, one shuffle keyed by doc_id. */
+  /** Unigram-LM surprisal per document — the cheap perplexity proxy
+    * used as a fluency/quality gate in corpus pipelines (docs whose
+    * tokens are uniformly rare score high = gibberish; boilerplate of
+    * common tokens scores low). score = avg over tokens of
+    * −ln(count(tok)/N), i.e. the corpus-unigram negative log-likelihood
+    * per token.
+    *
+    * Shape at scale: one exploded token stream persisted and read
+    * twice (unigram counts + per-doc join), a broadcast 1-row total,
+    * then a map-side-combining per-doc aggregate. The per-token term
+    * is a bit-identical double on both engines (long/long division,
+    * one ln); the sum routes through DECIMAL(18,12), the same
+    * order-independence discipline as qEntropy. */
+  def qPerplexityProxy(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .persist()
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+    toks.join(uni, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", -log(col("n_t").cast("double") / col("n_tok")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("term").cast("decimal(18,12)")).cast("double") / count(lit(1)), 4)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental (batch-vs-index) near-dup detection: documents
+    * arriving after the watermark (doc_id ≥ 400 — the stand-in for
+    * "today's crawl") are checked against the EXISTING corpus index
+    * (doc_id < 400) only — the candidate band join is new × index,
+    * never new × new or index × index. This is the shape of continuous
+    * corpus ingestion at 100 TB: the index side's signatures are a
+    * precomputed artifact (here recomputed for self-containment), the
+    * new batch is small, and per-batch work scales with the batch's
+    * band collisions, not the corpus pair count. Same signature/band/
+    * cap/verify machinery as qMinhashNeardup. */
+  def qIncrementalDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = wordShingleInv(spark, d).persist()
+    val sig = minhashSig(inv).persist()
+    val capped = minhashBands(sig)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
+      .filter(col("k") <= maxBandGroup)
+      .persist()
+    val arrivals = capped.filter(col("doc_id") >= 400)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("new_doc"))
+    val index = capped.filter(col("doc_id") < 400)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("index_doc"))
+    val cand = arrivals.join(index, Seq("band_idx", "band_val"))
+      .select("new_doc", "index_doc").distinct()
+    val sizes = sig.select(col("doc_id"), col("sz"))
+    cand
+      .join(inv.select(col("doc_id").as("new_doc"), col("shingle")), "new_doc")
+      .join(inv.select(col("doc_id").as("index_doc"), col("shingle")),
+        Seq("index_doc", "shingle"))
+      .groupBy("new_doc", "index_doc").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("new_doc"), col("sz").as("sz_a")), "new_doc")
+      .join(sizes.select(col("doc_id").as("index_doc"), col("sz").as("sz_b")), "index_doc")
+      .withColumn("jaccard", expr(
+        "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("new_doc", "index_doc", "jaccard")
+      .orderBy("new_doc", "index_doc")
+  }
+
   def qEntropy(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       // guard: Spark's 2-arg sequence(1, 0) flips DESCENDING for an

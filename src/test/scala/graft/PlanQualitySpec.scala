@@ -37,6 +37,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_embed_neardup",     // multi-probe assignment, same centroid broadcast
     "q_kmeans_step",       // assignment step, same centroid broadcast
     "q_tfidf",             // 1-row corpus count N broadcast
+    "q_perplexity_proxy",  // 1-row total-token count broadcast
     "q_vocab_coverage",    // 1-row total-token count broadcast
     "q_pmi_bigrams")       // 1-row totals broadcast
 

@@ -182,4 +182,36 @@ class QualitySpec extends SparkSpec {
     assert(banded.exceptAll(brute).count() == 0)
     assert(brute.exceptAll(banded).count() == 0) // pigeonhole recall = 1
   }
+
+  test("perplexity proxy: surprisal in (0, ln N]; one doc recomputed exactly") {
+    val df = Quality.qPerplexityProxy(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    val allToks = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+    val n = allToks.count()
+    val lnN = math.log(n.toDouble)
+    assert(df.filter(col("avg_surprisal") <= 0 || col("avg_surprisal") > lnN + 1e-9)
+      .count() == 0)
+    // exact recompute of the lowest-id doc from first principles
+    val uni = allToks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = docs.orderBy("doc_id").select("doc_id", "text").first()
+    val toks = first.getString(1).split("\\s+")
+    val expected = toks.map(t => -math.log(uni(t).toDouble / n)).sum / toks.length
+    val got = df.filter(col("doc_id") === first.getLong(0)).first()
+    assert(got.getLong(1) == toks.length)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-3)
+    df.unpersist()
+  }
+
+  test("incremental dedup equals the full near-dup pair set restricted to cross-watermark pairs") {
+    val incr = Quality.qIncrementalDedup(spark, sfDir)
+      .select("new_doc", "index_doc", "jaccard")
+    // full pair set emits doc_a < doc_b; the cross-split pairs have
+    // doc_a < 400 <= doc_b, so (doc_b, doc_a) is (new, index)
+    val full = Quality.qMinhashNeardup(spark, sfDir)
+      .filter(col("doc_a") < 400 && col("doc_b") >= 400)
+      .select(col("doc_b").as("new_doc"), col("doc_a").as("index_doc"), col("jaccard"))
+    assert(incr.exceptAll(full).count() == 0)
+    assert(full.exceptAll(incr).count() == 0)
+  }
 }
