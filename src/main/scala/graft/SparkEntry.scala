@@ -72,6 +72,7 @@ object SparkEntry {
     "q_surrogate_key" -> (Packing.qSurrogateKey _),
     "q_corr_group" -> (Analytics.qCorrGroup _),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
+    "q_sessionize" -> (Analytics.qSessionize _),
     // Warehouse-shaped multi-join reports (TPC-H Q1/Q3/Q5 patterns)
     "q_tpch_pricing" -> (Relational.qTpchPricing _),
     "q_tpch_shipping" -> (Relational.qTpchShipping _),
@@ -98,11 +99,13 @@ object SparkEntry {
     "q_simhash" -> (Quality.qSimhash _),
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
     "q_tfidf" -> (Quality.qTfidf _),
+    "q_bm25" -> (Quality.qBm25 _),
     "q_contamination" -> (Quality.qContamination _),
     "q_repetition" -> (Quality.qRepetition _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
+    "q_cluster_stats" -> (DedupClusters.qClusterStats _),
     "q_training_pipeline" -> (Pipeline.qTrainingPipeline _),
     "q_simhash_neardup" -> (Quality.qSimhashNeardup _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
@@ -127,6 +130,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
+    "q_knn_classify" -> (Similarity.qKnnClassify _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -702,6 +706,25 @@ object SparkEntry {
         |WHERE abs(w.value - w.med) > 3 * d.mad
         |ORDER BY w.event_type, w.event_id""".stripMargin,
 
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "q_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, n_chars,
@@ -945,6 +968,32 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
+    "q_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+        |       / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+        |     * (CAST(tf AS DOUBLE) * 2.2e0)
+        |     / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
+        |          * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |r AS (
+        |  SELECT term, doc_id, score,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+        |  FROM s)
+        |SELECT term, doc_id, round(score, 4) AS bm25, rn
+        |FROM r WHERE rn <= 10 ORDER BY term, rn""".stripMargin,
+
     "q_contamination" ->
       """WITH tkt AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -1057,6 +1106,51 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
         |  doc_id = canonical_id AS is_canonical
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Same pair + recursive-reachability CTEs as q_dedup_clusters,
+    // rolled up to the per-size audit report.
+    "q_cluster_stats" ->
+      """WITH RECURSIVE tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS doc_id, min(r) AS canonical_id FROM reach GROUP BY d),
+        |sized AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        |  FROM lab)
+        |SELECT cluster_size,
+        |  CAST(count(*) / cluster_size AS BIGINT) AS n_clusters,
+        |  CAST(count(*) - count(*) / cluster_size AS BIGINT) AS n_dropped
+        |FROM sized GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // Flagship LLM pipeline: quality filter -> LSH dedup keep-canonical
     // -> content-stable shard + 512-token greedy pack -> shard manifest.
@@ -1258,6 +1352,32 @@ object SparkEntry {
         |  FROM p)
         |SELECT probe_id, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10),
+        |r AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |  FROM p),
+        |votes AS (
+        |  SELECT probe_id, e.label, count(*) AS votes
+        |  FROM r JOIN embeddings e USING (vec_id)
+        |  WHERE rn <= 5 GROUP BY probe_id, e.label),
+        |w AS (
+        |  SELECT probe_id, label, votes,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rw
+        |  FROM votes)
+        |SELECT w.probe_id, t.label AS true_label, w.label AS pred_label, w.votes
+        |FROM w JOIN embeddings t ON t.vec_id = w.probe_id
+        |WHERE w.rw = 1 ORDER BY probe_id""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH v AS (

@@ -280,4 +280,34 @@ object Analytics {
         round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
       .orderBy("event_type", "event_id")
   }
+
+  /** Batch sessionization: assign each user's events to ordinal
+    * sessions split at >30 min inactivity gaps, then roll each session
+    * up (count, bounds, duration). The batch analog of
+    * TimeWindows.qSessionWindow — but where session_window emits the
+    * window struct, this emits the classic per-user ordinal session id
+    * the journey/funnel layer keys on.
+    *
+    * One shuffle total: the lag/running-sum windows partition by
+    * user_id, and the follow-on groupBy(user_id, session_id) is
+    * satisfied by that same hash partitioning (ClusteredDistribution
+    * on a superset key), so Catalyst inserts no second exchange.
+    * Gap arithmetic is integer microseconds (unix_micros ≡ the
+    * oracle's epoch_us) — no timestamp-to-double drift. */
+  def qSessionize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
 }

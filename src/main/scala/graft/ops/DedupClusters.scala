@@ -96,6 +96,21 @@ object DedupClusters {
   def qDedupClusters(spark: SparkSession, d: String): DataFrame =
     connectedComponents(Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b"))
 
+  /** Dedup audit report: cluster-size histogram plus the corpus-level
+    * removal count — the one-page summary a dedup run is judged by
+    * ("how many docs survive keep-one-per-cluster?"). Composes the
+    * declared cluster query: per size, the number of clusters and the
+    * docs that keep-canonical would drop (size − 1 each). The input is
+    * already ≤ |near-dup docs| rows, so the rollup is a trivial hash
+    * aggregate — the expensive part is shared with (and measured
+    * under) q_dedup_clusters. */
+  def qClusterStats(spark: SparkSession, d: String): DataFrame =
+    qDedupClusters(spark, d)
+      .groupBy("cluster_size")
+      .agg((count(lit(1)) / col("cluster_size")).cast("long").as("n_clusters"),
+        (count(lit(1)) - count(lit(1)) / col("cluster_size")).cast("long").as("n_dropped"))
+      .orderBy("cluster_size")
+
   /** Spec-only ground truth: clusters over the exact same-lang
     * word-3-gram Jaccard ≥ 0.5 pairs (Quality.qNgramJaccard's pair
     * semantics) — DedupClustersSpec asserts the planted near-dup docs

@@ -443,6 +443,63 @@ object Quality {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 retrieval scoring (Okapi, k1=1.2, b=0.75): for each query
+    * term the 10 best-matching documents — the relevance ranker a
+    * targeted training-data selection ("find docs about X") runs at
+    * corpus scale. Robertson & Walker's formula over tf, df, doc
+    * length and mean doc length; it improves on qTfidf by saturating
+    * tf and normalizing by document length.
+    *
+    * Scale shape: the token explode filters to the query-term set
+    * BEFORE the (doc, term) aggregate, so the shuffled tf stream is
+    * ≤ |docs|×|terms|, not the corpus token count; df (3 rows) and
+    * the corpus stats (1 row) broadcast back; the final per-term
+    * top-10 is the bounded TopKAggregator — ≤ 10 rows per term per
+    * partition enter the shuffle, no per-term window sort.
+    *
+    * Double-parity contract with the oracle: every input (tf, df, dl,
+    * N, Σdl) is an exact integer; both engines evaluate the identical
+    * expression tree over explicit DOUBLE casts and `e0` double
+    * literals (plain `0.5` parses as DECIMAL in both engines, whose
+    * division semantics differ), so the unrounded scores are
+    * bit-identical IEEE doubles and ranking agrees everywhere. */
+  def qBm25(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val qTerms = Seq("vector", "join", "scan")
+    val docs = Tables.documents(spark, d)
+    val tf = docs
+      .select(col("doc_id"), size(expr(toks)).as("dl"), explode(expr(toks)).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(expr(toks))).as("sum_dl"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        """ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+          |   / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+          | * (CAST(tf AS DOUBLE) * 2.2e0)
+          | / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
+          |      * CAST(dl AS DOUBLE)
+          |      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin))
+    val byTerm = scored
+      .select(col("term"), col("score"), col("doc_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(String, Double, Long)](
+        10, r => (r._2, r._3)).toColumn.name("topk"))
+      .toDF("term", "topk")
+    byTerm
+      .select(col("term"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("term"), col("e._2").as("doc_id"),
+        round(col("e._1"), 4).as("bm25"), (col("pos") + 1).as("rn"))
+      .orderBy("term", "rn")
+  }
+
   /** Vocabulary coverage: the top-50 terms by corpus frequency with
     * cumulative coverage share — the curve a tokenizer-vocabulary
     * decision reads off ("how much of the corpus do the first k types

@@ -261,6 +261,43 @@ object Similarity {
         sum(col("x").cast("decimal(18,6)")).cast("string").as("centroid_sum"))
       .orderBy("cluster", "dim")
 
+  /** k-NN label classification — the embedding-space quality/domain
+    * tagger of a training-data pipeline (label propagation from a
+    * curated seed set onto unlabeled documents): probes (vec_id < 10)
+    * take the majority label of their 5 nearest labeled corpus
+    * vectors (vec_id >= 10) by cosine.
+    *
+    * Scale shape: probes broadcast, the corpus streams exactly twice
+    * (once scored against the broadcast probes with the bounded
+    * per-probe top-k collapsing map-side — see probeTopK; once as a
+    * narrow scan that the tiny top-k result broadcast-joins for
+    * neighbor labels). The vote is a hash aggregate over ≤ k×|probes|
+    * rows; the winner is `max_by` on (votes, -label) — ties go to the
+    * smallest label, matching the oracle's ORDER BY votes DESC, label. */
+  def qKnnClassify(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("e").as("ea"), col("nrm").as("na"))
+    val corpus = v.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val scored = corpus
+      .join(broadcast(probes.select("probe_id", "ea", "na")), lit(true))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+    val topk = probeTopK(spark, scored, 5).select("probe_id", "vec_id")
+    val votes = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+      .join(broadcast(topk), Seq("vec_id"))
+      .groupBy("probe_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("probe_id")
+      .agg(max_by(struct(col("label"), col("votes")),
+        struct(col("votes"), (-col("label")).as("neg_label"))).as("best"))
+      .join(broadcast(probes.select("probe_id", "true_label")), Seq("probe_id"))
+      .select(col("probe_id"), col("true_label"),
+        col("best.label").as("pred_label"), col("best.votes").as("votes"))
+      .orderBy("probe_id")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

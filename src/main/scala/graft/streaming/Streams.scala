@@ -145,4 +145,69 @@ object Streams {
         when(col("content").isNull, lit("CONNECTION_ERROR"))
           .when(length(col("content")) === 0, lit("HTTP_ERROR"))
           .otherwise(lit(null).cast("string")))
+
+  /** Per-user session state carried across micro-batches:
+    * [start, last] event-time bounds (µs) and the event count. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Analytics.qSessionize's streaming face, built on
+    * `flatMapGroupsWithState` + event-time timeout instead of
+    * `session_window`: the custom-state form is what production
+    * pipelines reach for once a session needs more than built-in
+    * aggregates (distinct pages, funnels, abandonment flags — here the
+    * count keeps the contract minimal). A session closes and EMITS
+    * when the watermark passes its last event + gap (the timeout
+    * fires), so output is append-safe and per-user state is exactly
+    * one (start, last, n) triple — bounded by the active-user count,
+    * never by stream length.
+    *
+    * Input: a streaming frame with (user_id, ts), ALREADY watermarked
+    * on `ts` — EventTimeTimeout requires it, and the watermarked
+    * column must still be visible to the stateful operator (Spark's
+    * UnsupportedOperationChecker rejects the plan if `ts` is projected
+    * away first, so the µs conversion happens inside). Out-of-order
+    * rows inside a batch are sorted here; rows older than the
+    * watermark were already dropped by Spark. A batch can close a
+    * session itself when a later row arrives past the gap — both the
+    * in-batch split and the timeout path emit the same shape:
+    * (user_id, session_start_us, session_end_us, n_events). */
+  def sessionizeWithState(
+      events: DataFrame,
+      gapUs: Long = 1800000000L): Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((user, s.startUs, s.lastUs, s.n))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+            var cur = state.getOption
+            rows.map(_._3).toArray.sorted.foreach { us =>
+              cur = cur match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  closed += ((user, s.startUs, s.lastUs, s.n))
+                  Some(SessionState(us, us, 1))
+                case Some(s) =>
+                  Some(s.copy(lastUs = us, n = s.n + 1))
+                case None =>
+                  Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires once the event-time watermark passes this
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

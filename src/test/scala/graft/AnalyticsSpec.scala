@@ -134,4 +134,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(gaps.count() == 0)
     df.unpersist()
   }
+
+  test("sessionize: sessions partition each user's events at >30 min gaps exactly") {
+    val df = Analytics.qSessionize(spark, sfDir).cache()
+    // conservation: session event counts sum to the events table
+    val total = Tables.events(spark, sfDir).count()
+    assert(df.agg(sum("n_events")).first().getLong(0) == total)
+    // session ids are dense ordinals from 1 per user
+    df.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 1L && ids.last == ids.length.toLong)
+    }
+    // consecutive sessions of a user are separated by more than 30 min
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val tooClose = df
+      .withColumn("prev_end", lag(unix_micros(col("end_ts")), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("start_ts")) - col("prev_end") <= 1800000000L)
+    assert(tooClose.count() == 0)
+    // one user's sessions recomputed from the raw event stream
+    val first = Tables.events(spark, sfDir).select("user_id").orderBy("user_id").first().getLong(0)
+    val evs = Tables.events(spark, sfDir).filter(col("user_id") === first)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // count events per session split at >30 min gaps
+    var counts = List(1)
+    evs.sliding(2).foreach {
+      case Array((a, _), (b, _)) =>
+        if (b - a > 1800000000L) counts = 1 :: counts
+        else counts = (counts.head + 1) :: counts.tail
+      case _ =>
+    }
+    val got = df.filter(col("user_id") === first).orderBy("session_id")
+      .collect().map(_.getLong(2)).toList
+    assert(got == counts.reverse, s"user $first: engine $got vs recompute ${counts.reverse}")
+    df.unpersist()
+  }
 }

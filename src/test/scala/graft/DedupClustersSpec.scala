@@ -62,4 +62,18 @@ class DedupClustersSpec extends SparkSpec {
         s"doc $doc and its exact canonical $canonical split across LSH clusters")
     }
   }
+
+  test("cluster stats roll up the declared clusters exactly") {
+    val d = "/root/testdata/sf0.01"
+    val clusters = DedupClusters.qDedupClusters(spark, d).collect()
+    val expected = clusters.groupBy(_.getLong(2)) // cluster_size
+      .map { case (size, rows) =>
+        val nClusters = rows.map(_.getLong(1)).distinct.length.toLong
+        (size, nClusters, rows.length - nClusters)
+      }.toSet
+    val got = DedupClusters.qClusterStats(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

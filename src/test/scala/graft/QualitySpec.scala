@@ -214,4 +214,35 @@ class QualitySpec extends SparkSpec {
     assert(incr.exceptAll(full).count() == 0)
     assert(full.exceptAll(incr).count() == 0)
   }
+
+  test("bm25: ranks descend within each term; top doc recomputed from first principles") {
+    val out = Quality.qBm25(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // within a term, rn order IS bm25-descending order
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_.getInt(3))
+      assert(byRn.map(_.getDouble(2)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      })
+    }
+    // exact recompute of the 'vector' winner: tf/df/dl/avgdl from raw
+    // tokens, the Okapi formula in the same association order
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+"))
+    val n = docs.length
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val tf = docs.map { case (id, tk) => id -> tk.count(_ == "vector") }
+      .filter(_._2 > 0).toMap
+    val df = tf.size
+    def score(t: Int, dl: Int): Double =
+      math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0) * (t * 2.2) /
+        (t + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expected = docs.filter(d => tf.contains(d._1))
+      .map { case (id, tk) => (score(tf(id), tk.length), id) }
+      .maxBy { case (s, id) => (s, -id) }
+    val got = out.filter(r => r.getString(0) == "vector" && r.getInt(3) == 1).head
+    assert(got.getLong(1) == expected._2)
+    assert(math.abs(got.getDouble(2) - expected._1) < 1e-3)
+  }
 }

@@ -110,4 +110,33 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"))
   }
+
+  test("knn classify: one probe's prediction recomputed brute-force, votes bounded by k") {
+    val out = Similarity.qKnnClassify(spark, sfDir).collect()
+    assert(out.length == 10) // one row per probe
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 5,
+        s"probe ${r.getLong(0)}: votes ${r.getLong(3)} outside [1, 5]")
+    }
+    // exact recompute of probe 0: cosine left-fold in Scala, top-5 by
+    // (cos DESC, vec_id ASC), majority label with smallest-label ties
+    val all = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val probe = all.find(_._1 == 0L).get
+    val top5 = all.filter(_._1 >= 10)
+      .map { case (id, e, lbl) =>
+        (dot(probe._2, e) / (math.sqrt(dot(probe._2, probe._2)) * math.sqrt(dot(e, e))), id, lbl)
+      }
+      .sortBy { case (c, id, _) => (-c, id) }
+      .take(5)
+    val expected = top5.groupBy(_._3).map { case (l, v) => (l, v.length) }
+      .toSeq.sortBy { case (l, v) => (-v, l) }.head
+    val got = out.find(_.getLong(0) == 0L).get
+    assert(got.getInt(2) == expected._1 && got.getLong(3) == expected._2.toLong,
+      s"probe 0: predicted (${got.getInt(2)}, ${got.getLong(3)}), brute-force $expected")
+  }
 }

@@ -167,4 +167,41 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("stateful sessionizer closes sessions via in-batch gaps AND event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = Streams.sessionizeWithState(
+      input.toDF().toDF("ts", "user_id").withWatermark("ts", "1 minute"),
+      gapUs = 1800000000L) // 30 min
+    val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.format("memory")
+      .queryName("sessionize_test").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a row 40 min
+      // later in the SAME batch — the in-batch gap closes session 1
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+        (ts("2024-01-01 10:50:00"), 1L))
+      q.processAllAvailable()
+      val afterBatch = spark.table("sessionize_test").collect()
+      assert(afterBatch.length == 1)
+      assert(afterBatch.head.getLong(0) == 1L && afterBatch.head.getLong(3) == 2L)
+      // advance the watermark far past 10:50 + gap → the timeout fires
+      // and the open session emits (user 2's row also opens state)
+      input.addData((ts("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), 2L)) // push watermark again
+      q.processAllAvailable()
+      val out = spark.table("sessionize_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.contains((1L,
+        ts("2024-01-01 10:50:00").getTime * 1000,
+        ts("2024-01-01 10:50:00").getTime * 1000, 1L)),
+        s"timed-out session missing from ${out.mkString(", ")}")
+      // state is bounded: exactly the still-open sessions remain
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2)
+    } finally q.stop()
+  }
 }
