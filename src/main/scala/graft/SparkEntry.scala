@@ -100,6 +100,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
     "q_tfidf" -> (Quality.qTfidf _),
     "q_bm25" -> (Quality.qBm25 _),
+    "q_normalize_text" -> (Quality.qNormalizeText _),
+    "q_ngram_counts" -> (Quality.qNgramCounts _),
+    "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
     "q_contamination" -> (Quality.qContamination _),
     "q_repetition" -> (Quality.qRepetition _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
@@ -1050,6 +1053,32 @@ object SparkEntry {
         |CROSS JOIN ntok CROSS JOIN npairs
         |WHERE rn <= 20
         |ORDER BY rn""".stripMargin,
+
+    "q_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5, len(norm) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_counts" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |shr AS (
+        |  SELECT unnest([array_to_string(tk[i:i+2], ' ')
+        |    for i in range(1, len(tk) - 1)]) AS shingle
+        |  FROM tkt WHERE len(tk) >= 3)
+        |SELECT shingle, count(*) AS n FROM shr GROUP BY shingle
+        |ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_dup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  round((count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE), 4)
+        |    AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_repetition" ->
       """WITH tkt AS (

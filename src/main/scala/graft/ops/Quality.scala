@@ -180,6 +180,55 @@ object Quality {
   private[graft] def wordShingleInv(spark: SparkSession, d: String): DataFrame =
     wordShingles(spark, d).distinct()
 
+  /** Text normalization — the canonicalization step that runs BEFORE
+    * exact dedup in every real corpus pipeline (casefold, strip
+    * punctuation, collapse whitespace): two exact-duplicate documents
+    * that differ only in case or punctuation hash identically after
+    * it. Declared output is the normalized text's md5 + length, the
+    * dedup key a 100 TB run actually materializes (shipping the full
+    * normalized text would double the corpus). Pure codegen'd
+    * projections — shuffle-free except the output sort; the regex
+    * char classes are in the Java∩RE2 common subset both engines
+    * compile identically (q_redact's precedent). */
+  def qNormalizeText(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide top-20 word trigrams by occurrence count — the basic
+    * n-gram frequency profile (boilerplate detection, stop-phrase
+    * lists, decontamination allowlists all start here). One hash
+    * aggregate over the multiset shingle stream, then
+    * `orderBy().limit(20)` — Catalyst plans TakeOrderedAndProject
+    * (per-partition partial top-k merged on the driver exchange), so
+    * no task ever sorts the full shingle vocabulary. */
+  def qNgramCounts(spark: SparkSession, d: String): DataFrame =
+    wordShingles(spark, d)
+      .groupBy("shingle").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("shingle"))
+      .limit(20)
+
+  /** Per-source duplicate-rate report: how much of each source is
+    * exact-duplicate text — the first corpus-health number a dedup
+    * run reports per provenance bucket. Exact text identity via md5;
+    * count + count(DISTINCT md5) in one aggregate (Spark plans the
+    * distinct as a partial-aggregated expand, not a second scan).
+    * The rate's double division is the same pinned (n - nd) / n
+    * expression tree on both engines. */
+  def qDupRateBySource(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_rate", round(
+        (col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"), 4))
+      .orderBy("source")
+
   /** Hot-band cap: an LSH band group of k docs expands to k² candidate
     * pairs, so one near-universal band value (all-identical boilerplate
     * docs, or a degenerate hash) can dominate the whole job. Groups

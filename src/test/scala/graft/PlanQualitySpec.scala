@@ -69,4 +69,18 @@ class PlanQualitySpec extends SparkSpec {
         s"$name still ranks candidates with a window sort:\n$plan")
     }
   }
+
+  test("sessionize shuffles the events table exactly once (windows + groupBy share one exchange)") {
+    // qSessionize's groupBy(user_id, session_id) must reuse the
+    // lag/running-sum window's hash partitioning on user_id
+    // (ClusteredDistribution satisfied by a subset key) — a second
+    // full-table exchange between the windows and the aggregate would
+    // double the shuffled bytes at 100 TB. The only other exchange
+    // allowed is the final output orderBy (range partitioning).
+    val plan = graft.ops.Analytics.qSessionize(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan.toLowerCase).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (the window shuffle), got $hashExchanges:\n$plan")
+  }
 }

@@ -215,6 +215,57 @@ class QualitySpec extends SparkSpec {
     assert(full.exceptAll(incr).count() == 0)
   }
 
+  test("normalize_text: case/punctuation variants collapse to one hash; one doc recomputed") {
+    val out = Quality.qNormalizeText(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    def normalize(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    // one doc recomputed through the same normalization in Scala
+    val (id, text) = docs.minBy(_._1)
+    val expected = normalize(text)
+    assert(out(id)._2 == expected.length)
+    // the invariance that motivates the op: a case/punct variant of the
+    // same doc normalizes to the same key the engine computed
+    val variant = normalize(text.toUpperCase + "!!!")
+    assert(variant == expected)
+    out.foreach { case (d, (_, nLen)) => assert(nLen <= docs(d).length) }
+  }
+
+  test("ngram_counts: descending top-20; winner count matches a brute-force recompute") {
+    val out = Quality.qNgramCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length == 20)
+    assert(out.map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sfDir).select("text").collect().foreach { r =>
+      val tk = r.getString(0).split("\\s+")
+      tk.sliding(3).filter(_.length == 3)
+        .foreach(g => counts(g.mkString(" ")) = counts.getOrElse(g.mkString(" "), 0L) + 1)
+    }
+    val best = counts.toSeq.sortBy { case (s, n) => (-n, s) }.head
+    assert(out.head == best, s"engine ${out.head} vs recompute $best")
+  }
+
+  test("dup_rate_by_source: conservation and one source recomputed exactly") {
+    val out = Quality.qDupRateBySource(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.values.map(_._1).sum == docs.length)
+    out.values.foreach { case (n, nd, rate) =>
+      assert(nd >= 1 && nd <= n && rate >= 0.0 && rate < 1.0)
+    }
+    val (src, rows) = docs.groupBy(_._1).head
+    assert(out(src)._1 == rows.length)
+    assert(out(src)._2 == rows.map(_._2).distinct.length.toLong)
+  }
+
   test("bm25: ranks descend within each term; top doc recomputed from first principles") {
     val out = Quality.qBm25(spark, sfDir).collect()
     assert(out.nonEmpty)
