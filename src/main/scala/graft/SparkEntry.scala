@@ -101,6 +101,7 @@ object SparkEntry {
     "q_tfidf" -> (Quality.qTfidf _),
     "q_bm25" -> (Quality.qBm25 _),
     "q_normalize_text" -> (Quality.qNormalizeText _),
+    "q_bloom_dedup" -> (Quality.qBloomDedup _),
     "q_ngram_counts" -> (Quality.qNgramCounts _),
     "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
     "q_contamination" -> (Quality.qContamination _),
@@ -1053,6 +1054,16 @@ object SparkEntry {
         |CROSS JOIN ntok CROSS JOIN npairs
         |WHERE rn <= 20
         |ORDER BY rn""".stripMargin,
+
+    // The bloom bits are implementation-defined; the declared surface
+    // is the exact truth + the no-false-negative contract boolean
+    // (same checkability pattern as q_percentiles_approx).
+    "q_bloom_dedup" ->
+      """WITH dd AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |idx AS (SELECT DISTINCT h FROM dd WHERE doc_id < 400)
+        |SELECT d.doc_id, (i.h IS NOT NULL) AS exact_dup, TRUE AS bloom_sound
+        |FROM dd d LEFT JOIN idx i ON d.h = i.h
+        |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
 
     "q_normalize_text" ->
       """WITH n AS (

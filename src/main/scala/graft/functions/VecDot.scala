@@ -83,5 +83,25 @@ object GraftFunctions {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1)))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rewrite but does not expose them in the public
+    // registry; surface them for the engine's incremental-dedup fast
+    // path (Quality.qBloomDedup). Same builder contract as built-ins.
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)).toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1)))
   }
 }

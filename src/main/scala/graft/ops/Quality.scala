@@ -492,6 +492,44 @@ object Quality {
       .orderBy("doc_id", "rn")
   }
 
+  /** Bloom-filter membership dedup — the constant-memory fast path an
+    * incremental ingest runs BEFORE any shuffle: a bloom built over
+    * the existing index's content hashes is broadcast to the arrival
+    * scan, and only bloom hits (guaranteed superset of the true dups)
+    * proceed to exact verification. At 100 TB the filter is a few MB
+    * standing in for the full index — arrivals that miss it skip the
+    * dedup join entirely.
+    *
+    * Declared surface keeps the sketch checkable without hashing
+    * implementation-defined bits (the q_percentiles_approx pattern):
+    * `exact_dup` is the oracle-verifiable truth, and `bloom_sound`
+    * asserts the no-false-negative contract (exact_dup → bloom hit);
+    * the oracle emits constant TRUE, so a bloom regression flips the
+    * boolean and fails the hash. */
+  def qBloomDedup(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .createOrReplaceTempView("bloom_docs")
+    // might_contain requires its filter side be a constant or scalar
+    // subquery — the subquery form keeps the build fully distributed
+    // (one aggregate job whose 1-row result the driver re-plans as a
+    // literal), exactly how Spark's own runtime-filter rewrite wires it
+    spark.sql(
+      """SELECT a.doc_id,
+        |  (i.h IS NOT NULL) AS exact_dup,
+        |  (might_contain(
+        |     (SELECT bloom_filter_agg(xxhash64(h), 1000L, 8192L)
+        |      FROM bloom_docs WHERE doc_id < 400),
+        |     xxhash64(a.h))
+        |   OR i.h IS NULL) AS bloom_sound
+        |FROM bloom_docs a
+        |LEFT JOIN (SELECT DISTINCT h FROM bloom_docs WHERE doc_id < 400) i
+        |  ON a.h = i.h
+        |WHERE a.doc_id >= 400
+        |ORDER BY a.doc_id""".stripMargin)
+  }
+
   /** BM25 retrieval scoring (Okapi, k1=1.2, b=0.75): for each query
     * term the 10 best-matching documents — the relevance ranker a
     * targeted training-data selection ("find docs about X") runs at

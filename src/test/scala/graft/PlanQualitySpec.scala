@@ -34,6 +34,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_cosine_topk",       // probes (5 rows) broadcast against the corpus
     "q_knn_classify",      // probes (10 rows) broadcast against the corpus
     "q_bm25",              // 1-row corpus stats (N, Σdl) broadcast
+    "q_bloom_dedup",       // 1-row bloom filter broadcast to the arrival scan
     "q_ann_ivf",           // centroids (8) broadcast for assignment
     "q_ann_lsh",           // hyperplanes (16) broadcast for signatures
     "q_embed_neardup",     // multi-probe assignment, same centroid broadcast

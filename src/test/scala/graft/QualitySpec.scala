@@ -215,6 +215,39 @@ class QualitySpec extends SparkSpec {
     assert(full.exceptAll(incr).count() == 0)
   }
 
+  test("bloom dedup: exact truth matches a set recompute, contract boolean holds, bloom prunes") {
+    val d = "/root/testdata/sf0.01" // arrivals need doc_id >= 400
+    val out = Quality.qBloomDedup(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(2)), "bloom produced a false negative")
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val indexTexts = docs.filter(_._1 < 400).map(_._2).toSet
+    val byId = docs.toMap
+    out.foreach { r =>
+      assert(r.getBoolean(1) == indexTexts.contains(byId(r.getLong(0))),
+        s"doc ${r.getLong(0)}: exact_dup mismatch")
+    }
+    // pruning power: bloom hits must stay near the true-dup count
+    // (8192 bits / <=400 items keeps the false-positive rate low) —
+    // a bloom that waves everything through saves nothing at 100 TB
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .createOrReplaceTempView("bloom_spec_docs")
+    val hits = spark.sql(
+      """SELECT count(*) FROM bloom_spec_docs a
+        |WHERE a.doc_id >= 400 AND might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(h), 1000L, 8192L)
+        |   FROM bloom_spec_docs WHERE doc_id < 400), xxhash64(a.h))""".stripMargin)
+      .first().getLong(0)
+    val trueDups = out.count(_.getBoolean(1))
+    val arrivals = out.length
+    assert(hits >= trueDups) // superset (no false negatives)
+    assert(hits <= trueDups + math.max(3, arrivals / 5),
+      s"bloom passes $hits of $arrivals arrivals but only $trueDups are dups")
+  }
+
   test("normalize_text: case/punctuation variants collapse to one hash; one doc recomputed") {
     val out = Quality.qNormalizeText(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
