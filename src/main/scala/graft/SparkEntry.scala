@@ -135,6 +135,7 @@ object SparkEntry {
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
     "q_knn_classify" -> (Similarity.qKnnClassify _),
+    "q_embedding_stats" -> (Similarity.qEmbeddingStats _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -1392,6 +1393,21 @@ object SparkEntry {
         |  FROM p)
         |SELECT probe_id, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    // Norm mean ships as (exact decimal sum string, count): no derived
+    // double in the checked surface (the q_kmeans_step lesson).
+    "q_embedding_stats" ->
+      """WITH v AS (
+        |  SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT label, len(e) AS dim,
+        |    sqrt(list_sum([x * x for x in e])) AS nrm FROM v)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(dim) AS min_dim, max(dim) AS max_dim,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
+        |  CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS VARCHAR) AS norm_sum
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     "q_knn_classify" ->
       """WITH v AS (

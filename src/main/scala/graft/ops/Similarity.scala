@@ -298,6 +298,33 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Embedding-corpus hygiene report — the sanity pass that runs
+    * BEFORE any index build (a zero vector poisons cosine math with
+    * NaN; a ragged dimension breaks every dot product; a drifting
+    * norm distribution flags a bad encoder batch). Per label: vector
+    * count, the dimension range (min = max ⟺ consistent), zero-vector
+    * count, and the L2-norm spread. One narrow map pass + a 10-group
+    * aggregate — nothing but the final rollup shuffles.
+    *
+    * The norm mean ships as (exact decimal sum STRING, count) — the
+    * q_kmeans_step lesson: `round(CAST(sum AS DOUBLE)/count, 4)`
+    * crosses a double-representation rounding boundary that DuckDB
+    * builds resolve differently, so no derived double enters the
+    * checked surface; min/max are per-row doubles, identical by the
+    * cosine-parity contract. */
+  def qEmbeddingStats(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    v.select(col("label"), size(col("e")).as("dim"), col("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        sum(when(col("nrm") === 0.0, 1).otherwise(0)).as("n_zero"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"),
+        sum(col("nrm").cast("decimal(18,6)")).cast("string").as("norm_sum"))
+      .orderBy("label")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

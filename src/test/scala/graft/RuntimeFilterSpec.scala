@@ -60,4 +60,41 @@ class RuntimeFilterSpec extends SparkSpec {
     }
     assert(plain == filtered)
   }
+
+  test("AQE splits a skewed shuffle-join partition (skew=true) and results are unchanged") {
+    // The salted-join escape hatch (q_skew_join_salted) is the MANUAL
+    // answer to a hot key; this pins the AUTOMATIC one: under AQE,
+    // a shuffle join whose hot partition exceeds the skew thresholds
+    // is split at runtime. The engine's plans stay in the
+    // sort-merge-join shape AQE can rewrite — this contract is why.
+    import spark.implicits._
+    // key 0 carries 2000× the rows of every other key
+    val fact = spark.range(0, 100000).select(lit(0L).as("k"), col("id").as("v"))
+      .union(spark.range(0, 450).select((col("id") % 9 + 1).as("k"), col("id").as("v")))
+    val dim = spark.range(0, 10).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    def run() = fact.join(dim, "k").groupBy("k").count()
+    val plain = run().orderBy("k").collect().toSeq
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // the 100 TB fact never broadcasts
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "4") {
+      val df = fact.join(dim, "k")
+      // execute THIS dataframe so its AdaptiveSparkPlanExec finalizes
+      // (count() would plan a different query and leave this one initial)
+      val rows = df.collect().length.toLong
+      assert(rows == plain.map(_.getLong(1)).sum)
+      // the FINAL adaptive plan must carry the skew-split marker
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+      val skewed = run().orderBy("k").collect().toSeq
+      assert(skewed == plain)
+    }
+  }
 }

@@ -111,6 +111,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"))
   }
 
+  test("embedding stats: counts conserve, dims consistent, one label's norm sum recomputed") {
+    val out = Similarity.qEmbeddingStats(spark, sfDir).collect()
+    val all = Tables.embeddings(spark, sfDir)
+      .selectExpr("label", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assert(out.map(_.getLong(1)).sum == all.length)
+    out.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3), s"label ${r.getInt(0)}: ragged dims")
+      assert(r.getDouble(5) <= r.getDouble(6)) // min_norm <= max_norm
+    }
+    // one label's decimal norm sum recomputed from first principles
+    val lbl = out.head.getInt(0)
+    val expected = all.filter(_._1 == lbl)
+      .map { case (_, e) =>
+        BigDecimal(math.sqrt(e.map(x => x * x).sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    assert(BigDecimal(out.head.getString(7)) == expected,
+      s"label $lbl: norm_sum ${out.head.getString(7)} vs recompute $expected")
+  }
+
   test("knn classify: one probe's prediction recomputed brute-force, votes bounded by k") {
     val out = Similarity.qKnnClassify(spark, sfDir).collect()
     assert(out.length == 10) // one row per probe
