@@ -104,6 +104,7 @@ object SparkEntry {
     "q_bloom_dedup" -> (Quality.qBloomDedup _),
     "q_ngram_counts" -> (Quality.qNgramCounts _),
     "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
+    "q_cross_source_leak" -> (Quality.qCrossSourceLeak _),
     "q_contamination" -> (Quality.qContamination _),
     "q_repetition" -> (Quality.qRepetition _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
@@ -1055,6 +1056,41 @@ object SparkEntry {
         |CROSS JOIN ntok CROSS JOIN npairs
         |WHERE rn <= 20
         |ORDER BY rn""".stripMargin,
+
+    // Same pair CTEs as q_minhash_neardup, rolled up by the two sides'
+    // provenance buckets (unordered source pair).
+    "q_cross_source_leak" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |srcp AS (
+        |  SELECT least(da.source, db.source) AS src_lo,
+        |         greatest(da.source, db.source) AS src_hi
+        |  FROM p JOIN documents da ON da.doc_id = p.doc_a
+        |         JOIN documents db ON db.doc_id = p.doc_b)
+        |SELECT src_lo, src_hi, count(*) AS n_pairs
+        |FROM srcp GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin,
 
     // The bloom bits are implementation-defined; the declared surface
     // is the exact truth + the no-false-negative contract boolean

@@ -492,6 +492,28 @@ object Quality {
       .orderBy("doc_id", "rn")
   }
 
+  /** Cross-source near-dup leakage audit: how many near-duplicate
+    * pairs straddle two different provenance buckets — the check that
+    * catches a benchmark set leaking into the web crawl, or two
+    * vendors shipping the same scrape. Consumes the LSH pair stream
+    * (band-bucketed, never all-pairs) and joins each side's source —
+    * the pair set is tiny relative to the corpus, so the two lookups
+    * are a narrow scan the pair side broadcast-joins against. Source
+    * pairs are unordered: normalized to (least, greatest). */
+  def qCrossSourceLeak(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val pairs = qMinhashNeardup(spark, d).select("doc_a", "doc_b")
+    // each step streams the corpus once past the broadcast pair side
+    val withA = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_b"), col("source").as("src_a"))
+    src.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(least(col("src_a"), col("source")).as("src_lo"),
+        greatest(col("src_a"), col("source")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Bloom-filter membership dedup — the constant-memory fast path an
     * incremental ingest runs BEFORE any shuffle: a bloom built over
     * the existing index's content hashes is broadcast to the arrival

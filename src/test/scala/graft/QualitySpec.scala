@@ -215,6 +215,23 @@ class QualitySpec extends SparkSpec {
     assert(full.exceptAll(incr).count() == 0)
   }
 
+  test("cross-source leak report equals a direct rollup of the near-dup pair stream") {
+    val d = "/root/testdata/sf0.01" // planted near-dups live at sf0.01
+    val out = Quality.qCrossSourceLeak(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.keys.foreach { case (lo, hi) => assert(lo <= hi) } // normalized pairs
+    val srcById = Tables.documents(spark, d).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (a, b) = (srcById(r.getLong(0)), srcById(r.getLong(1)))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(out == expected)
+  }
+
   test("bloom dedup: exact truth matches a set recompute, contract boolean holds, bloom prunes") {
     val d = "/root/testdata/sf0.01" // arrivals need doc_id >= 400
     val out = Quality.qBloomDedup(spark, d).collect()
