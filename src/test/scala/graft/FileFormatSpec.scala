@@ -55,4 +55,40 @@ class FileFormatSpec extends SparkSpec {
       .orderBy("o_orderpriority").collect().toSeq
     assert(pruned == direct)
   }
+
+  test("corrupt JSON records: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    // Real feeds ship malformed lines; a 100 TB ingest must quarantine
+    // them into a dead-letter column, not die or silently mangle.
+    // This pins Spark's three parser modes on a file with 3 good and
+    // 2 broken records (the reference's placeholder-row philosophy,
+    // app.py:315-334, applied at the parser layer).
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson_").toFile
+    val f = new java.io.File(dir, "feed.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "station": "BEDF"}""")
+    w.println("""{"id": 2, "station": "HOLM"}""")
+    w.println("""{"id": 3 "station": "SWAF"}""") // missing comma
+    w.println("""not json at all""")
+    w.println("""{"id": 5, "station": "CHLM"}""")
+    w.close()
+    val schema = "id BIGINT, station STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(f.getPath)
+      .cache()
+    assert(permissive.count() == 5)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    permissive.unpersist()
+    val dropped = spark.read.schema("id BIGINT, station STRING")
+      .option("mode", "DROPMALFORMED").json(f.getPath)
+    assert(dropped.count() == 3)
+    val failfast = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id BIGINT, station STRING")
+        .option("mode", "FAILFAST").json(f.getPath).collect()
+    }
+    assert(failfast.getMessage.toLowerCase.contains("malformed")
+      || Option(failfast.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+    f.delete(); dir.delete()
+  }
 }
