@@ -33,6 +33,7 @@ object SparkEntry {
     "q_semi_present" -> (Acquisition.qSemiPresent _),
     "q_asof_latest" -> (Acquisition.qAsofLatest _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
+    "q_completeness" -> (Acquisition.qCompleteness _),
     "q_skew_join_salted" -> (Acquisition.qSkewJoinSalted _),
     "q_acquisition_plan" -> (Acquisition.acquisitionPlan _),
     // Inventory / completeness analytics (E9-E15, E20)
@@ -214,6 +215,29 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Expected grid = distinct channels × distinct days; missing slots
+    // surface as n_landed = 0 rows, never as absent rows.
+    "q_completeness" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+        |  FROM events),
+        |ded AS (SELECT DISTINCT event_type, day, hr FROM e),
+        |landed AS (
+        |  SELECT event_type, day, count(*) AS n_landed FROM ded GROUP BY event_type, day),
+        |grid AS (
+        |  SELECT t.event_type, dd.day
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT DISTINCT day FROM e) dd)
+        |SELECT g.event_type, g.day,
+        |  coalesce(l.n_landed, 0) AS n_landed,
+        |  CAST(24 AS BIGINT) AS n_expected,
+        |  24 - coalesce(l.n_landed, 0) AS n_missing
+        |FROM grid g LEFT JOIN landed l
+        |  ON g.event_type = l.event_type AND g.day = l.day
+        |ORDER BY g.event_type, g.day""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.event_id, count(p.event_id) AS n_prior,

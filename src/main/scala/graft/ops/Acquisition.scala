@@ -197,6 +197,32 @@ object Acquisition {
     * (user, bucket) with the exact range predicate evaluated inside
     * the join — constant 2× fan-out instead of quadratic, AQE/skew
     * handling applies, and both sides partition-prune on the bucket. */
+  /** Daily completeness accounting — the reference's raison d'être
+    * (the dashboard's "is yesterday complete?" question, app.py:467-480
+    * S3-tag inventory + index.html status poll): for every
+    * (channel, day) cell of the expected grid, how many of the 24
+    * hourly chunk slots actually landed, and how many are missing.
+    * The grid is the cross product of the two DISTINCT dims (both
+    * config-sized — broadcast, like q_cross_dims' enumeration); the
+    * landed side collapses to one row per (channel, day, hour) before
+    * any join. An empty day surfaces as n_landed = 0, not as an
+    * absent row — absence is precisely what the report exists to show. */
+  def qCompleteness(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("event_type"),
+      date_trunc("day", col("ts")).as("day"),
+      date_trunc("hour", col("ts")).as("hr"))
+    val landed = ev.distinct()
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_landed"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(ev.select("day").distinct()))
+    grid.join(landed, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_landed"), lit(0L)).as("n_landed"),
+        lit(24L).as("n_expected"),
+        (lit(24L) - coalesce(col("n_landed"), lit(0L))).as("n_missing"))
+      .orderBy("event_type", "day")
+  }
+
   def qRangeJoin(spark: SparkSession, d: String): DataFrame = {
     val bucketUs = 86400L * 1000000L // 24 h in microseconds
     val ev = Tables.events(spark, d)

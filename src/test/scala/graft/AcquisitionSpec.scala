@@ -125,4 +125,26 @@ class AcquisitionSpec extends SparkSpec {
       .orderBy("event_id").collect().map(_.toString)
     assert(salted.nonEmpty && salted.sameElements(plain))
   }
+
+  test("completeness report covers the full grid; one cell recomputed from raw events") {
+    val out = Acquisition.qCompleteness(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "date_trunc('day', ts) AS day",
+        "date_trunc('hour', ts) AS hr")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+    val types = ev.map(_._1).distinct
+    val days = ev.map(_._2).distinct
+    // the grid is total: every (type, day) cell present exactly once
+    assert(out.length == types.length * days.length)
+    assert(out.map(r => (r.getString(0), r.getTimestamp(1))).distinct.length == out.length)
+    out.foreach { r =>
+      assert(r.getLong(2) + r.getLong(4) == 24L) // landed + missing = expected
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 24)
+    }
+    // one cell recomputed: distinct landed hours for the first cell
+    val first = out.head
+    val expected = ev.filter(e => e._1 == first.getString(0)
+      && e._2 == first.getTimestamp(1)).map(_._3).distinct.length
+    assert(first.getLong(2) == expected.toLong)
+  }
 }

@@ -31,6 +31,7 @@ class PlanQualitySpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "q_cross_dims",        // region × nation × literal dims (the reference's enumeration)
     "q_acquisition_plan",  // same dim cross product feeding the flagship plan
+    "q_completeness",      // distinct channels × distinct days expected grid
     "q_cosine_topk",       // probes (5 rows) broadcast against the corpus
     "q_knn_classify",      // probes (10 rows) broadcast against the corpus
     "q_bm25",              // 1-row corpus stats (N, Σdl) broadcast
