@@ -112,6 +112,7 @@ object SparkEntry {
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
     "q_cluster_stats" -> (DedupClusters.qClusterStats _),
+    "q_dedup_keep_best" -> (DedupClusters.qDedupKeepBest _),
     "q_training_pipeline" -> (Pipeline.qTrainingPipeline _),
     "q_simhash_neardup" -> (Quality.qSimhashNeardup _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
@@ -1207,6 +1208,71 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
         |  doc_id = canonical_id AS is_canonical
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Same pair + recursive-reachability CTEs as q_dedup_clusters,
+    // joined to the quality-score projection: per cluster keep the
+    // highest-quality member (ties to the smaller doc_id).
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS doc_id, min(r) AS canonical_id FROM reach GROUP BY d),
+        |sized AS (
+        |  SELECT doc_id, canonical_id,
+        |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        |  FROM lab),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, greatest(0.0,
+        |      0.5 * least(n_tokens / 20.0, 1.0)
+        |      + 0.3 * (1.0 - round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4))
+        |      + 0.2 * least(round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) * 5.0, 1.0))), 4)
+        |      AS quality_score
+        |  FROM m),
+        |ranked AS (
+        |  SELECT s.canonical_id, s.cluster_size, s.doc_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY s.canonical_id
+        |      ORDER BY q.quality_score DESC, s.doc_id) AS rn
+        |  FROM sized s JOIN qual q ON q.doc_id = s.doc_id)
+        |SELECT canonical_id, cluster_size, doc_id AS kept_doc,
+        |  quality_score AS kept_quality
+        |FROM ranked WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
 
     // Same pair + recursive-reachability CTEs as q_dedup_clusters,
     // rolled up to the per-size audit report.

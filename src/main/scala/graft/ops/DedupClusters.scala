@@ -111,6 +111,30 @@ object DedupClusters {
         (count(lit(1)) - count(lit(1)) / col("cluster_size")).cast("long").as("n_dropped"))
       .orderBy("cluster_size")
 
+  /** Quality-aware canonicalization: per near-dup cluster keep the
+    * HIGHEST-QUALITY member, not the smallest id — what a production
+    * dedup actually does (of five scrapes of one page, keep the
+    * cleanest). Ties on the (rounded) score break to the smaller
+    * doc_id, matching the oracle's ORDER BY quality DESC, doc_id.
+    * The corpus-side quality projection streams once past the
+    * broadcast cluster set (near-dup members ≪ corpus); the argmax is
+    * a max_by hash aggregate — no per-cluster sort. */
+  def qDedupKeepBest(spark: SparkSession, d: String): DataFrame = {
+    val clusters = qDedupClusters(spark, d)
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+    val quality = Quality.qQualityScore(spark, d)
+      .select(col("doc_id"), col("quality_score"))
+    quality.join(broadcast(clusters), Seq("doc_id"))
+      .groupBy("canonical_id")
+      .agg(max(col("cluster_size")).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("canonical_id"), col("cluster_size"),
+        col("best.doc_id").as("kept_doc"),
+        col("best.quality_score").as("kept_quality"))
+      .orderBy("canonical_id")
+  }
+
   /** Spec-only ground truth: clusters over the exact same-lang
     * word-3-gram Jaccard ≥ 0.5 pairs (Quality.qNgramJaccard's pair
     * semantics) — DedupClustersSpec asserts the planted near-dup docs

@@ -63,6 +63,27 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("keep-best selects each cluster's max-quality member (ties to smaller id)") {
+    val d = "/root/testdata/sf0.01"
+    val quality = graft.ops.Quality.qQualityScore(spark, d)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = DedupClusters.qDedupClusters(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(0))) // (canonical, doc)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = DedupClusters.qDedupKeepBest(spark, d).collect()
+    assert(out.length == members.size) // one row per cluster
+    out.foreach { r =>
+      val (canonical, size, kept, keptQ) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val ms = members(canonical)
+      assert(ms.contains(kept) && ms.length.toLong == size)
+      val best = ms.map(m => (quality(m), m)).maxBy { case (q, m) => (q, -m) }
+      assert((keptQ, kept) == best,
+        s"cluster $canonical: kept ($kept, $keptQ) vs expected $best")
+    }
+  }
+
   test("cluster stats roll up the declared clusters exactly") {
     val d = "/root/testdata/sf0.01"
     val clusters = DedupClusters.qDedupClusters(spark, d).collect()
