@@ -42,6 +42,7 @@ object SparkEntry {
     "q_distinct" -> (Inventory.qDistinct _),
     "q_distinct_approx" -> (Inventory.qDistinctApprox _),
     "q_rollup" -> (Inventory.qRollup _),
+    "q_schema_profile" -> (Inventory.qSchemaProfile _),
     "q_cube" -> (Inventory.qCube _),
     "q_grouping_sets" -> (Inventory.qGroupingSets _),
     "q_intersect" -> (Inventory.qIntersect _),
@@ -272,6 +273,28 @@ object SparkEntry {
 
     "q_distinct" ->
       "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+
+    "q_schema_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1n,
+        |    count(DISTINCT event_id) AS c1d,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c2n,
+        |    count(DISTINCT user_id) AS c2d,
+        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c3n,
+        |    count(DISTINCT event_type) AS c3d,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c4n,
+        |    count(DISTINCT value) AS c4d,
+        |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c5n,
+        |    count(DISTINCT props) AS c5d
+        |  FROM events)
+        |SELECT col_name, n_nulls, n_distinct, n_rows FROM (
+        |  SELECT 'event_id' AS col_name, c1n AS n_nulls, c1d AS n_distinct, n_rows FROM a
+        |  UNION ALL SELECT 'user_id', c2n, c2d, n_rows FROM a
+        |  UNION ALL SELECT 'event_type', c3n, c3d, n_rows FROM a
+        |  UNION ALL SELECT 'value', c4n, c4d, n_rows FROM a
+        |  UNION ALL SELECT 'props', c5n, c5d, n_rows FROM a)
+        |ORDER BY col_name""".stripMargin,
 
     "q_rollup" ->
       """SELECT GROUPING(o_year, o_month) AS gid, o_year, o_month, count(*) AS n,

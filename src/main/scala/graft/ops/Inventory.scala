@@ -79,6 +79,31 @@ object Inventory {
   /** E11: rollup over the date hierarchy — daily landing partitions
     * (reference S3 layout `{YYYYMMDD}/`, app.py:451-459) rolled up to
     * month and year with grouping_id distinguishing the levels. */
+  /** Column-level profile of the events table — null counts and
+    * distinct cardinalities per column, the first sweep a data-quality
+    * framework runs over a landed dataset. One aggregate pass (Spark
+    * plans the multi-distinct as a single Expand — 5× row expansion,
+    * map-side combined; at 100 TB swap countDistinct for
+    * approx_count_distinct exactly as q_distinct_approx documents),
+    * then `stack` unpivots the single profile row into one row per
+    * column. */
+  def qSchemaProfile(spark: SparkSession, d: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    Tables.events(spark, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stackArgs)")
+          .as(Seq("col_name", "n_nulls", "n_distinct")))
+      .select("col_name", "n_nulls", "n_distinct", "n_rows")
+      .orderBy("col_name")
+  }
+
   def qRollup(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
       .select(year(col("o_orderdate")).as("o_year"),

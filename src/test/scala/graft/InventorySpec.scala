@@ -158,4 +158,19 @@ class InventorySpec extends SparkSpec {
     assert(later.count() == 0)
     compact.unpersist()
   }
+
+  test("schema profile matches per-column direct recomputes") {
+    val ev = Tables.events(spark, sfDir).cache()
+    val n = ev.count()
+    val out = Inventory.qSchemaProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 5)
+    assert(out.values.forall(_._3 == n))
+    for (c <- Seq("event_id", "user_id", "event_type", "value", "props")) {
+      val nulls = ev.filter(col(c).isNull).count()
+      val distinct = ev.filter(col(c).isNotNull).select(c).distinct().count()
+      assert(out(c) == ((nulls, distinct, n)), s"column $c: ${out(c)}")
+    }
+    ev.unpersist()
+  }
 }
