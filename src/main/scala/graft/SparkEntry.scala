@@ -75,6 +75,7 @@ object SparkEntry {
     "q_corr_group" -> (Analytics.qCorrGroup _),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "q_sessionize" -> (Analytics.qSessionize _),
+    "q_daily_anomaly" -> (Analytics.qDailyAnomaly _),
     // Warehouse-shaped multi-join reports (TPC-H Q1/Q3/Q5 patterns)
     "q_tpch_pricing" -> (Relational.qTpchPricing _),
     "q_tpch_shipping" -> (Relational.qTpchShipping _),
@@ -759,6 +760,32 @@ object SparkEntry {
         |FROM wm w JOIN mad d ON w.event_type = d.event_type
         |WHERE abs(w.value - w.med) > 3 * d.mad
         |ORDER BY w.event_type, w.event_id""".stripMargin,
+
+    // 2σ day-volume outliers; same exact-decimal moment discipline as
+    // q_zscore_outliers (squared-distance form avoids a sqrt).
+    "q_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n_days,
+        |    sum(CAST(n_events AS DECIMAL(18,6))) AS s1,
+        |    sum(CAST(n_events * n_events AS DECIMAL(28,6))) AS s2
+        |  FROM daily),
+        |sc AS (
+        |  SELECT day, n_events,
+        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS variance
+        |  FROM daily CROSS JOIN st)
+        |SELECT day, n_events, round(mean, 4) AS mean_daily,
+        |  round(variance, 4) AS var_daily
+        |FROM sc
+        |WHERE (CAST(n_events AS DOUBLE) - mean) * (CAST(n_events AS DOUBLE) - mean)
+        |      > 4.0e0 * variance
+        |ORDER BY day""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -281,6 +281,35 @@ object Analytics {
       .orderBy("event_type", "event_id")
   }
 
+  /** Daily volume anomaly detection: days whose event count sits more
+    * than 2 standard deviations from the mean daily volume — the ops
+    * alarm a scheduled acquisition run feeds (a missing day or a
+    * double-ingest shows up here first). Two stages over day-grain
+    * aggregates (≤ a few thousand rows at any corpus size — the raw
+    * table collapses before anything else happens), so the stats side
+    * is a 1-row broadcast. Same exact-decimal Σ/Σ² + pinned-final-
+    * double discipline as qZscoreOutliers. */
+  def qDailyAnomaly(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("n_events").cast("decimal(18,6)")).as("s1"),
+      sum((col("n_events") * col("n_events")).cast("decimal(28,6)")).as("s2"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)"))
+      .withColumn("variance", expr(
+        "CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE) - mean * mean"))
+      .filter(expr(
+        "(CAST(n_events AS DOUBLE) - mean) * (CAST(n_events AS DOUBLE) - mean)" +
+          " > 4.0e0 * variance"))
+      .select(col("day"), col("n_events"),
+        round(col("mean"), 4).as("mean_daily"),
+        round(col("variance"), 4).as("var_daily"))
+      .orderBy("day")
+  }
+
   /** Batch sessionization: assign each user's events to ordinal
     * sessions split at >30 min inactivity gaps, then roll each session
     * up (count, bounds, duration). The batch analog of

@@ -135,6 +135,25 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("daily anomaly: flagged set equals a direct 2-sigma recompute over day counts") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1))
+    val n = daily.length.toDouble
+    val mean = daily.map(_._2).sum / n
+    val variance = daily.map(d => d._2.toDouble * d._2).sum / n - mean * mean
+    val expected = daily.filter { case (_, c) =>
+      (c - mean) * (c - mean) > 4.0 * variance
+    }.map(_._1).toSet
+    val got = Analytics.qDailyAnomaly(spark, sfDir).collect()
+      .map(_.getTimestamp(0)).toSet
+    assert(got == expected)
+    // degenerate guard: with uniform synthetic volumes the set may be
+    // empty — the spec still pins the exact boundary arithmetic
+    if (expected.isEmpty) assert(got.isEmpty)
+  }
+
   test("sessionize: sessions partition each user's events at >30 min gaps exactly") {
     val df = Analytics.qSessionize(spark, sfDir).cache()
     // conservation: session event counts sum to the events table
