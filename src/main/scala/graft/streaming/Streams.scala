@@ -150,6 +150,34 @@ object Streams {
     * [start, last] event-time bounds (µs) and the event count. */
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
 
+  /** The pure per-batch session fold: feed sorted event times into an
+    * optionally-open session, emitting every session closed by a
+    * >gap break and returning the still-open one. Factored out of the
+    * stateful operator so ScalaCheck can pin the property that makes
+    * the streaming form correct: session assignment is micro-batch-
+    * boundary INVARIANT for time-ordered arrival (which the watermark
+    * guarantees up to lateness) — any batching of the same event
+    * stream folds to the same sessions. */
+  private[graft] def foldSessions(
+      open: Option[SessionState],
+      sortedUs: Seq[Long],
+      gapUs: Long): (Option[SessionState], Seq[SessionState]) = {
+    val closed = scala.collection.mutable.ArrayBuffer[SessionState]()
+    var cur = open
+    sortedUs.foreach { us =>
+      cur = cur match {
+        case Some(s) if us - s.lastUs > gapUs =>
+          closed += s
+          Some(SessionState(us, us, 1))
+        case Some(s) =>
+          Some(s.copy(lastUs = us, n = s.n + 1))
+        case None =>
+          Some(SessionState(us, us, 1))
+      }
+    }
+    (cur, closed.toSeq)
+  }
+
   /** Analytics.qSessionize's streaming face, built on
     * `flatMapGroupsWithState` + event-time timeout instead of
     * `session_window`: the custom-state form is what production
@@ -188,25 +216,14 @@ object Streams {
             state.remove()
             Iterator((user, s.startUs, s.lastUs, s.n))
           } else {
-            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-            var cur = state.getOption
-            rows.map(_._3).toArray.sorted.foreach { us =>
-              cur = cur match {
-                case Some(s) if us - s.lastUs > gapUs =>
-                  closed += ((user, s.startUs, s.lastUs, s.n))
-                  Some(SessionState(us, us, 1))
-                case Some(s) =>
-                  Some(s.copy(lastUs = us, n = s.n + 1))
-                case None =>
-                  Some(SessionState(us, us, 1))
-              }
-            }
-            cur.foreach { s =>
+            val (open, closed) = foldSessions(
+              state.getOption, rows.map(_._3).toArray.sorted.toSeq, gapUs)
+            open.foreach { s =>
               state.update(s)
               // timeout fires once the event-time watermark passes this
               state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
             }
-            closed.iterator
+            closed.iterator.map(s => (user, s.startUs, s.lastUs, s.n))
           }
       }
   }
