@@ -76,6 +76,7 @@ object SparkEntry {
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_daily_anomaly" -> (Analytics.qDailyAnomaly _),
+    "q_retention" -> (Analytics.qRetention _),
     // Warehouse-shaped multi-join reports (TPC-H Q1/Q3/Q5 patterns)
     "q_tpch_pricing" -> (Relational.qTpchPricing _),
     "q_tpch_shipping" -> (Relational.qTpchShipping _),
@@ -760,6 +761,19 @@ object SparkEntry {
         |FROM wm w JOIN mad d ON w.event_type = d.event_type
         |WHERE abs(w.value - w.med) > 3 * d.mad
         |ORDER BY w.event_type, w.event_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_k,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |WHERE datediff('day', c.cohort_day, a.day) <= 7
+        |GROUP BY c.cohort_day, day_k
+        |ORDER BY c.cohort_day, day_k""".stripMargin,
 
     // 2σ day-volume outliers; same exact-decimal moment discipline as
     // q_zscore_outliers (squared-distance form avoids a sqrt).

@@ -281,6 +281,27 @@ object Analytics {
       .orderBy("event_type", "event_id")
   }
 
+  /** Cohort retention matrix: users grouped by first-activity day,
+    * counted again on each subsequent day they return — the
+    * engagement table every product dashboard leads with, and for a
+    * data pipeline the per-cohort survival curve of any keyed entity.
+    * Day arithmetic is integer datediff; the (cohort, day-offset)
+    * rollup is a count-distinct hash aggregate. Two shuffles: the
+    * per-user min-day, and the final matrix — the (user, day)
+    * activity set collapses before both. */
+  def qRetention(spark: SparkSession, d: String): DataFrame = {
+    val activity = Tables.events(spark, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("day_k", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_k") <= 7)
+      .groupBy("cohort_day", "day_k")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_k")
+  }
+
   /** Daily volume anomaly detection: days whose event count sits more
     * than 2 standard deviations from the mean daily volume — the ops
     * alarm a scheduled acquisition run feeds (a missing day or a

@@ -135,6 +135,22 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("retention: day-0 row counts every cohort member; actives never exceed cohort size") {
+    val out = Analytics.qRetention(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    val firstDays = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(min(date_trunc("day", col("ts"))).as("c"))
+      .collect().map(r => r.getTimestamp(1))
+    val cohortSizes = firstDays.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // day 0: everyone in the cohort is active by definition
+    cohortSizes.foreach { case (day, size) =>
+      assert(out((day, 0)) == size, s"cohort $day day-0 ${out.get((day, 0))} != $size")
+    }
+    // no (cohort, k) cell exceeds its cohort's size
+    out.foreach { case ((day, _), n) => assert(n <= cohortSizes(day)) }
+  }
+
   test("daily anomaly: flagged set equals a direct 2-sigma recompute over day counts") {
     val daily = Tables.events(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
