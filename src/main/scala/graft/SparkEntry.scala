@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_daily_anomaly" -> (Analytics.qDailyAnomaly _),
     "q_retention" -> (Analytics.qRetention _),
+    "q_event_transitions" -> (Analytics.qEventTransitions _),
     // Warehouse-shaped multi-join reports (TPC-H Q1/Q3/Q5 patterns)
     "q_tpch_pricing" -> (Relational.qTpchPricing _),
     "q_tpch_shipping" -> (Relational.qTpchShipping _),
@@ -761,6 +762,17 @@ object SparkEntry {
         |FROM wm w JOIN mad d ON w.event_type = d.event_type
         |WHERE abs(w.value - w.med) > 3 * d.mad
         |ORDER BY w.event_type, w.event_id""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n_transitions
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
 
     "q_retention" ->
       """WITH act AS (

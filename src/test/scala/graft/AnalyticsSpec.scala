@@ -135,6 +135,25 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("event transitions conserve: totals equal events minus one per active user; one user recomputed") {
+    val out = Analytics.qEventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    // each user with k events contributes exactly k-1 transitions
+    assert(out.values.sum == byUser.values.map(v => (v.length - 1).toLong).sum)
+    // one user's chain recomputed
+    val (_, rows) = byUser.maxBy(_._2.length)
+    val chain = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+    val expected = chain.zip(chain.tail).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    expected.foreach { case (pair, n) =>
+      assert(out(pair) >= n, s"transition $pair: global ${out.get(pair)} < user's $n")
+    }
+  }
+
   test("retention: day-0 row counts every cohort member; actives never exceed cohort size") {
     val out = Analytics.qRetention(spark, sfDir).collect()
       .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
