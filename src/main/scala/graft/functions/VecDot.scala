@@ -96,6 +96,10 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2)).toAggregateExpression())
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_minmax_md5"),
+      new ExpressionInfo(classOf[ShingleMinMaxMd5].getName, "shingle_minmax_md5"),
+      (children: Seq[Expression]) => ShingleMinMaxMd5(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Training-data quality operators (SURVEY.md §2.3 E21-E23, E25 + the
   * LLM-pipeline north-star ops from BASELINE.json): exact and
@@ -132,13 +133,33 @@ object Quality {
     * hashes (a 2-hash winnowing sketch) — enough to detect exact and
     * prefix/suffix-shifted duplicates in one linear pass.
     *
-    * Formulated as explode + hash aggregate, NOT array lambdas: the
-    * lambda form ran interpreted and Catalyst inlined the shingle
-    * array into both the min and max transforms (63 s at sf0.1 — the
-    * single most expensive query until this rewrite; 0.8 s after).
-    * min/max are duplicate-insensitive, so the oracle's
-    * `list_distinct` needs no engine-side counterpart. */
-  def qDocFingerprint(spark: SparkSession, d: String): DataFrame =
+    * Third formulation, each a measured step (the bench history of
+    * this one query IS the engine's optimization doctrine):
+    *  1. array lambdas — interpreted, shingle array inlined into both
+    *     transforms: 63 s at sf0.1;
+    *  2. explode + hash aggregate — codegen'd but materializes
+    *     Σ n_chars ≈ 6M generator rows to keep 2 per doc: ~3–4 s,
+    *     the suite's most expensive query (kept below as the spec's
+    *     ground truth);
+    *  3. the native `shingle_minmax_md5` expression — walks the
+    *     windows inside one eval per DOCUMENT, so the plan is a plain
+    *     |docs|-row projection with no generator and no aggregate.
+    * Hash semantics identical throughout; the oracle never changed. */
+  def qDocFingerprint(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), md5(col("text")).as("full_md5"),
+        expr("shingle_minmax_md5(text, 5)").as("mm"))
+      .select(col("doc_id"), col("full_md5"),
+        col("mm").getItem(0).as("min_shingle_md5"),
+        col("mm").getItem(1).as("max_shingle_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Formulation 2 (explode + hash aggregate) — the spec's ground
+    * truth for the native expression above. */
+  private[graft] def docFingerprintExploded(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), md5(col("text")).as("full_md5"),

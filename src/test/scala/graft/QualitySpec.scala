@@ -46,6 +46,44 @@ class QualitySpec extends SparkSpec {
       s"hot band of $maxGroup docs approaches cap ${Quality.maxBandGroup}")
   }
 
+  test("doc fingerprint: native shingle_minmax_md5 matches the explode formulation") {
+    // formulation 3 (single-eval expression) vs formulation 2
+    // (explode + hash aggregate), row-for-row over the real corpus
+    val native = Quality.qDocFingerprint(spark, sfDir)
+    val ground = Quality.docFingerprintExploded(spark, sfDir)
+    assert(native.schema == ground.schema)
+    assert(native.exceptAll(ground).isEmpty && ground.exceptAll(native).isEmpty)
+    // and the plan is the point: no generator, no aggregate
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"),
+      s"native fingerprint plan still expands rows:\n$plan")
+  }
+
+  test("shingle_minmax_md5 edge cases: exact-width text, multibyte chars, short text") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "abcde"),            // exactly one window
+      (2L, "héllö wörld déjà"), // multibyte: char windows, utf-8 byte hashing
+      (3L, "abc")               // shorter than width -> null
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("smm_edge")
+    val got = spark.sql(
+      """SELECT doc_id, shingle_minmax_md5(text, 5) AS mm FROM smm_edge""")
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    val want = spark.sql(
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 5 THEN array(
+        |    array_min(transform(sequence(1, length(text) - 4),
+        |                        i -> md5(substring(text, i, 5)))),
+        |    array_max(transform(sequence(1, length(text) - 4),
+        |                        i -> md5(substring(text, i, 5))))) END AS mm
+        |FROM smm_edge""".stripMargin)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(got == want)
+    assert(got(3L).isEmpty)
+  }
+
   test("simhash: signature is 16 bits and deterministic across runs") {
     val a = Quality.qSimhash(spark, sfDir).collect()
     val b = Quality.qSimhash(spark, sfDir).collect()
