@@ -24,6 +24,24 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
+  /** The documents scan for CPU-heavy per-document operators (per-doc
+    * md5 of every shingle, char-level entropy, token votes): exchanged
+    * to the session's parallelism IF the file layout yields fewer
+    * input splits than that — the small-SF testdata is one single-row-
+    * group file, so Spark's split planning can only produce ONE task
+    * and the whole compute runs single-threaded. At production scale
+    * the scan has ≥ cores splits and this is an identity — no shuffle.
+    * Hash-partition by doc_id (deterministic; round-robin would need a
+    * stability sort on retry). The bytes moved are the raw text once,
+    * always cheaper than serializing the compute that follows. */
+  def documentsSpread(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (docs.rdd.getNumPartitions < target)
+      docs.repartition(target, col("doc_id"))
+    else docs
+  }
+
   /** The SQL surface: every testdata table as a temp view (plus
     * graft's native functions), so `spark.sql("SELECT ... FROM
     * lineitem JOIN orders ...")` works exactly as it would against the

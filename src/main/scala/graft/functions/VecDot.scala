@@ -100,6 +100,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleMinMaxMd5].getName, "shingle_minmax_md5"),
       (children: Seq[Expression]) => ShingleMinMaxMd5(children.head, children(1)))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => WordShingles(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+      (children: Seq[Expression]) => MinHash8(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

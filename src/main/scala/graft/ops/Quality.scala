@@ -147,7 +147,7 @@ object Quality {
     * Hash semantics identical throughout; the oracle never changed. */
   def qDocFingerprint(spark: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), md5(col("text")).as("full_md5"),
         expr("shingle_minmax_md5(text, 5)").as("mm"))
@@ -177,15 +177,28 @@ object Quality {
     * near-universal: at sf0.1 the char-5-gram inverted index implies
     * 1.5e9 candidate pairs vs 3.3e5 for word 3-grams).
     *
-    * Built with posexplode + lead() windows rather than array lambdas:
-    * higher-order functions run interpreted and Catalyst inlines the
-    * `split` into every lambda reference (measured 70 s for 5000 docs);
-    * the window form is whole-stage-codegen end to end and shuffles
-    * once on doc_id. */
+    * Third formulation of the shared shingle subtree: (1) array
+    * lambdas ran interpreted with the `split` inlined into every
+    * lambda reference (70 s for 5000 docs); (2) posexplode + 2×lead()
+    * windows were codegen'd but shuffled AND sorted the ~1M-row token
+    * stream just to pair tokens already adjacent in the source string;
+    * (3) the native `word_shingles` expression emits the whole shingle
+    * array in one eval per document, so explode is map-side-only and
+    * no token ever crosses a shuffle before its first aggregate. The
+    * window form stays below as the spec's ground truth. */
   /** The raw (multiset) word-3-gram stream — one row per shingle
     * OCCURRENCE. Repetition analysis needs the multiplicities;
     * everything set-based goes through `wordShingleInv` below. */
   private[graft] def wordShingles(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documentsSpread(spark, d)
+      .select(col("lang"), col("doc_id"),
+        explode(expr("word_shingles(text, 3)")).as("shingle"))
+  }
+
+  /** Formulation 2 (posexplode + lead windows) — the spec's ground
+    * truth for the native `word_shingles` expression above. */
+  private[graft] def wordShinglesWindowed(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(spark, d)
@@ -289,8 +302,27 @@ object Quality {
     * measured 10×+ slower). The verify counts common shingles through
     * the inverted index restricted to candidates, so no shingle array
     * is ever materialized or shuffled. */
+  /** Fused 8-slice minhash signature + distinct-shingle count as a
+    * pure projection over the documents scan — the native `minhash8`
+    * expression computes per doc what `minhashSig` aggregates over the
+    * exploded inverted index. One narrow row per doc, no generator, no
+    * aggregate, no shuffle: at 1000 executors the signature stage is
+    * map-only. Docs with no 3-token window yield null and are dropped,
+    * matching the aggregate form's absent group. MinhashSigSpec-style
+    * equality with the aggregate form is asserted in QualitySpec. */
+  private[graft] def minhashSigFused(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), expr("minhash8(text, 3)").as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 8).map(j => col(s"s.m$j").as(s"m$j")) :+ col("s.sz").as("sz"): _*)
+  }
+
   /** 8-slice minhash signature + shingle-set size, one pass over the
-    * inverted index. */
+    * inverted index — the aggregate formulation, kept as the spec's
+    * ground truth for `minhashSigFused` and for callers that already
+    * hold a restricted inverted index. */
   private[graft] def minhashSig(inv: DataFrame): DataFrame = {
     val h = inv.withColumn("h", md5(col("shingle")))
     val mins = (0 until 8).map(j =>
@@ -307,8 +339,7 @@ object Quality {
 
   def qMinhashNeardup(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv = wordShingleInv(spark, d).persist()
-    val sig = minhashSig(inv).persist()
+    val sig = minhashSigFused(spark, d).persist()
     val capped = minhashBands(sig)
       .withColumn("k", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
       .filter(col("k") <= maxBandGroup)
@@ -318,13 +349,23 @@ object Quality {
         Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .persist()
+    // Exact verify on CANDIDATES ONLY: fetch the shingle set just for
+    // docs that banded together (≪ corpus — the whole point of LSH)
+    // and count the overlap with a codegen'd array_intersect. The
+    // full-corpus inverted index the old verify joined through is
+    // never built; only candidate docs' shingle arrays materialize.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sets = Tables.documents(spark, d)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(expr("word_shingles(text, 3)")).as("sh"))
+      .persist()
     val sizes = sig.select(col("doc_id"), col("sz"))
-    val common = cand
-      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", expr(
@@ -347,7 +388,7 @@ object Quality {
   def qSimhash(spark: SparkSession, d: String): DataFrame = {
     val bitVotes = (1 to 16).map(b =>
       sum(when(substring(col("m"), b, 1) >= "8", 1).otherwise(-1)).as(s"b$b"))
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), explode(expr(toks)).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
       .groupBy("doc_id")
@@ -374,7 +415,7 @@ object Quality {
   private[graft] def simhashSigs32(spark: SparkSession, d: String): DataFrame = {
     val bitVotes = (1 to 32).map(b =>
       sum(when(substring(col("m"), b, 1) >= "8", 1).otherwise(-1)).as(s"b$b"))
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), explode(expr(toks)).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
       .groupBy("doc_id")
@@ -769,8 +810,7 @@ object Quality {
     * cap/verify machinery as qMinhashNeardup. */
   def qIncrementalDedup(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv = wordShingleInv(spark, d).persist()
-    val sig = minhashSig(inv).persist()
+    val sig = minhashSigFused(spark, d).persist()
     val capped = minhashBands(sig)
       .withColumn("k", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
       .filter(col("k") <= maxBandGroup)
@@ -781,12 +821,19 @@ object Quality {
       .select(col("band_idx"), col("band_val"), col("doc_id").as("index_doc"))
     val cand = arrivals.join(index, Seq("band_idx", "band_val"))
       .select("new_doc", "index_doc").distinct()
+      .persist()
+    // candidate-only exact verify, same shape as qMinhashNeardup
+    val candDocs = cand
+      .select(explode(array(col("new_doc"), col("index_doc"))).as("doc_id")).distinct()
+    val sets = Tables.documents(spark, d)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(expr("word_shingles(text, 3)")).as("sh"))
+      .persist()
     val sizes = sig.select(col("doc_id"), col("sz"))
     cand
-      .join(inv.select(col("doc_id").as("new_doc"), col("shingle")), "new_doc")
-      .join(inv.select(col("doc_id").as("index_doc"), col("shingle")),
-        Seq("index_doc", "shingle"))
-      .groupBy("new_doc", "index_doc").agg(count(lit(1)).as("n_common"))
+      .join(sets.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(sets.select(col("doc_id").as("index_doc"), col("sh").as("sh_b")), "index_doc")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .join(sizes.select(col("doc_id").as("new_doc"), col("sz").as("sz_a")), "new_doc")
       .join(sizes.select(col("doc_id").as("index_doc"), col("sz").as("sz_b")), "index_doc")
       .withColumn("jaccard", expr(
@@ -797,7 +844,7 @@ object Quality {
   }
 
   def qEntropy(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       // guard: Spark's 2-arg sequence(1, 0) flips DESCENDING for an
       // empty document ([1,0] — two bogus positions) where the
       // oracle's range() is empty; filter matches the oracle's

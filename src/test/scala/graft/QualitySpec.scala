@@ -46,6 +46,27 @@ class QualitySpec extends SparkSpec {
       s"hot band of $maxGroup docs approaches cap ${Quality.maxBandGroup}")
   }
 
+  test("native word_shingles matches the posexplode + lead window formulation") {
+    val native = Quality.wordShingles(spark, sfDir)
+    val ground = Quality.wordShinglesWindowed(spark, sfDir)
+    assert(native.schema == ground.schema)
+    // multiset equality — the stream is an unordered bag of occurrences
+    assert(native.exceptAll(ground).isEmpty && ground.exceptAll(native).isEmpty)
+  }
+
+  test("fused minhash8 signature matches the aggregate-over-inverted-index formulation") {
+    val fused = Quality.minhashSigFused(spark, sfDir)
+    val ground = Quality.minhashSig(Quality.wordShingleInv(spark, sfDir))
+    // names + types; nullability differs (struct-field extraction vs count())
+    assert(fused.schema.map(f => (f.name, f.dataType)) ==
+      ground.schema.map(f => (f.name, f.dataType)))
+    assert(fused.exceptAll(ground).isEmpty && ground.exceptAll(fused).isEmpty)
+    // and the fused form is a projection: no generator, no aggregate
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"),
+      s"fused signature plan still expands rows:\n$plan")
+  }
+
   test("doc fingerprint: native shingle_minmax_md5 matches the explode formulation") {
     // formulation 3 (single-eval expression) vs formulation 2
     // (explode + hash aggregate), row-for-row over the real corpus
