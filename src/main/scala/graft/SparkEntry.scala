@@ -122,6 +122,9 @@ object SparkEntry {
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
     "q_weighted_sample" -> (Sampling.qWeightedSample _),
     "q_group_sample" -> (Sampling.qGroupSample _),
+    "q_data_split" -> (Sampling.qDataSplit _),
+    "q_mix_weights" -> (Sampling.qMixWeights _),
+    "q_boilerplate" -> (Quality.qBoilerplate _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
     "q_incremental_dedup" -> (Quality.qIncrementalDedup _),
@@ -1561,6 +1564,38 @@ object SparkEntry {
         |WHERE substr(md5('smpl:' || doc_id), 1, 4)
         |  < CASE WHEN lang = 'en' THEN '1999' ELSE '6666' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_data_split" ->
+      """WITH s AS (
+        |  SELECT source, n_chars, doc_id,
+        |    CASE WHEN substr(md5('split:' || doc_id), 1, 1) <= 'c' THEN 'train'
+        |         WHEN substr(md5('split:' || doc_id), 1, 1) <= 'e' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(sum_chars) AS BIGINT) AS total_chars,
+        |        count(*) AS n_sources FROM b)
+        |SELECT source, n_docs, sum_chars,
+        |  round(CAST(total_chars AS DOUBLE) / n_sources / sum_chars, 4) AS weight
+        |FROM b, t ORDER BY source""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |ph AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(tk[i:i+4], ' ')
+        |    for i in range(1, len(tk) - 3)]) AS phrase
+        |  FROM tkt WHERE len(tk) >= 5)
+        |SELECT phrase, count(*) AS df FROM ph GROUP BY phrase
+        |HAVING count(*) >= 3 ORDER BY df DESC, phrase""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -501,6 +501,25 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate phrase detection (the CCNet-style
+    * pre-dedup pass that strips headers, footers, and license
+    * blurbs): word-5-gram phrases appearing in ≥ 3 DISTINCT documents
+    * are boilerplate candidates — at higher scale the threshold is a
+    * corpus fraction, but the mechanism is identical: per-doc distinct
+    * phrases (the native `word_shingles` at width 5 — same expression,
+    * different n), then a document-frequency hash aggregate with the
+    * threshold as a HAVING. Phrase df collapses map-side; nothing
+    * longer than a phrase string ever shuffles. */
+  def qBoilerplate(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("phrase"))
+      .distinct()
+      .groupBy("phrase").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").desc, col("phrase"))
+  }
+
   /** Intra-document repetition (the Gopher-style quality filter):
     * share of word-3-gram occurrences that are repeats of an earlier
     * shingle in the same doc, plus the hottest shingle's multiplicity.

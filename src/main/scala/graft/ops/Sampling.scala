@@ -85,4 +85,47 @@ object Sampling {
       .select(col("lang"), col("e._2").as("doc_id"), (col("pos") + 1).as("rn"))
       .orderBy("lang", "rn")
   }
+
+  /** Deterministic train/val/test assignment — the split every corpus
+    * ships with, done the only way that survives re-runs and late
+    * arrivals: hash the stable record key, never `rand()` and never
+    * position. The first salted-md5 hex nibble partitions 16 ways:
+    * 0-c → train (13/16 ≈ 81%), d-e → val (2/16), f → test (1/16).
+    * A document's split is a pure function of its id — re-ingesting,
+    * re-sharding, or growing the corpus never moves an old doc across
+    * splits (the property that prevents silent test-set leakage).
+    * Declared surface is the per-(source, split) accounting; the
+    * assignment itself is a shuffle-free codegen'd projection any
+    * downstream query can inline. */
+  def qDataSplit(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("h", substring(md5(concat(lit("split:"), col("doc_id"))), 1, 1))
+      .withColumn("split",
+        when(col("h") <= "c", "train").when(col("h") <= "e", "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        min("doc_id").as("min_doc"))
+      .orderBy("source", "split")
+
+  /** Source mixture reweighting: the per-source sampling multiplier
+    * that flattens the corpus to a uniform per-source token budget —
+    * the standard domain-mixing step before training (a source with
+    * 2× its fair share of tokens gets weight 0.5; a rare source gets
+    * > 1, i.e. upsampling/repetition). weight = (total/n_sources) /
+    * source_chars, computed in one aggregate pass plus a broadcast
+    * 1-row total — no second scan, no driver-side math. The division
+    * chain is pinned as the same double expression on both engines. */
+  def qMixWeights(spark: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+    val tot = bySrc.agg(sum("sum_chars").cast("long").as("total_chars"),
+      count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        expr("round(CAST(total_chars AS DOUBLE) / n_sources / sum_chars, 4)"))
+      .select("source", "n_docs", "sum_chars", "weight")
+      .orderBy("source")
+  }
 }

@@ -105,6 +105,21 @@ class QualitySpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("boilerplate phrases each occur in >= 3 distinct docs (recomputed)") {
+    val phrases = Quality.qBoilerplate(spark, sfDir).collect()
+    assert(phrases.nonEmpty) // planted near-dups share 5-gram phrases
+    assert(phrases.forall(_.getLong(1) >= 3))
+    // recompute df for the reported phrases through the shingle stream
+    val reported = phrases.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val check = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("p"))
+      .filter(col("p").isin(reported.keys.toSeq: _*))
+      .distinct()
+      .groupBy("p").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(check == reported)
+  }
+
   test("simhash: signature is 16 bits and deterministic across runs") {
     val a = Quality.qSimhash(spark, sfDir).collect()
     val b = Quality.qSimhash(spark, sfDir).collect()

@@ -56,4 +56,28 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.join(got, "lang")
       .filter(col("got") =!= least(col("count"), lit(5L))).count() == 0)
   }
+
+  test("data split partitions the corpus with ~13/2/1 shares and is stable") {
+    val rows = Sampling.qDataSplit(spark, sf01).collect()
+    val total = Tables.documents(spark, sf01).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum == total)
+    val byName = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val train = byName("train").toDouble / total
+    assert(train > 0.75 && train < 0.88, s"train share $train off 13/16")
+    assert(byName("val") > 0 && byName("test") > 0)
+    // determinism: a second run produces identical accounting
+    assert(Sampling.qDataSplit(spark, sf01).collect().map(_.toString)
+      .sameElements(rows.map(_.toString)))
+  }
+
+  test("mix weights rebalance each source to the uniform token budget") {
+    val rows = Sampling.qMixWeights(spark, sf01).collect()
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    val target = total / rows.length
+    // weight * sum_chars recovers the per-source budget (± rounding)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) * r.getLong(2) - target) < target * 1e-3)
+    }
+  }
 }
