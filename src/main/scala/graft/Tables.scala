@@ -24,23 +24,25 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
-  /** The documents scan for CPU-heavy per-document operators (per-doc
-    * md5 of every shingle, char-level entropy, token votes): exchanged
-    * to the session's parallelism IF the file layout yields fewer
-    * input splits than that — the small-SF testdata is one single-row-
-    * group file, so Spark's split planning can only produce ONE task
-    * and the whole compute runs single-threaded. At production scale
-    * the scan has ≥ cores splits and this is an identity — no shuffle.
-    * Hash-partition by doc_id (deterministic; round-robin would need a
-    * stability sort on retry). The bytes moved are the raw text once,
-    * always cheaper than serializing the compute that follows. */
-  def documentsSpread(spark: SparkSession, d: String): DataFrame = {
-    val docs = documents(spark, d)
+  /** A scan for CPU-heavy per-row compute (per-doc md5 of every
+    * shingle, char-level entropy, wide decimal moments, multi-distinct
+    * Expand): exchanged to the session's parallelism IF the file
+    * layout yields fewer input splits than that — the small-SF
+    * testdata is one single-row-group file per table, so Spark's split
+    * planning can only produce ONE task and the whole partial phase
+    * runs single-threaded. At production scale the scan has ≥ cores
+    * splits and this is an identity — no shuffle. Hash-partition by a
+    * stable key (deterministic; round-robin would need a stability
+    * sort on retry). The bytes moved are the raw rows once, cheaper
+    * than serializing the compute that follows. */
+  def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = spark.sessionState.conf.numShufflePartitions
-    if (docs.rdd.getNumPartitions < target)
-      docs.repartition(target, col("doc_id"))
-    else docs
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
+    else df
   }
+
+  def documentsSpread(spark: SparkSession, d: String): DataFrame =
+    spread(spark, documents(spark, d), "doc_id")
 
   /** The SQL surface: every testdata table as a temp view (plus
     * graft's native functions), so `spark.sql("SELECT ... FROM

@@ -223,7 +223,7 @@ object Analytics {
     * arithmetic is association-pinned; round(6) absorbs the ulp
     * boundary of sqrt/division chains. */
   def qCorrGroup(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
+    Tables.spread(spark, Tables.lineitem(spark, d), "l_orderkey")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         decSum(col("l_quantity")).as("sx"),

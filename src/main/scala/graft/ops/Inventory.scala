@@ -315,7 +315,7 @@ object Inventory {
     * the oracle emits exact counts and TRUE, so a sketch regression
     * fails the hash. Raw sketch form below for spec/production. */
   def qDistinctApprox(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
+    Tables.spread(spark, Tables.events(spark, d), "event_id")
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),

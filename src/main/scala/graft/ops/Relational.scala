@@ -48,8 +48,10 @@ object Relational {
     * map-side combine reduces ~everything before the (tiny) shuffle —
     * the ideal 100 TB aggregation profile. */
   def qTpchPricing(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    Tables.spread(spark,
+        Tables.lineitem(spark, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
+        "l_orderkey") // exchange sits ABOVE the filter: pushdown intact
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         decSum(col("l_quantity")).as("sum_qty"),
@@ -119,8 +121,10 @@ object Relational {
     * size where bucketing both sides on the key (IntegrationSpec's
     * co-located join) removes the exchange entirely. */
   def qBrandSales(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
-      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    Tables.spread(spark,
+        Tables.lineitem(spark, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount"),
+        "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
