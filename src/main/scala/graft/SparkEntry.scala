@@ -124,6 +124,7 @@ object SparkEntry {
     "q_group_sample" -> (Sampling.qGroupSample _),
     "q_data_split" -> (Sampling.qDataSplit _),
     "q_mix_weights" -> (Sampling.qMixWeights _),
+    "q_upsample_plan" -> (Sampling.qUpsamplePlan _),
     "q_boilerplate" -> (Quality.qBoilerplate _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
@@ -1586,6 +1587,37 @@ object SparkEntry {
         |SELECT source, n_docs, sum_chars,
         |  round(CAST(total_chars AS DOUBLE) / n_sources / sum_chars, 4) AS weight
         |FROM b, t ORDER BY source""".stripMargin,
+
+    "q_upsample_plan" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(sum_chars) AS BIGINT) AS total_chars,
+        |        count(*) AS n_sources FROM b),
+        |p AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(CAST(total_chars AS DOUBLE) / n_sources / sum_chars)
+        |      AS BIGINT) AS epochs,
+        |    CAST(floor((CAST(total_chars AS DOUBLE) / n_sources / sum_chars
+        |        - floor(CAST(total_chars AS DOUBLE) / n_sources / sum_chars))
+        |      * 65536) AS BIGINT) AS frac_scaled
+        |  FROM b, t),
+        |hk AS (
+        |  SELECT source,
+        |    list_sum([(strpos('0123456789abcdef',
+        |                 substr(md5('up:' || doc_id), i, 1)) - 1)
+        |              * pow(16.0, 4 - i) for i in range(1, 5)]) AS hk
+        |  FROM documents),
+        |e AS (
+        |  SELECT h.source, count(*) AS n_extra
+        |  FROM hk h JOIN p USING (source)
+        |  WHERE h.hk < p.frac_scaled GROUP BY h.source)
+        |SELECT p.source, p.n_docs, p.epochs, p.frac_scaled,
+        |  COALESCE(e.n_extra, 0) AS n_extra,
+        |  p.epochs * p.n_docs + COALESCE(e.n_extra, 0) AS n_sampled
+        |FROM p LEFT JOIN e ON p.source = e.source
+        |ORDER BY p.source""".stripMargin,
 
     "q_boilerplate" ->
       """WITH tkt AS (

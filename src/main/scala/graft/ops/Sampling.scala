@@ -128,4 +128,45 @@ object Sampling {
       .select("source", "n_docs", "sum_chars", "weight")
       .orderBy("source")
   }
+
+  /** Upsampling plan: turn a per-source mixture weight w into the
+    * epochs-and-remainder recipe a dataloader executes — every doc
+    * repeats floor(w) times, plus one extra copy for the docs whose
+    * salted hash falls below frac(w) (the deterministic fractional
+    * epoch; same hash-threshold machinery as qStratifiedSample, so the
+    * extra-copy set is reproducible and engine-independent). Declared
+    * surface: per source, the integer epoch count, the fractional
+    * rate, how many docs made the extra copy, and the resulting total
+    * sampled doc count — Σ sampled ≈ corpus size × w by construction.
+    * One corpus scan + the broadcast 1-row total; the per-doc
+    * assignment is a shuffle-free projection any materializer can
+    * inline. The 4-hex-digit threshold comparison makes frac exact to
+    * 1/65536 — the declared comparison is on the integer-scaled
+    * frac, so both engines cut the same doc set. */
+  def qUpsamplePlan(spark: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+    val tot = bySrc.agg(sum("sum_chars").cast("long").as("total_chars"),
+      count(lit(1)).as("n_sources"))
+    val plan = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w", expr("CAST(total_chars AS DOUBLE) / n_sources / sum_chars"))
+      .withColumn("epochs", floor(col("w")).cast("long"))
+      // integer-scaled fractional part: exact threshold in [0, 65536)
+      .withColumn("frac_scaled",
+        floor((col("w") - col("epochs")) * 65536).cast("long"))
+      .select("source", "n_docs", "epochs", "frac_scaled")
+    val extra = Tables.documents(spark, d)
+      .select(col("source"),
+        conv(substring(md5(concat(lit("up:"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("long").as("hk"))
+      .join(broadcast(plan), "source")
+      .filter(col("hk") < col("frac_scaled"))
+      .groupBy("source").agg(count(lit(1)).as("n_extra"))
+    plan.join(extra, Seq("source"), "left")
+      .withColumn("n_extra", coalesce(col("n_extra"), lit(0L)))
+      .withColumn("n_sampled", col("epochs") * col("n_docs") + col("n_extra"))
+      .select("source", "n_docs", "epochs", "frac_scaled", "n_extra", "n_sampled")
+      .orderBy("source")
+  }
 }

@@ -80,4 +80,26 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) * r.getLong(2) - target) < target * 1e-3)
     }
   }
+
+  test("upsample plan realizes the mixture weight within one hash quantum") {
+    val plan = Sampling.qUpsamplePlan(spark, sf01).collect()
+    val weights = Sampling.qMixWeights(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    plan.foreach { r =>
+      val (src, nDocs, epochs, frac, nExtra, nSampled) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(nSampled == epochs * nDocs + nExtra)
+      assert(nExtra <= nDocs)
+      // realized rate tracks the target weight (hash sampling is
+      // binomial around frac/65536; allow a generous band)
+      val realized = nSampled.toDouble / nDocs
+      val target = epochs + frac / 65536.0
+      assert(math.abs(realized - target) < 0.15,
+        s"$src realized $realized vs target $target (w=${weights(src)})")
+    }
+    // determinism
+    assert(Sampling.qUpsamplePlan(spark, sf01).collect().map(_.toString)
+      .sameElements(plan.map(_.toString)))
+  }
 }
