@@ -314,21 +314,29 @@ object Inventory {
     * plus booleans asserting the sketch is within 5% relative error —
     * the oracle emits exact counts and TRUE, so a sketch regression
     * fails the hash. Raw sketch form below for spec/production. */
-  def qDistinctApprox(spark: SparkSession, d: String): DataFrame =
-    Tables.spread(spark, Tables.events(spark, d), "event_id")
-      .groupBy("event_type")
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        countDistinct(col("value")).as("exact_values"),
-        (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
-          <= countDistinct(col("user_id")).cast("double") * 0.05).as("users_ok"),
-        (abs(approx_count_distinct(col("value"), 0.02) - countDistinct(col("value")))
-          <= countDistinct(col("value")).cast("double") * 0.05).as("values_ok"))
+  def qDistinctApprox(spark: SparkSession, d: String): DataFrame = {
+    // Exact and sketch aggregates run SEPARATELY and join on the tiny
+    // group key: fused, the multi-distinct Expand triples the row
+    // stream and drags the 32 KB-per-group HLL buffers through every
+    // phase of the 4-stage distinct plan (measured 2.1 s vs 0.5 + 0.75
+    // split at sf0.1). The join is |groups| rows — broadcast, free.
+    val ev = Tables.spread(spark, Tables.events(spark, d), "event_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("value")).as("exact_values"))
+    val approx = distinctApproxRaw(spark, d)
+    exact.join(broadcast(approx), "event_type")
+      .select(col("event_type"), col("exact_users"), col("exact_values"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users").cast("double") * 0.05).as("users_ok"),
+        (abs(col("approx_values") - col("exact_values"))
+          <= col("exact_values").cast("double") * 0.05).as("values_ok"))
       .orderBy("event_type")
+  }
 
   /** Raw sketch-only form (the actual 100 TB execution shape). */
   private[graft] def distinctApproxRaw(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
+    Tables.spread(spark, Tables.events(spark, d), "event_id")
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
