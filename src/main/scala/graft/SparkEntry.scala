@@ -126,6 +126,7 @@ object SparkEntry {
     "q_mix_weights" -> (Sampling.qMixWeights _),
     "q_upsample_plan" -> (Sampling.qUpsamplePlan _),
     "q_boilerplate" -> (Quality.qBoilerplate _),
+    "q_quality_gate" -> (Quality.qQualityGate _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
     "q_incremental_dedup" -> (Quality.qIncrementalDedup _),
@@ -953,6 +954,38 @@ object SparkEntry {
         |    + 0.3 * (1.0 - symbol_ratio)
         |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+        |    round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+        |    n_tokens
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, round(least(1.0, greatest(0.0,
+        |    0.5 * least(n_tokens / 20.0, 1.0)
+        |    + 0.3 * (1.0 - symbol_ratio)
+        |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
+        |  FROM r),
+        |j AS (
+        |  SELECT d.source, q.quality_score
+        |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+        |med AS (
+        |  SELECT source, quantile_disc(quality_score, 0.5) AS med
+        |  FROM j GROUP BY source)
+        |SELECT j.source, count(*) AS n_docs,
+        |  count(*) FILTER (j.quality_score >= med.med) AS n_kept,
+        |  max(med.med) AS median_score
+        |FROM j JOIN med ON j.source = med.source
+        |GROUP BY j.source ORDER BY j.source""".stripMargin,
 
     "q_doc_fingerprint" ->
       """WITH sh AS (

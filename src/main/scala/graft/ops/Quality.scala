@@ -501,6 +501,35 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Per-source quality gate: keep documents at or above their
+    * source's MEDIAN quality score — the relative filter a curation
+    * pipeline uses when absolute thresholds don't transfer across
+    * provenances (a mid-tier crawl doc and a mid-tier textbook doc
+    * have very different absolute scores). Declared surface is the
+    * per-source accounting (corpus size, survivors, the median
+    * itself); the gate predicate is a broadcast join any downstream
+    * filter inlines. The exact per-group percentile buffers one
+    * source's scores per task — same documented trade as
+    * q_percentiles, with approx_percentile as the 100 TB swap. */
+  def qQualityGate(spark: SparkSession, d: String): DataFrame = {
+    val scored = qQualityScore(spark, d).select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")), "doc_id")
+      .persist() // feeds both the median aggregate and the gate count
+    // DISCRETE median (an actual score value, no interpolation): the
+    // continuous form computes a + f·(b−a) in Spark and (a+b)/2-style
+    // in DuckDB — different IEEE expressions that can differ in the
+    // 4th decimal. A selected data value is hash-stable by
+    // construction (same reasoning as the k-means exact-decimal fix).
+    val med = scored.groupBy("source")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)").as("med"))
+    scored.join(broadcast(med), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("quality_score") >= col("med"), lit(1))).as("n_kept"),
+        max(col("med")).as("median_score"))
+      .orderBy("source")
+  }
+
   /** Cross-document boilerplate phrase detection (the CCNet-style
     * pre-dedup pass that strips headers, footers, and license
     * blurbs): word-5-gram phrases appearing in ≥ 3 DISTINCT documents

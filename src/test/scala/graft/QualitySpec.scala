@@ -37,6 +37,28 @@ class QualitySpec extends SparkSpec {
     assert(exact.subsetOf(lsh))
   }
 
+  test("hot-band cap engages: an over-cap identical blob contributes no pairs, real dups survive") {
+    // 1100 byte-identical docs band together in all 4 bands -> every
+    // group exceeds maxBandGroup (1000) and is dropped BEFORE pair
+    // expansion (1100^2/2 pairs never materialize); an unrelated
+    // planted near-dup pair must still come through on its own bands.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotband").toString
+    val blobText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val blob = (1L to 1100L).map(i =>
+      (i, blobText, "en", "blob", blobText.length.toLong))
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = a + " thirteen"
+    val near = Seq((2001L, a, "en", "pair", a.length.toLong),
+      (2002L, b, "en", "pair", b.length.toLong))
+    (blob ++ near).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Quality.qMinhashNeardup(spark, dir).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2001L, 2002L)),
+      s"expected only the planted pair, got ${pairs.mkString(", ")}")
+  }
+
   test("LSH band groups stay far below the hot-band cap at this sf") {
     val maxGroup = Quality.minhashBands(
         Quality.minhashSig(Quality.wordShingleInv(spark, sfDir)))
@@ -103,6 +125,24 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
     assert(got == want)
     assert(got(3L).isEmpty)
+  }
+
+  test("quality gate: median is an actual member score and keeps >= half per source") {
+    val gate = Quality.qQualityGate(spark, sfDir).collect()
+    val scores = Quality.qQualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .collect().groupBy(_.getString(2))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    gate.foreach { r =>
+      val (src, n, kept, med) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val ss = scores(src)
+      assert(n == ss.length)
+      assert(ss.contains(med), s"$src median $med is not a member score")
+      assert(kept == ss.count(_ >= med))
+      assert(kept >= (n + 1) / 2, s"$src keeps $kept of $n — below half")
+    }
   }
 
   test("boilerplate phrases each occur in >= 3 distinct docs (recomputed)") {
