@@ -127,6 +127,7 @@ object SparkEntry {
     "q_upsample_plan" -> (Sampling.qUpsamplePlan _),
     "q_boilerplate" -> (Quality.qBoilerplate _),
     "q_quality_gate" -> (Quality.qQualityGate _),
+    "q_vocab_drift" -> (Quality.qVocabDrift _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
     "q_incremental_dedup" -> (Quality.qIncrementalDedup _),
@@ -954,6 +955,22 @@ object SparkEntry {
         |    + 0.3 * (1.0 - symbol_ratio)
         |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_drift" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS n_ts FROM t GROUP BY source, tok),
+        |ct AS (SELECT tok, CAST(sum(n_ts) AS BIGINT) AS n_t FROM st GROUP BY tok),
+        |stot AS (SELECT source, CAST(sum(n_ts) AS BIGINT) AS n_s
+        |         FROM st GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM ct)
+        |SELECT st.source, count(*) AS n_types, max(n_s) AS n_tokens,
+        |  round(CAST(CAST(sum(CAST((CAST(n_ts AS DOUBLE) / n_s)
+        |      * ln((CAST(n_ts AS DOUBLE) / n_s) / (CAST(n_t AS DOUBLE) / n))
+        |      AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE), 4) AS kl_divergence
+        |FROM st JOIN ct USING (tok) JOIN stot USING (source) CROSS JOIN tot
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
 
     "q_quality_gate" ->
       """WITH m AS (

@@ -501,6 +501,40 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Per-source vocabulary drift: KL(source ‖ corpus) over the
+    * unigram token distribution — the domain-shift monitor a corpus
+    * pipeline runs per provenance ("did vendor X's crawl change
+    * register?"). Per-(source, token) counts collapse map-side; the
+    * corpus marginal is a SECOND aggregate over those counts (never a
+    * second corpus scan); per-source totals and the 1-row corpus
+    * total broadcast back. Every KL term is computed from exact
+    * integers through one pinned double expression, and the sum
+    * routes through DECIMAL(18,12) so partial-merge order cannot
+    * perturb the 4th decimal (the qEntropy/qPerplexityProxy
+    * discipline). */
+  def qVocabDrift(spark: SparkSession, d: String): DataFrame = {
+    val srcTok = Tables.documentsSpread(spark, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_ts"))
+      .persist() // feeds the corpus marginal, the totals, and the join
+    val corpTok = srcTok.groupBy("tok").agg(sum("n_ts").as("n_t"))
+    val srcTot = srcTok.groupBy("source").agg(sum("n_ts").as("n_s"))
+    val tot = corpTok.agg(sum("n_t").as("n"))
+    srcTok
+      .join(corpTok, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """(CAST(n_ts AS DOUBLE) / n_s)
+          | * ln((CAST(n_ts AS DOUBLE) / n_s) / (CAST(n_t AS DOUBLE) / n))"""
+          .stripMargin))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), max(col("n_s")).as("n_tokens"),
+        round(sum(col("term").cast("decimal(18,12)")).cast("double"), 4)
+          .as("kl_divergence"))
+      .orderBy("source")
+  }
+
   /** Per-source quality gate: keep documents at or above their
     * source's MEDIAN quality score — the relative filter a curation
     * pipeline uses when absolute thresholds don't transfer across

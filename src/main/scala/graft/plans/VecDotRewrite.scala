@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.VecDot
+import graft.functions.{MinHash8, ShingleMinMaxMd5, VecDot, WordShingles}
 
 /** Optimizer rule: rewrite the declarative dot-product idiom
   *
@@ -49,7 +49,7 @@ object VecDotRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions wiring graft's native function and optimizer
+/** Session extensions wiring graft's native functions and optimizer
   * rule — production entry point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -58,6 +58,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => WordShingles(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+      (children: Seq[Expression]) => MinHash8(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_minmax_md5"),
+      new ExpressionInfo(classOf[ShingleMinMaxMd5].getName, "shingle_minmax_md5"),
+      (children: Seq[Expression]) => ShingleMinMaxMd5(children.head, children(1))))
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }
 }

@@ -127,6 +127,27 @@ class QualitySpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("vocab drift: KL non-negative (Gibbs) and one source recomputed from scratch") {
+    val rows = Quality.qVocabDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-9, s"negative KL in $r"))
+    // recompute the first source's KL driver-side from raw tokens
+    val src = rows.head.getString(0)
+    val all = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mine = all.filter(_._1 == src).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val n = all.length.toDouble
+    val ns = mine.values.sum.toDouble
+    val kl = mine.map { case (t, c) =>
+      (c / ns) * math.log((c / ns) / (corpus(t) / n))
+    }.sum
+    assert(math.abs(kl - rows.head.getDouble(3)) < 2e-4)
+    assert(rows.head.getLong(1) == mine.size && rows.head.getLong(2) == ns.toLong)
+  }
+
   test("quality gate: median is an actual member score and keeps >= half per source") {
     val gate = Quality.qQualityGate(spark, sfDir).collect()
     val scores = Quality.qQualityScore(spark, sfDir)
