@@ -87,6 +87,7 @@ object SparkEntry {
     "q_length_buckets" -> (Packing.qLengthBuckets _),
     "q_pack_greedy" -> (Packing.qPackGreedy _),
     "q_shard_assign" -> (Packing.qShardAssign _),
+    "q_shard_manifest" -> (Packing.qShardManifest _),
     "q_passage_dedup" -> (Packing.qPassageDedup _),
     "q_chunk_overlap" -> (Packing.qChunkOverlap _),
     // Time windows (E16-E18)
@@ -555,6 +556,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT substr(md5('shard:' || doc_id), 1, 1) AS shard, n_chars,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |                     substr(md5(text), i, 1)) - 1)
+        |                   * pow(16.0, 13 - i) for i in range(1, 14)])
+        |      AS BIGINT) AS h52
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(h52) AS content_checksum
         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_passage_dedup" ->

@@ -75,6 +75,27 @@ object Packing {
         max("doc_id").as("max_doc"))
       .orderBy("shard")
 
+  /** Shard manifest with content checksums — the integrity artifact a
+    * distributed landing job publishes next to each shard so a reader
+    * (or a re-run) can verify completeness without rescanning payloads
+    * (the reference's verify-after-upload step, upload_to_rfs.py, as
+    * an aggregate). The checksum folds each doc's content hash with
+    * bit_xor: ORDER-INDEPENDENT, so it needs no per-shard sort or
+    * collect_list and merges map-side — any task order, partitioning,
+    * or retry produces the same digest. 13 hex chars (52 bits) of the
+    * md5 keep the per-doc hash exact in a double during the oracle's
+    * hex parse (the qWeightedSample precedent) and in a long here. */
+  def qShardManifest(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 1).as("shard"),
+        col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("h52"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        expr("bit_xor(h52)").as("content_checksum"))
+      .orderBy("shard")
+
   /** Stable dense surrogate keys 0..n−1 in doc_id order — the
     * contiguous sample indices a training dataloader addresses. The
     * declarative form (`row_number() OVER (ORDER BY doc_id)`) plans a

@@ -105,6 +105,24 @@ class PackingSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("shard manifest checksum is partitioning-invariant and tracks shard assign") {
+    val manifest = Packing.qShardManifest(spark, sfDir).collect()
+    // same accounting as the assignment query
+    val assign = Packing.qShardAssign(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    manifest.foreach { r =>
+      assert(assign(r.getString(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+    // bit_xor fold is order/partitioning independent: recompute the
+    // checksum through a deliberately different partitioning
+    val reparted = Tables.documents(spark, sfDir).repartition(7, col("source"))
+      .select(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 1).as("shard"),
+        expr("CAST(conv(substring(md5(text), 1, 13), 16, 10) AS LONG)").as("h52"))
+      .groupBy("shard").agg(expr("bit_xor(h52)").as("ck")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    manifest.foreach(r => assert(reparted(r.getString(0)) == r.getLong(3)))
+  }
+
   test("csv config round-trip equals the dim it was written from") {
     val back = graft.sources.CsvSource.qCsvConfig(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
