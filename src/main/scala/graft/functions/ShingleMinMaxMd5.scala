@@ -32,14 +32,14 @@ case class ShingleMinMaxMd5(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"shingle_minmax_md5 requires (string, int), got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    ShingleUtil.checkTextWidth("shingle_minmax_md5", left, right)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // returns null for texts shorter than the window width even when
+  // both inputs are non-nullable — without this override Catalyst
+  // folds IsNull to false and generated code NPEs on the null array
+  override def nullable: Boolean = true
 
   override def prettyName: String = "shingle_minmax_md5"
 

@@ -20,6 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
 private[functions] object ShingleUtil {
   private val ws = Pattern.compile("\\s+")
 
+  /** Shared (string, positive-int-literal) signature check for the
+    * SQL-exposed shingle family — a non-positive or non-foldable
+    * width must fail ANALYSIS, not throw per-row inside a task. */
+  def checkTextWidth(name: String, left: Expression,
+      right: Expression): TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires (string, int), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else if (!right.foldable || right.eval() == null ||
+        right.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires a positive integer literal width")
+    else TypeCheckResult.TypeCheckSuccess
+
   /** Tokens with Spark split semantics (limit -1: trailing empties kept). */
   def tokens(text: UTF8String): Array[String] = ws.split(text.toString, -1)
 
@@ -73,12 +88,7 @@ case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"word_shingles requires (string, int), got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    ShingleUtil.checkTextWidth("word_shingles", left, right)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -114,12 +124,7 @@ case class MinHash8(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"minhash8 requires (string, int), got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    ShingleUtil.checkTextWidth("minhash8", left, right)
 
   override def dataType: DataType = StructType(
     (0 until 8).map(j => StructField(s"m$j", StringType, nullable = false)) :+

@@ -116,18 +116,27 @@ object Sampling {
     * source_chars, computed in one aggregate pass plus a broadcast
     * 1-row total — no second scan, no driver-side math. The division
     * chain is pinned as the same double expression on both engines. */
-  def qMixWeights(spark: SparkSession, d: String): DataFrame = {
+  /** Shared per-source budget frame: (source, n_docs, sum_chars) ×
+    * broadcast (total_chars, n_sources), with the UNROUNDED uniform-
+    * budget weight `w` = (total/n_sources)/sum_chars. Both the
+    * mixture-weight report and the upsampling plan derive from this
+    * one expression, so the budget definition can never silently
+    * diverge between them. */
+  private def sourceBudget(spark: SparkSession, d: String): DataFrame = {
     val bySrc = Tables.documents(spark, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
     val tot = bySrc.agg(sum("sum_chars").cast("long").as("total_chars"),
       count(lit(1)).as("n_sources"))
     bySrc.crossJoin(broadcast(tot))
-      .withColumn("weight",
-        expr("round(CAST(total_chars AS DOUBLE) / n_sources / sum_chars, 4)"))
-      .select("source", "n_docs", "sum_chars", "weight")
-      .orderBy("source")
+      .withColumn("w", expr("CAST(total_chars AS DOUBLE) / n_sources / sum_chars"))
   }
+
+  def qMixWeights(spark: SparkSession, d: String): DataFrame =
+    sourceBudget(spark, d)
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        round(col("w"), 4).as("weight"))
+      .orderBy("source")
 
   /** Upsampling plan: turn a per-source mixture weight w into the
     * epochs-and-remainder recipe a dataloader executes — every doc
@@ -144,13 +153,7 @@ object Sampling {
     * 1/65536 — the declared comparison is on the integer-scaled
     * frac, so both engines cut the same doc set. */
   def qUpsamplePlan(spark: SparkSession, d: String): DataFrame = {
-    val bySrc = Tables.documents(spark, d)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
-    val tot = bySrc.agg(sum("sum_chars").cast("long").as("total_chars"),
-      count(lit(1)).as("n_sources"))
-    val plan = bySrc.crossJoin(broadcast(tot))
-      .withColumn("w", expr("CAST(total_chars AS DOUBLE) / n_sources / sum_chars"))
+    val plan = sourceBudget(spark, d)
       .withColumn("epochs", floor(col("w")).cast("long"))
       // integer-scaled fractional part: exact threshold in [0, 65536)
       .withColumn("frac_scaled",

@@ -46,7 +46,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_vocab_coverage",    // 1-row total-token count broadcast
     "q_pmi_bigrams",       // 1-row totals broadcast
     "q_mix_weights",       // 1-row (total_chars, n_sources) broadcast
-    "q_upsample_plan")     // same 1-row mixture total broadcast
+    "q_upsample_plan",     // same 1-row mixture total broadcast
+    "q_vocab_drift")       // 1-row corpus token total broadcast
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -127,6 +127,30 @@ class QualitySpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("shingle_minmax_md5 stays nullable over a NON-nullable input column") {
+    // without the nullable override, Catalyst folds IsNull to false
+    // and generated code NPEs dereferencing the null array
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.functions.GraftFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "abc"), Row(2L, "abcdef"))),
+      schema).createOrReplaceTempView("smm_nn")
+    val r = spark.sql(
+      """SELECT doc_id, shingle_minmax_md5(text, 5) IS NULL AS isnull,
+        |  shingle_minmax_md5(text, 5)[0] AS m
+        |FROM smm_nn ORDER BY doc_id""".stripMargin).collect()
+    assert(r(0).getBoolean(1) && r(0).isNullAt(2))  // "abc": too short -> null
+    assert(!r(1).getBoolean(1) && r(1).getString(2).nonEmpty)
+    // analysis-time rejection of non-positive widths
+    val e = intercept[Exception](
+      spark.sql("SELECT word_shingles(text, 0) FROM smm_nn").collect())
+    assert(e.getMessage.contains("positive integer"))
+  }
+
   test("vocab drift: KL non-negative (Gibbs) and one source recomputed from scratch") {
     val rows = Quality.qVocabDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
