@@ -62,6 +62,7 @@ object SparkEntry {
     "q_rolling_stats" -> (Analytics.qRollingStats _),
     "q_ntile_cume" -> (Analytics.qNtileCume _),
     "q_funnel" -> (Analytics.qFunnel _),
+    "q_funnel_time" -> (Analytics.qFunnelTime _),
     "q_value_histogram" -> (Analytics.qValueHistogram _),
     "q_winsorize" -> (Analytics.qWinsorize _),
     "q_scd2" -> (Analytics.qScd2 _),
@@ -498,6 +499,30 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY e.user_id),
+        |deltas AS (
+        |  SELECT 'view_to_click' AS transition,
+        |    epoch_us(c.first_click) - epoch_us(v.first_view) AS delta_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS transition,
+        |    epoch_us(p.first_purchase) - epoch_us(c.first_click) AS delta_us
+        |  FROM c JOIN p ON c.user_id = p.user_id)
+        |SELECT transition, count(*) AS n_converted,
+        |  min(delta_us) AS min_us,
+        |  quantile_disc(delta_us, 0.5) AS median_us,
+        |  max(delta_us) AS max_us
+        |FROM deltas GROUP BY transition ORDER BY transition""".stripMargin,
 
     "q_value_histogram" ->
       """WITH b AS (

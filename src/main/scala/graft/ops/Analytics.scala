@@ -97,6 +97,37 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Stage-to-stage conversion timing: the latency distribution
+    * between funnel stages (time-to-click after first view, time-to-
+    * purchase after first click) — the companion every funnel report
+    * ships with ("users convert, but how fast?"). Composes qFunnel's
+    * per-user stage timestamps; deltas are exact integer MICROSECONDS
+    * (`unix_micros`, the engine's pinned time unit) and the median is
+    * percentile_disc — a selected member value, so every output cell
+    * is an exact integer and the surface is hash-stable by
+    * construction. Unpivoted with `stack` so both transitions
+    * aggregate in one pass over the (tiny) converted-user frame. */
+  def qFunnelTime(spark: SparkSession, d: String): DataFrame =
+    qFunnel(spark, d)
+      .select(
+        when(col("first_click").isNotNull,
+          unix_micros(col("first_click")) - unix_micros(col("first_view"))).as("vc"),
+        when(col("first_purchase").isNotNull,
+          unix_micros(col("first_purchase")) - unix_micros(col("first_click"))).as("cp"))
+      .select(expr(
+        "stack(2, 'view_to_click', vc, 'click_to_purchase', cp) AS (transition, delta_us)"))
+      .filter(col("delta_us").isNotNull)
+      .groupBy("transition")
+      .agg(count(lit(1)).as("n_converted"),
+        min("delta_us").as("min_us"),
+        // percentile_disc returns DOUBLE even for integral input; the
+        // selected value is an exact µs long (< 2^53), so the cast is
+        // lossless and matches the oracle's BIGINT quantile_disc
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_us) AS BIGINT)")
+          .as("median_us"),
+        max("delta_us").as("max_us"))
+      .orderBy("transition")
+
   /** Fixed-bin histogram of value per event_type: 20 bins of width 25
     * over [0, 500). Bin edges are data-independent constants, so the
     * histogram is a single map-side-combining aggregate — the profile

@@ -62,6 +62,27 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("funnel timing counts converters and picks member-value medians") {
+    val t = Analytics.qFunnelTime(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = Analytics.qFunnel(spark, sfDir).cache()
+    assert(t("view_to_click").getLong(1) ==
+      f.filter(col("first_click").isNotNull).count())
+    assert(t("click_to_purchase").getLong(1) ==
+      f.filter(col("first_purchase").isNotNull).count())
+    // strictly-increasing funnel => positive deltas; median is bracketed
+    t.values.foreach { r =>
+      val (mn, med, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn > 0 && mn <= med && med <= mx)
+    }
+    // the view->click median is an actual observed delta
+    val deltas = f.filter(col("first_click").isNotNull)
+      .select((unix_micros(col("first_click")) - unix_micros(col("first_view"))).as("d"))
+      .collect().map(_.getLong(0)).toSet
+    assert(deltas.contains(t("view_to_click").getLong(3)))
+    f.unpersist()
+  }
+
   test("histogram covers every event exactly once and bins bound their members") {
     val hist = Analytics.qValueHistogram(spark, sfDir)
     val total = hist.agg(sum("n")).as[Long].collect().head
