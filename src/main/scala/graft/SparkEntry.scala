@@ -130,6 +130,7 @@ object SparkEntry {
     "q_boilerplate" -> (Quality.qBoilerplate _),
     "q_quality_gate" -> (Quality.qQualityGate _),
     "q_vocab_drift" -> (Quality.qVocabDrift _),
+    "q_ngram_novelty" -> (Quality.qNgramNovelty _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
     "q_incremental_dedup" -> (Quality.qIncrementalDedup _),
@@ -993,6 +994,21 @@ object SparkEntry {
         |    + 0.3 * (1.0 - symbol_ratio)
         |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |inv AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+        |    for i in range(1, len(tk) - 1)]) AS shingle
+        |  FROM tkt WHERE len(tk) >= 3),
+        |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY shingle)
+        |SELECT inv.doc_id, count(*) AS n_shingles,
+        |  count(*) FILTER (fst.first_doc = inv.doc_id) AS n_novel,
+        |  round(count(*) FILTER (fst.first_doc = inv.doc_id)
+        |    / CAST(count(*) AS DOUBLE), 4) AS novelty_ratio
+        |FROM inv JOIN fst USING (shingle)
+        |GROUP BY inv.doc_id ORDER BY inv.doc_id""".stripMargin,
 
     "q_vocab_drift" ->
       """WITH t AS (

@@ -535,6 +535,26 @@ object Quality {
       .orderBy("source")
   }
 
+  /** N-gram novelty curve: per document (in ingestion = doc_id
+    * order), the share of its distinct word-3-gram shingles that no
+    * EARLIER document contains — the corpus-redundancy signal that
+    * tells a crawl when additional data stops contributing new
+    * content. A shingle's novelty owner is its min(doc_id): one
+    * aggregate over the inverted index, joined back on the shingle —
+    * the Σdf-bounded inverted-index shape; only (shingle, id) pairs
+    * shuffle, never text. */
+  def qNgramNovelty(spark: SparkSession, d: String): DataFrame = {
+    val inv = wordShingleInv(spark, d).persist() // index + first-seen share it
+    val first = inv.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    inv.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      .withColumn("novelty_ratio",
+        expr("round(n_novel / CAST(n_shingles AS DOUBLE), 4)"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source quality gate: keep documents at or above their
     * source's MEDIAN quality score — the relative filter a curation
     * pipeline uses when absolute thresholds don't transfer across

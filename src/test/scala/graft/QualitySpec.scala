@@ -151,6 +151,22 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("positive integer"))
   }
 
+  test("ngram novelty: doc 0 is fully novel, ratios in [0,1], corpus totals conserve") {
+    val rows = Quality.qNgramNovelty(spark, sfDir).collect()
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(1) == first.getLong(2), "earliest doc must be 100% novel")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // Σ n_novel == |distinct shingles in the corpus| (each shingle has
+    // exactly one first owner)
+    val vocab = Quality.wordShingleInv(spark, sfDir)
+      .select("shingle").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == vocab)
+  }
+
   test("vocab drift: KL non-negative (Gibbs) and one source recomputed from scratch") {
     val rows = Quality.qVocabDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
