@@ -131,6 +131,7 @@ object SparkEntry {
     "q_quality_gate" -> (Quality.qQualityGate _),
     "q_vocab_drift" -> (Quality.qVocabDrift _),
     "q_ngram_novelty" -> (Quality.qNgramNovelty _),
+    "q_eval_overlap" -> (Quality.qEvalOverlap _),
     "q_json_extract" -> (Quality.qJsonExtract _),
     "q_perplexity_proxy" -> (Quality.qPerplexityProxy _),
     "q_incremental_dedup" -> (Quality.qIncrementalDedup _),
@@ -994,6 +995,26 @@ object SparkEntry {
         |    + 0.3 * (1.0 - symbol_ratio)
         |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_eval_overlap" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |inv AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+        |    for i in range(1, len(tk) - 1)]) AS shingle
+        |  FROM tkt WHERE len(tk) >= 3),
+        |ov AS (
+        |  SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc,
+        |    count(*) AS n_shared
+        |  FROM inv b JOIN inv c USING (shingle)
+        |  WHERE b.doc_id < 10 AND c.doc_id >= 10
+        |  GROUP BY b.doc_id, c.doc_id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bench_doc
+        |    ORDER BY n_shared DESC, corpus_doc) AS rn
+        |  FROM ov)
+        |SELECT bench_doc, corpus_doc, n_shared FROM rk
+        |WHERE rn = 1 ORDER BY bench_doc""".stripMargin,
 
     "q_ngram_novelty" ->
       """WITH tkt AS (

@@ -603,6 +603,32 @@ object Quality {
       .orderBy(col("df").desc, col("phrase"))
   }
 
+  /** Contamination triage: for each benchmark document (doc_id < 10,
+    * the stand-in eval suite), the single corpus document sharing the
+    * MOST word-3-gram shingles — the drill-down a decontamination
+    * report links to ("which training doc leaked this eval item?").
+    * Overlap counts come from the same Σdf-bounded inverted-index
+    * join as qContamination; the per-benchmark argmax is a max_by
+    * hash aggregate keyed on (count, -doc_id) — deterministic ties to
+    * the smaller corpus doc, no per-group sort (qDedupKeepBest's
+    * pattern). */
+  def qEvalOverlap(spark: SparkSession, d: String): DataFrame = {
+    val inv = wordShingleInv(spark, d).persist()
+    val bench = inv.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    inv.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("corpus_doc"), col("shingle"))
+      .join(broadcast(bench), "shingle")
+      .groupBy("bench_doc", "corpus_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("bench_doc")
+      .agg(max_by(struct(col("corpus_doc"), col("n_shared")),
+        struct(col("n_shared"), (-col("corpus_doc")).as("neg_id"))).as("best"))
+      .select(col("bench_doc"), col("best.corpus_doc").as("corpus_doc"),
+        col("best.n_shared").as("n_shared"))
+      .orderBy("bench_doc")
+  }
+
   /** Intra-document repetition (the Gopher-style quality filter):
     * share of word-3-gram occurrences that are repeats of an earlier
     * shingle in the same doc, plus the hottest shingle's multiplicity.

@@ -167,6 +167,21 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == vocab)
   }
 
+  test("eval overlap: winner is the true argmax for one benchmark doc") {
+    val rows = Quality.qEvalOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) < 10 && r.getLong(1) >= 10))
+    // recompute the full overlap vector for the first bench doc
+    val inv = Quality.wordShingleInv(spark, sfDir)
+      .select("doc_id", "shingle").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val benchDoc = rows.head.getLong(0)
+    val bSh = inv.filter(_._1 == benchDoc).map(_._2).toSet
+    val counts = inv.filter { case (id, sh) => id >= 10 && bSh(sh) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val best = counts.toSeq.sortBy { case (id, n) => (-n, id) }.head
+    assert((rows.head.getLong(1), rows.head.getLong(2).toInt) == best)
+  }
+
   test("vocab drift: KL non-negative (Gibbs) and one source recomputed from scratch") {
     val rows = Quality.qVocabDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
