@@ -153,6 +153,7 @@ object SparkEntry {
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
     "q_knn_classify" -> (Similarity.qKnnClassify _),
     "q_embedding_stats" -> (Similarity.qEmbeddingStats _),
+    "q_embed_outliers" -> (Similarity.qEmbedOutliers _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -1787,6 +1788,37 @@ object SparkEntry {
         |  FROM p)
         |SELECT probe_id, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, s.dim, s.x FROM (
+        |    SELECT label,
+        |      unnest([{'dim': i, 'x': e[i + 1]} for i in range(0, len(e))]) AS s
+        |    FROM v)),
+        |cm AS (
+        |  SELECT label, dim,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM x GROUP BY label, dim),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS c FROM cm GROUP BY label),
+        |sc AS (
+        |  SELECT v.vec_id, v.label,
+        |    list_sum([v.e[i] * c.c[i] for i in range(1, len(v.e) + 1)])
+        |      / (sqrt(list_sum([y * y for y in v.e]))
+        |         * sqrt(list_sum([y * y for y in c.c]))) AS cos
+        |  FROM v JOIN cent c USING (label)),
+        |cnt AS (SELECT label, count(*) AS n_vecs FROM v GROUP BY label),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY cos, vec_id) AS rn
+        |  FROM sc)
+        |SELECT rk.label, cnt.n_vecs, rk.vec_id AS outlier_vec,
+        |  round(rk.cos, 4) AS outlier_cos
+        |FROM rk JOIN cnt ON rk.label = cnt.label
+        |WHERE rn = 1 ORDER BY rk.label""".stripMargin,
 
     // Norm mean ships as (exact decimal sum string, count): no derived
     // double in the checked surface (the q_kmeans_step lesson).

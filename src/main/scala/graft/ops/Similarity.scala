@@ -325,6 +325,40 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Embedding outliers: per label, the vector FARTHEST (by cosine)
+    * from its label centroid — the mislabeled/encoder-glitch detector
+    * an embedding-corpus hygiene pass runs after qEmbeddingStats.
+    *
+    * Centroid parity: per-dim means derive from exact DECIMAL(18,6)
+    * sums routed through a STRING before the double cast (the
+    * qPerplexityProxy round-trip — both engines parse the same
+    * decimal literal with correctly-rounded strtod, where a direct
+    * int128→double cast is build-dependent). The centroid frame is
+    * |labels|×|dims| rows — reassembled with a tiny sort+transform
+    * and broadcast; the corpus streams past it once. The per-label
+    * argmin is min_by on (cos, vec_id) — deterministic ties, no
+    * per-group sort. */
+  def qEmbedOutliers(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val comp = v.select(col("label"), posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("string").cast("double")
+        / count(lit(1))).as("m"))
+    val cent = comp.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label"), expr("transform(dm, s -> s.m)").as("c"))
+      .withColumn("cn", expr("sqrt(vec_dot(c, c))"))
+    v.join(broadcast(cent), "label")
+      .withColumn("cos", expr("vec_dot(e, c) / (nrm * cn)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min_by(struct(col("vec_id"), col("cos")),
+          struct(col("cos"), col("vec_id"))).as("w"))
+      .select(col("label"), col("n_vecs"), col("w.vec_id").as("outlier_vec"),
+        round(col("w.cos"), 4).as("outlier_cos"))
+      .orderBy("label")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

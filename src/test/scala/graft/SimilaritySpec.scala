@@ -160,4 +160,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getInt(2) == expected._1 && got.getLong(3) == expected._2.toLong,
       s"probe 0: predicted (${got.getInt(2)}, ${got.getLong(3)}), brute-force $expected")
   }
+
+  test("embed outliers: the flagged vector is the true centroid argmin for one label") {
+    val rows = Similarity.qEmbedOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val label = rows.head.getInt(0)
+    // brute-force recompute: centroid as plain double means, cosines
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === label)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val dims = vecs.head._2.length
+    val cent = (0 until dims).map(j => vecs.map(_._2(j)).sum / vecs.length).toArray
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val worst = vecs.map { case (id, e) =>
+      (id, dot(e, cent) / (math.sqrt(dot(e, e)) * math.sqrt(dot(cent, cent))))
+    }.minBy { case (id, c) => (c, id) }
+    assert(rows.head.getLong(2) == worst._1)
+    assert(math.abs(rows.head.getDouble(3) - worst._2) < 1e-3)
+    assert(rows.head.getLong(1) == vecs.length)
+  }
 }
