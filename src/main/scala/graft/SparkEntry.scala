@@ -79,6 +79,8 @@ object SparkEntry {
     "q_daily_anomaly" -> (Analytics.qDailyAnomaly _),
     "q_retention" -> (Analytics.qRetention _),
     "q_event_transitions" -> (Analytics.qEventTransitions _),
+    "q_freshness" -> (Analytics.qFreshness _),
+    "q_skew_profile" -> (Analytics.qSkewProfile _),
     // Warehouse-shaped multi-join reports (TPC-H Q1/Q3/Q5 patterns)
     "q_tpch_pricing" -> (Relational.qTpchPricing _),
     "q_tpch_shipping" -> (Relational.qTpchShipping _),
@@ -502,6 +504,22 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q_freshness" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |wm AS (SELECT max(ts) AS watermark FROM e)
+        |SELECT event_type, count(*) AS n_events, max(ts) AS last_seen,
+        |  epoch_us(wm.watermark) - epoch_us(max(ts)) AS staleness_us
+        |FROM e CROSS JOIN wm
+        |GROUP BY event_type, wm.watermark ORDER BY event_type""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT key, n, round(n / CAST(n_total AS DOUBLE), 6) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin,
 
     "q_funnel_time" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -410,4 +410,41 @@ object Analytics {
         (max(col("us")) - min(col("us"))).as("duration_us"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Data freshness per feed: last-seen event time and staleness
+    * against the corpus watermark — the first number an ingestion
+    * dashboard shows per upstream ("is vendor X still sending?").
+    * One aggregate + a broadcast 1-row corpus max; staleness is exact
+    * integer µs (the engine's pinned time unit). The reference's
+    * daily-completeness question (app.py:467-480) at feed grain. */
+  def qFreshness(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("event_type"), col("ts"))
+    val wm = e.agg(max("ts").as("watermark"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_seen"))
+      .crossJoin(broadcast(wm))
+      .select(col("event_type"), col("n_events"), col("last_seen"),
+        (unix_micros(col("watermark")) - unix_micros(col("last_seen")))
+          .as("staleness_us"))
+      .orderBy("event_type")
+  }
+
+  /** Join-key skew profile: the top-10 hottest values of a join key
+    * with their share of the table — the diagnostic that decides
+    * whether a join needs salting or AQE skew handling BEFORE it runs
+    * (companion to q_skew_join_salted, which is the cure). One hash
+    * aggregate, TakeOrderedAndProject top-k (no full-key sort), and a
+    * broadcast 1-row total; share division pinned double. */
+  def qSkewProfile(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(spark, d)
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // top-k + total share it
+    val tot = counts.agg(sum("n").as("n_total"))
+    counts.orderBy(col("n").desc, col("key")).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        expr("round(n / CAST(n_total AS DOUBLE), 6)").as("share"))
+      .orderBy(col("n").desc, col("key"))
+  }
 }

@@ -83,6 +83,19 @@ class AnalyticsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("freshness: staleness non-negative with exactly one zero; skew top-10 is the true top") {
+    val fr = Analytics.qFreshness(spark, sfDir).collect()
+    assert(fr.forall(_.getLong(3) >= 0))
+    assert(fr.count(_.getLong(3) == 0) >= 1) // the watermark owner
+    assert(fr.map(_.getLong(1)).sum == Tables.events(spark, sfDir).count())
+    val sk = Analytics.qSkewProfile(spark, sfDir).collect()
+    val trueTop = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(sk.map(r => (r.getLong(0), r.getLong(1))).toSeq == trueTop.toSeq)
+    assert(sk.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1))
+  }
+
   test("histogram covers every event exactly once and bins bound their members") {
     val hist = Analytics.qValueHistogram(spark, sfDir)
     val total = hist.agg(sum("n")).as[Long].collect().head

@@ -47,7 +47,9 @@ class PlanQualitySpec extends SparkSpec {
     "q_pmi_bigrams",       // 1-row totals broadcast
     "q_mix_weights",       // 1-row (total_chars, n_sources) broadcast
     "q_upsample_plan",     // same 1-row mixture total broadcast
-    "q_vocab_drift")       // 1-row corpus token total broadcast
+    "q_vocab_drift",       // 1-row corpus token total broadcast
+    "q_freshness",         // 1-row corpus watermark broadcast
+    "q_skew_profile")      // 1-row key-count total broadcast
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
