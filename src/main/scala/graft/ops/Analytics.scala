@@ -78,7 +78,14 @@ object Analytics {
     * the furthest stage reached. Each stage is a key-only aggregate
     * joined back on user_id — three narrow hash aggregates over an
     * ever-shrinking key set, no window over the raw events. */
-  def qFunnel(spark: SparkSession, d: String): DataFrame = {
+  def qFunnel(spark: SparkSession, d: String): DataFrame =
+    funnelStages(spark, d).orderBy("user_id")
+
+  /** Unordered funnel body — qFunnelTime composes this so the declared
+    * query's output sort is never inherited by a consumer that
+    * immediately collapses the frame (a global sort feeding a 2-row
+    * aggregate is pure wasted shuffle). */
+  private def funnelStages(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.events(spark, d).select("user_id", "event_type", "ts")
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("first_view"))
@@ -94,7 +101,6 @@ object Analytics {
         when(col("first_purchase").isNotNull, "purchase")
           .when(col("first_click").isNotNull, "click")
           .otherwise("view").as("stage"))
-      .orderBy("user_id")
   }
 
   /** Stage-to-stage conversion timing: the latency distribution
@@ -108,7 +114,7 @@ object Analytics {
     * construction. Unpivoted with `stack` so both transitions
     * aggregate in one pass over the (tiny) converted-user frame. */
   def qFunnelTime(spark: SparkSession, d: String): DataFrame =
-    qFunnel(spark, d)
+    funnelStages(spark, d)
       .select(
         when(col("first_click").isNotNull,
           unix_micros(col("first_click")) - unix_micros(col("first_view"))).as("vc"),
@@ -418,10 +424,14 @@ object Analytics {
     * integer µs (the engine's pinned time unit). The reference's
     * daily-completeness question (app.py:467-480) at feed grain. */
   def qFreshness(spark: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(spark, d).select(col("event_type"), col("ts"))
-    val wm = e.agg(max("ts").as("watermark"))
-    e.groupBy("event_type")
+    // watermark = max over the tiny grouped frame, NOT a second scan
+    // of the raw table (the qVocabDrift second-aggregate discipline)
+    val byFeed = Tables.events(spark, d).select(col("event_type"), col("ts"))
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), max("ts").as("last_seen"))
+      .persist() // feeds both the watermark and the report
+    val wm = byFeed.agg(max("last_seen").as("watermark"))
+    byFeed
       .crossJoin(broadcast(wm))
       .select(col("event_type"), col("n_events"), col("last_seen"),
         (unix_micros(col("watermark")) - unix_micros(col("last_seen")))

@@ -83,10 +83,11 @@ class AnalyticsSpec extends SparkSpec {
     f.unpersist()
   }
 
-  test("freshness: staleness non-negative with exactly one zero; skew top-10 is the true top") {
+  test("freshness: staleness non-negative, at least one watermark owner; skew top-10 is the true top") {
     val fr = Analytics.qFreshness(spark, sfDir).collect()
     assert(fr.forall(_.getLong(3) >= 0))
-    assert(fr.count(_.getLong(3) == 0) >= 1) // the watermark owner
+    // >= 1 zero: the watermark owner(s) — feeds CAN tie at the max ts
+    assert(fr.count(_.getLong(3) == 0) >= 1)
     assert(fr.map(_.getLong(1)).sum == Tables.events(spark, sfDir).count())
     val sk = Analytics.qSkewProfile(spark, sfDir).collect()
     val trueTop = Tables.events(spark, sfDir).groupBy("user_id").count()
