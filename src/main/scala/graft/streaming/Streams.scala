@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -133,6 +133,49 @@ object Streams {
     * channel) rather than silently dropping. */
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming MinHash-LSH near-dup gate: arriving documents checked
+    * against a STATIC corpus index — q_incremental_dedup's semantics
+    * at stream time, and the dedup a continuous ingest actually runs
+    * (dropDuplicatesWithinWatermark only catches EXACT re-sends).
+    *
+    * Fully STATELESS stream side: the arrival's signature and shingle
+    * array are per-row projections (native minhash8/word_shingles), 4
+    * band rows explode map-side, candidates come from a stream-static
+    * equi-join against the precomputed band index, and the exact
+    * verify is array_intersect against the index side's shingle set —
+    * no watermark, no state store, state bounded at ZERO. A pair that
+    * collides on k bands is emitted k times (stateless ⇒ no streaming
+    * distinct); the sink dedupes per micro-batch (foreachBatch
+    * `dropDuplicates`, the standard pattern — exercised in the spec).
+    *
+    * At 100 TB the index side is a materialized artifact refreshed
+    * offline (here computed from a docs frame for self-containment);
+    * per-arrival work scales with the arrival's band collisions, never
+    * the corpus pair count. */
+  def nearDupGate(spark: SparkSession, arrivals: DataFrame,
+      indexDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def sigBands(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), expr("minhash8(text, 3)").as("s"),
+        expr("array_distinct(word_shingles(text, 3))").as("sh"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("sh"), col("s.sz").as("sz"), posexplode(array(
+        (0 until 4).map(b => concat(col(s"s.m${2 * b}"), col(s"s.m${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val index = sigBands(indexDocs)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("index_doc"),
+        col("sh").as("sh_b"), col("sz").as("sz_b"))
+    sigBands(arrivals)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("new_doc"),
+        col("sh").as("sh_a"), col("sz").as("sz_a"))
+      .join(index, Seq("band_idx", "band_val"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", expr(
+        "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("new_doc", "index_doc", "jaccard")
+  }
 
   /** R14: split a fetch-result stream into ok / dead-letter branches
     * with a status column — the union-sink pattern (placeholders and

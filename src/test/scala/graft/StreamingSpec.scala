@@ -204,4 +204,38 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2)
     } finally q.stop()
   }
+
+  test("streaming near-dup gate emits exactly the batch incremental-dedup pairs, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val index = docs.filter(_._1 < 400).toSeq.toDF("doc_id", "text")
+    val arrivals = docs.filter(_._1 >= 400)
+    val input = MemoryStream[(Long, String)]
+    val gate = Streams.nearDupGate(spark,
+      input.toDF().toDF("doc_id", "text"), index)
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = gate.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // band-collision duplicates collapse at the sink (stateless plan)
+        batch.dropDuplicates("new_doc", "index_doc").collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        ()
+      }.start()
+    try {
+      val (first, rest) = arrivals.splitAt(arrivals.length / 2)
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(rest.toSeq); q.processAllAvailable()
+      // no stateful operator anywhere in the streaming plan
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    val batchPairs = graft.ops.Quality.qIncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet == batchPairs,
+      s"stream ${got.size} pairs vs batch ${batchPairs.size}")
+    assert(batchPairs.nonEmpty) // the corpus plants cross-watermark dups
+  }
 }
