@@ -76,6 +76,7 @@ object SparkEntry {
     "q_corr_group" -> (Analytics.qCorrGroup _),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "q_sessionize" -> (Analytics.qSessionize _),
+    "q_session_stats" -> (Analytics.qSessionStats _),
     "q_daily_anomaly" -> (Analytics.qDailyAnomaly _),
     "q_retention" -> (Analytics.qRetention _),
     "q_event_transitions" -> (Analytics.qEventTransitions _),
@@ -504,6 +505,32 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    max(us) - min(us) AS duration_us
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) FILTER (n_events = 1) AS n_single_event,
+        |  quantile_disc(n_events, 0.5) AS median_events,
+        |  quantile_disc(duration_us, 0.5) AS median_duration_us,
+        |  max(duration_us) AS max_duration_us
+        |FROM sess""".stripMargin,
 
     "q_freshness" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

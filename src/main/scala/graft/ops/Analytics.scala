@@ -400,7 +400,13 @@ object Analytics {
     * on a superset key), so Catalyst inserts no second exchange.
     * Gap arithmetic is integer microseconds (unix_micros ≡ the
     * oracle's epoch_us) — no timestamp-to-double drift. */
-  def qSessionize(spark: SparkSession, d: String): DataFrame = {
+  def qSessionize(spark: SparkSession, d: String): DataFrame =
+    sessionFrames(spark, d).orderBy("user_id", "session_id")
+
+  /** Unordered sessionizer body — qSessionStats composes this without
+    * inheriting the declared query's output sort (funnelStages'
+    * precedent). */
+  private def sessionFrames(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, d)
       .select(col("user_id"), col("event_id"), col("ts"),
@@ -414,8 +420,25 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
         (max(col("us")) - min(col("us"))).as("duration_us"))
-      .orderBy("user_id", "session_id")
   }
+
+  /** Corpus-level session distribution: the one-row engagement report
+    * over the sessionizer's output (bounce share = single-event
+    * sessions; typical depth and dwell as DISCRETE medians — member
+    * values, every cell an exact integer, hash-stable). The global
+    * exact percentile buffers the session frame in one task — fine at
+    * |sessions| ≪ |events|; approx_percentile is the documented swap
+    * when it isn't. */
+  def qSessionStats(spark: SparkSession, d: String): DataFrame =
+    sessionFrames(spark, d)
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(when(col("n_events") === 1, lit(1))).as("n_single_event"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events) AS BIGINT)")
+          .as("median_events"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY duration_us) AS BIGINT)")
+          .as("median_duration_us"),
+        max(col("duration_us")).as("max_duration_us"))
 
   /** Data freshness per feed: last-seen event time and staleness
     * against the corpus watermark — the first number an ingestion

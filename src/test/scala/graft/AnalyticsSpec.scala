@@ -83,6 +83,19 @@ class AnalyticsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("session stats agree with a direct rollup of the sessionizer output") {
+    val st = Analytics.qSessionStats(spark, sfDir).collect().head
+    val sessions = Analytics.qSessionize(spark, sfDir).collect()
+    assert(st.getLong(0) == sessions.length)
+    assert(st.getLong(1) == sessions.map(_.getLong(0)).distinct.length)
+    assert(st.getLong(2) == sessions.count(_.getLong(2) == 1))
+    val depths = sessions.map(_.getLong(2)).sorted
+    assert(st.getLong(3) == depths((depths.length - 1) / 2)) // lower median, a member
+    val durs = sessions.map(_.getLong(5)).sorted
+    assert(st.getLong(4) == durs((durs.length - 1) / 2))
+    assert(st.getLong(5) == durs.last)
+  }
+
   test("freshness: staleness non-negative, at least one watermark owner; skew top-10 is the true top") {
     val fr = Analytics.qFreshness(spark, sfDir).collect()
     assert(fr.forall(_.getLong(3) >= 0))
