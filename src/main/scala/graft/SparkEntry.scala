@@ -161,6 +161,12 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
     "q_frame_sample" -> (Multimodal.qFrameSample _),
+    // Pattern mining / entity resolution / CDC / graph centrality
+    "q_market_basket" -> (Mining.qMarketBasket _),
+    "q_fuzzy_join" -> (Mining.qFuzzyJoin _),
+    "q_cdc_apply" -> (Mining.qCdcApply _),
+    "q_ewma" -> (Mining.qEwma _),
+    "q_pagerank" -> (Mining.qPagerank _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -2039,5 +2045,101 @@ object SparkEntry {
         |    || strftime(chunk_start, '%Y%m%dT%H%M%S') || '.mseed' AS filename
         |FROM resolved
         |ORDER BY network, station, chunk_start""".stripMargin,
+
+    "q_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |m AS (SELECT p_brand, count(*) AS n_x FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, ma.n_x AS n_a, mb.n_x AS n_b,
+        |  (n_ab * n_orders * 1000000) // (ma.n_x * mb.n_x) AS lift_ppm
+        |FROM pairs
+        |JOIN m ma ON ma.p_brand = brand_a
+        |JOIN m mb ON mb.p_brand = brand_b
+        |CROSS JOIN n
+        |ORDER BY lift_ppm DESC, brand_a, brand_b""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_parts, string_split(p_name, ' ')[-1] AS noun
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+        |  a.n_parts AS parts_a, b.n_parts AS parts_b
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END)
+        |      OVER (PARTITION BY user_id) AS n_deletes
+        |  FROM ev)
+        |SELECT user_id, event_type AS last_op, value AS last_value,
+        |  ts AS updated_at, n_ops, n_deletes
+        |FROM w WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ewma" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev),
+        |t AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CAST(1 AS BIGINT) << (8 - rn) AS w
+        |  FROM r WHERE rn <= 8)
+        |SELECT user_id, count(*) AS n_recent, CAST(sum(w) AS BIGINT) AS den,
+        |  CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS ewma
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pagerank" -> pagerankOracle,
   )
+
+  /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the
+    * recursive form would need grouped recursion, which portable SQL
+    * lacks; the unroll is mechanical so it is generated, not typed. */
+  private def pagerankOracle: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000000 + COALESCE(SUM((85 * r.pr * e.wppm) // 100000000), 0)
+         |      AS BIGINT) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY src),
+       |e AS (
+       |  SELECT e0.src, e0.dst, CAST((w * 1000000) // outw AS BIGINT) AS wppm
+       |  FROM e0 JOIN ow ON e0.src = ow.src),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+       |$iters
+       |SELECT n_name, pr AS pagerank FROM r10
+       |JOIN nation ON node = n_nationkey
+       |ORDER BY n_name""".stripMargin
+  }
 }

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.Tables
+
+/** Pattern-mining and change-data operators: the discovery layer a
+  * completeness store grows once the landed inventory is treated as a
+  * fact corpus — co-occurrence mining over baskets, fuzzy entity
+  * resolution over free-text names, link-graph centrality over the
+  * trade network, changelog application, and decayed time-series
+  * smoothing. (Reference scope: the S3 inventory + tags of
+  * app.py:467-480 queried as facts; none of these exist there — they
+  * are the §2.2 "what the store grows into" categories.)
+  *
+  * Cross-engine parity rule used throughout: every ratio ships as a
+  * scaled-integer (`ppm`) computed with integer floor division —
+  * `div` here, `//` in the DuckDB oracle, identical on non-negative
+  * operands — so no result column ever crosses a float-rounding
+  * boundary (the q_kmeans_step lesson, SURVEY §6).
+  */
+object Mining {
+
+  /** Association mining over order baskets at the brand granularity:
+    * support and lift for every co-purchased brand pair. Brand-level
+    * (not part-level) because the pair support at part granularity is
+    * ~1 — the classic reason basket mining aggregates SKUs to a
+    * category axis first.
+    *
+    * Plan shape for 100 TB: the basket self-join is keyed on
+    * l_orderkey, so pair expansion is bounded by (basket size)² per
+    * order — ≤ 17 items here, a constant — never corpus². Distinct
+    * (order, brand) collapses map-side BEFORE the join, and only
+    * (order, brand) pairs ever shuffle. The marginals and the 1-row
+    * basket total are second aggregates over the collapsed stream and
+    * broadcast back — one fact scan total. */
+  def qMarketBasket(spark: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+      .persist() // 3 consumers: both self-join sides + marginals
+    val nOrders = items.agg(countDistinct("l_orderkey").as("n_orders"))
+    val marginals = items.groupBy("p_brand").agg(count(lit(1)).as("n_x"))
+    val pairs = items.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+      .join(items.select(col("l_orderkey"), col("p_brand").as("brand_b")), "l_orderkey")
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("p_brand").as("brand_a"), col("n_x").as("n_a"))), "brand_a")
+      .join(broadcast(marginals.select(col("p_brand").as("brand_b"), col("n_x").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      // lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), floored to ppm
+      .withColumn("lift_ppm", expr("(n_ab * n_orders * 1000000) div (n_a * n_b)"))
+      .select("brand_a", "brand_b", "n_ab", "n_a", "n_b", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
+  }
+
+  /** Fuzzy entity resolution over free-text names: the
+    * dedup-block-compare plan every record-linkage pipeline runs.
+    * Step 1 DEDUPLICATES the 20k part names to their ~64 distinct
+    * strings (carrying the group size), step 2 BLOCKS on the head
+    * noun (the last token — candidate pairs only within a block),
+    * step 3 scores candidates with exact Levenshtein and keeps
+    * distance ≤ 2.
+    *
+    * The blocking step is what survives 100×: compare work is
+    * Σ(block size)², never (distinct names)², and the expensive edit
+    * distance runs on the POST-dedup name table — cardinality of the
+    * name domain, not of the fact table. Both engines implement plain
+    * Levenshtein (no transposition), so the score is integer-exact
+    * cross-engine. */
+  def qFuzzyJoin(spark: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(spark, d)
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", expr("element_at(split(p_name, ' '), -1)"))
+      .persist() // both sides of the block self-join
+    names.select(col("noun"), col("p_name").as("name_a"), col("n_parts").as("parts_a"))
+      .join(names.select(col("noun"), col("p_name").as("name_b"), col("n_parts").as("parts_b")),
+        Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_dist") <= 2)
+      .select("name_a", "name_b", "edit_dist", "parts_a", "parts_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Changelog application (CDC apply): the events stream read as a
+    * keyed change feed — `error` rows are DELETE markers, everything
+    * else upserts (user_id, value). Replay in (ts, event_id) order and
+    * emit the final table state: last surviving row per key, with op
+    * counts for audit. The SCD2 / merge-upsert family above keeps
+    * history; this is the "current state" materialization with delete
+    * semantics — the third leg of the CDC triad.
+    *
+    * One shuffle on the key, then a single window pass computes the
+    * last row AND the audit counts together; no self-join, no second
+    * scan. At 100 TB the changelog is partitioned by key and the
+    * window is a per-partition sort — the same plan Spark would pick
+    * for any latest-row query. */
+  def qCdcApply(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val wOrd = w.orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_ops", count(lit(1)).over(w))
+      .withColumn("n_deletes", count(when(col("event_type") === "error", lit(1))).over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("last_value"), col("ts").as("updated_at"),
+        col("n_ops"), col("n_deletes"))
+      .orderBy("user_id")
+  }
+
+  /** Exponentially-weighted moving average of each user's last 8
+    * event values (α = 1/2) — the decayed-signal smoother every
+    * monitoring surface keeps per series. Weights are the exact
+    * powers-of-two 128…1 (integers, via shift), the value routes
+    * through DECIMAL(18,6), and the weighted sum is exact decimal —
+    * only the FINAL division happens in IEEE double on both engines,
+    * on bit-identical operands. Windowing is rank-then-filter: one
+    * shuffle on the key, the per-user tail never exceeds 8 rows into
+    * the aggregate. */
+  def qEwma(spark: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= 8)
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), 8 - rn)"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_recent"),
+        sum(expr("CAST(value AS DECIMAL(18,6)) * w")).as("num"),
+        sum(col("w")).as("den"))
+      .withColumn("ewma", expr("CAST(num AS DOUBLE) / den"))
+      .select("user_id", "n_recent", "den", "ewma")
+      .orderBy("user_id")
+  }
+
+  /** PageRank over the nation-to-nation trade graph (customer nation →
+    * supplier nation, weighted by lineitem count): link-graph
+    * centrality, the canonical iterative-graph workload.
+    *
+    * Determinism across engines comes from FIXED-POINT INTEGER
+    * arithmetic: ranks are scaled by 1e9, edge weights normalize to
+    * floored ppm fractions, and each iteration is
+    * `150_000_000 + Σ (85·rank·w_ppm) div 1e8` — floor division on
+    * non-negative longs, bit-identical to the oracle's `//`. Ten
+    * iterations, damping 0.85. (A float PageRank would hash-diverge on
+    * summation order; this one cannot.)
+    *
+    * Scale split: the expensive part — aggregating 100 TB of facts
+    * into the weighted edge list — is a distributed 4-table join that
+    * shuffles once per join key. The iteration then runs on the
+    * AGGREGATED graph, which is dim-bounded (≤ nations² = 625 edges)
+    * no matter the fact volume, so it is collected and iterated
+    * exactly, like every other config-sized dim in this engine
+    * (SURVEY §6: the 25-row `.collect()` precedent). Iterating that
+    * graph distributed would shuffle 625 rows ten times for nothing.
+    * For graphs that DON'T aggregate dim-sized, the engine's iterative
+    * template is DedupClusters (checkpointed label propagation). */
+  def qPagerank(spark: SparkSession, d: String): DataFrame = {
+    val raw = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = raw.groupBy("src").agg(sum("w").as("outw"))
+    val edges = raw.join(outW, "src")
+      .select(col("src").cast("int"), col("dst").cast("int"),
+        expr("(w * 1000000) div outw").as("wppm"))
+      .collect() // dim-bounded: ≤ 625 rows post-aggregation
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nations = Tables.nation(spark, d).select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val scale = 1000000000L
+    var pr = nations.map { case (k, _) => k -> scale }.toMap
+    for (_ <- 1 to 10) {
+      val in = new scala.collection.mutable.HashMap[Int, Long]()
+      edges.foreach { case (src, dst, wppm) =>
+        in(dst) = in.getOrElse(dst, 0L) + (85L * pr(src) * wppm) / 100000000L
+      }
+      pr = nations.map { case (k, _) => k -> (150000000L + in.getOrElse(k, 0L)) }.toMap
+    }
+    val rows = nations.map { case (k, name) => Row(name, pr(k)) }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        StructType(Seq(StructField("n_name", org.apache.spark.sql.types.StringType, nullable = false),
+          StructField("pagerank", LongType, nullable = false))))
+      .orderBy("n_name")
+  }
+}

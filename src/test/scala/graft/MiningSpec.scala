@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Mining
+
+/** Pattern-mining / ER / CDC / centrality semantics (ops/Mining.scala). */
+class MiningSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("market basket: lift is the exact floored ratio and support is bounded by the marginals") {
+    val rows = Mining.qMarketBasket(spark, sf01).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val items = Tables.lineitem(spark, sf01)
+      .join(Tables.part(spark, sf01), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct()
+    val nOrders = items.select(countDistinct("l_orderkey")).head().getLong(0)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (nAb, nA, nB, lift) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, s"pair not canonical: $a / $b")
+      assert(nAb <= math.min(nA, nB), s"support exceeds a marginal for ($a,$b)")
+      assert(lift == nAb * nOrders * 1000000L / (nA * nB),
+        s"lift_ppm not the floored integer ratio for ($a,$b)")
+    }
+  }
+
+  test("fuzzy join: noun blocking is lossless at threshold 2 on this name domain") {
+    // Ground truth: brute-force ALL distinct-name pairs (no blocking).
+    // The blocked plan may only drop cross-block pairs; assert the
+    // corpus has none within the threshold (min cross-noun distance is
+    // 3 here), so blocked ≡ exhaustive — the ER recall claim, measured.
+    val names = Tables.part(spark, sf01).select("p_name").distinct().collect()
+      .map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names if a < b
+      d = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(a, b).toInt if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val blocked = Mining.qFuzzyJoin(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(blocked == brute,
+      s"blocked=${blocked.size} brute=${brute.size}: blocking dropped in-threshold pairs")
+    assert(blocked.nonEmpty) // the corpus plants cold/old near-dup names
+  }
+
+  test("cdc apply: last surviving row per key, delete markers tombstone, audit counts total") {
+    val out = Mining.qCdcApply(spark, sf01).collect()
+    val ev = Tables.events(spark, sf01)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val byUser = ev.groupBy(_._1)
+    // replay independently: sort by (ts, event_id), last op wins
+    val expect = byUser.flatMap { case (u, rows) =>
+      val last = rows.maxBy(r => (r._2.getTime * 1000 + r._2.getNanos / 1000 % 1000, r._3))
+      if (last._4 == "error") None
+      else Some(u -> (last._4, last._5, rows.length.toLong,
+        rows.count(_._4 == "error").toLong))
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (op, v, nOps, nDel) = expect(r.getLong(0))
+      assert(r.getString(1) == op && r.getDouble(2) == v)
+      assert(r.getLong(4) == nOps && r.getLong(5) == nDel)
+    }
+    // every event is accounted for by exactly one audit trail
+    assert(expect.values.map(_._3).sum ==
+      byUser.filterNot { case (_, rows) =>
+        rows.maxBy(r => (r._2.getTime * 1000 + r._2.getNanos / 1000 % 1000, r._3))._4 == "error"
+      }.values.map(_.length).sum)
+  }
+
+  test("ewma: weights are the exact binary tail and the average reproduces by hand") {
+    val out = Mining.qEwma(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.events(spark, sf01)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val tail = rows.sortBy(r => (-r._2.getTime, -r._3)).take(8)
+      val (n, den, ewma) = out(u)
+      assert(n == tail.length.min(8))
+      // den = 2^8 − 2^(8−n): the geometric tail identity
+      assert(den == 256L - (1L << (8 - n)))
+      val num = tail.zipWithIndex.map { case (r, i) =>
+        BigDecimal(r._4).setScale(6, BigDecimal.RoundingMode.HALF_UP) * (1L << (7 - i))
+      }.sum
+      val expect = num.toDouble / den
+      assert(math.abs(ewma - expect) < 1e-9, s"user $u: $ewma vs $expect")
+    }
+  }
+
+  test("pagerank: fixed-point ranks track a float reference and conserve the damped mass") {
+    val out = Mining.qPagerank(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 25)
+    // lower bound: every node keeps the teleport mass
+    assert(out.values.forall(_ >= 150000000L))
+    // float reference on the SAME floored edge fractions
+    val e = Tables.lineitem(spark, sf01).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf01).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf01).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf01).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .count().collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val outW = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val frac = e.map { case (s, d, w) => (s, d, (w * 1000000L / outW(s)) / 1e6) }
+    val nations = Tables.nation(spark, sf01).select("n_nationkey", "n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    var pr = nations.map { case (k, _) => k -> 1.0 }.toMap
+    for (_ <- 1 to 10) {
+      val in = frac.groupBy(_._2).view
+        .mapValues(_.map { case (s, _, f) => 0.85 * pr(s) * f }.sum).toMap
+      pr = nations.map { case (k, _) => k -> (0.15 + in.getOrElse(k, 0.0)) }.toMap
+    }
+    nations.foreach { case (k, name) =>
+      val fixed = out(name) / 1e9
+      assert(math.abs(fixed - pr(k)) < 1e-3, s"$name: fixed $fixed vs float ${pr(k)}")
+    }
+    // determinism: a second evaluation is bit-identical
+    val again = Mining.qPagerank(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+}
