@@ -94,6 +94,7 @@ object SparkEntry {
     "q_shard_manifest" -> (Packing.qShardManifest _),
     "q_passage_dedup" -> (Packing.qPassageDedup _),
     "q_chunk_overlap" -> (Packing.qChunkOverlap _),
+    "q_zorder_layout" -> (Packing.qZorderLayout _),
     // Time windows (E16-E18)
     "q_tumbling_daily" -> (TimeWindows.qTumblingDaily _),
     "q_sliding_window" -> (TimeWindows.qSlidingWindow _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_minhash_neardup" -> (Quality.qMinhashNeardup _),
     "q_simhash" -> (Quality.qSimhash _),
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
+    "q_containment" -> (Quality.qContainment _),
     "q_tfidf" -> (Quality.qTfidf _),
     "q_bm25" -> (Quality.qBm25 _),
     "q_normalize_text" -> (Quality.qNormalizeText _),
@@ -2108,6 +2110,47 @@ object SparkEntry {
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
+
+    "q_containment" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |j AS (
+        |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+        |    (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000)
+        |      // least(len(a.s), len(b.s)) AS containment_ppm
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, doc_a, doc_b, n_common, containment_ppm FROM j
+        |WHERE containment_ppm >= 800000
+        |ORDER BY lang, doc_a, doc_b""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH q AS (
+        |  SELECT (l_partkey & 65535) AS a,
+        |    (datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) & 65535) AS b
+        |  FROM lineitem),
+        |s1 AS (SELECT a, b,
+        |  ((a | (a << 8)) & 16711935) AS xa,
+        |  ((b | (b << 8)) & 16711935) AS xb FROM q),
+        |s2 AS (SELECT a, b,
+        |  ((xa | (xa << 4)) & 252645135) AS xa,
+        |  ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
+        |s3 AS (SELECT a, b,
+        |  ((xa | (xa << 2)) & 858993459) AS xa,
+        |  ((xb | (xb << 2)) & 858993459) AS xb FROM s2),
+        |s4 AS (SELECT a, b,
+        |  ((xa | (xa << 1)) & 1431655765) AS xa,
+        |  ((xb | (xb << 1)) & 1431655765) AS xb FROM s3),
+        |z AS (SELECT a AS pk, b AS day, (xa | (xb << 1)) >> 22 AS file_id FROM s4)
+        |SELECT file_id, count(*) AS n_rows,
+        |  min(pk) AS min_pk, max(pk) AS max_pk,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
   )
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the

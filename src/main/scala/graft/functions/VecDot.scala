@@ -108,6 +108,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
       (children: Seq[Expression]) => MinHash8(children.head, children(1)))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("zorder16"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder16"),
+      (children: Seq[Expression]) => ZOrderKey(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -158,6 +158,34 @@ object Packing {
     * array is built once per row and fanned out by a 2×-ish explode,
     * so work is linear in corpus tokens with no shuffle at all until
     * the final ORDER BY. */
+  /** Z-order (Morton) layout planning: assign the fact table to file
+    * buckets along a 2-D space-filling curve over (partkey, ship-day),
+    * and report each bucket's min/max on BOTH dimensions — exactly the
+    * footer stats a columnar reader consults for file skipping.
+    *
+    * Why it matters at 100 TB: a table sorted on ONE key prunes scans
+    * filtered on that key only; Z-ordering bounds every bucket inside
+    * a ≤ 2048×2048 rectangle of the (partkey, day) plane (22-bit
+    * z-prefix ⇒ 11 bits per dimension), so min/max skipping works for
+    * predicates on EITHER dimension — the guarantee ZOrderSpec asserts
+    * per bucket. The key itself is the native codegen'd
+    * [[graft.functions.ZOrderKey]]; the plan is one projection + one
+    * map-side-combining aggregate, shuffle only on the ~256 bucket
+    * ids. In a real rewrite the same key feeds repartitionByRange. */
+  def qZorderLayout(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.lineitem(spark, d)
+      .select(
+        col("l_partkey").cast("long").as("pk"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') AS BIGINT)").as("day"))
+      .withColumn("file_id", expr("shiftright(zorder16(pk, day), 22)"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .orderBy("file_id")
+  }
+
   def qChunkOverlap(spark: SparkSession, d: String): DataFrame =
     graft.ops.Quality.docTokens(spark, d)
       .select(col("doc_id"), col("t"),

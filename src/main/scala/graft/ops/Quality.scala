@@ -476,6 +476,36 @@ object Quality {
       .orderBy("lang", "doc_a", "doc_b")
   }
 
+  /** Shingle CONTAINMENT (|A∩B| / min(|A|,|B|)): catches quote/subset
+    * duplication — a short document embedded verbatim inside a longer
+    * one — which symmetric Jaccard structurally misses (the union in
+    * its denominator is dominated by the big doc, so the score stays
+    * tiny no matter how completely the small doc is swallowed).
+    * Dedup pipelines run BOTH: Jaccard for same-size near-dups,
+    * containment for excerpt/quotation chains.
+    *
+    * Same inverted-index plan as qNgramJaccard — pair rows only for
+    * pairs sharing ≥ 1 shingle, only (ids, counts) shuffle — and the
+    * score ships as integer ppm via floor division (`div` ↔ the
+    * oracle's `//`), so no float boundary exists to cross. */
+  def qContainment(spark: SparkSession, d: String): DataFrame = {
+    val inv = wordShingleInv(spark, d).persist()
+    val sizes = inv.groupBy("doc_id", "lang").agg(count(lit(1)).as("sz")).persist()
+    inv.select(col("lang"), col("doc_id").as("doc_a"), col("shingle"))
+      .join(inv.select(col("lang"), col("doc_id").as("doc_b"), col("shingle")),
+        Seq("lang", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("lang", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("containment_ppm",
+        expr("(n_common * 1000000) div least(sz_a, sz_b)"))
+      .filter(col("containment_ppm") >= 800000)
+      .select("lang", "doc_a", "doc_b", "n_common", "containment_ppm")
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-3-gram shingle with a held-out "benchmark" set (doc_id < 10
     * stands in for the eval suite) — the standard overlap check run

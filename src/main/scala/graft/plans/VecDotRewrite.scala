@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{MinHash8, ShingleMinMaxMd5, VecDot, WordShingles}
+import graft.functions.{MinHash8, ShingleMinMaxMd5, VecDot, WordShingles, ZOrderKey}
 
 /** Optimizer rule: rewrite the declarative dot-product idiom
   *
@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_minmax_md5"),
       new ExpressionInfo(classOf[ShingleMinMaxMd5].getName, "shingle_minmax_md5"),
       (children: Seq[Expression]) => ShingleMinMaxMd5(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zorder16"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder16"),
+      (children: Seq[Expression]) => ZOrderKey(children.head, children(1))))
     ext.injectOptimizerRule(_ => VecDotRewrite)
   }
 }
