@@ -169,6 +169,9 @@ object SparkEntry {
     "q_cdc_apply" -> (Mining.qCdcApply _),
     "q_ewma" -> (Mining.qEwma _),
     "q_pagerank" -> (Mining.qPagerank _),
+    "q_impute" -> (Mining.qImpute _),
+    "q_rfm" -> (Analytics.qRfm _),
+    "q_changepoint" -> (Analytics.qChangepoint _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -2151,6 +2154,75 @@ object SparkEntry {
         |  min(pk) AS min_pk, max(pk) AS max_pk,
         |  min(day) AS min_day, max(day) AS max_day
         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "q_impute" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events),
+        |good AS (SELECT * FROM ev WHERE event_type <> 'error'),
+        |um AS (SELECT user_id, quantile_disc(value, 0.5) AS user_median
+        |       FROM good GROUP BY user_id),
+        |gm AS (SELECT quantile_disc(value, 0.5) AS global_median FROM good)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  COALESCE(um.user_median, gm.global_median) AS value_imputed,
+        |  CASE WHEN um.user_median IS NOT NULL
+        |    THEN 'user_median' ELSE 'global_median' END AS impute_source
+        |FROM ev e LEFT JOIN um ON e.user_id = um.user_id CROSS JOIN gm
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary_dec
+        |  FROM orders GROUP BY o_custkey),
+        |ref AS (SELECT max(last_order) AS ref_date FROM cust),
+        |rec AS (
+        |  SELECT c.*, datediff('day', last_order, ref_date) AS recency_days,
+        |    CAST(monetary_dec AS DOUBLE) AS m
+        |  FROM cust c CROSS JOIN ref),
+        |th AS (SELECT
+        |  quantile_disc(recency_days, 0.25) AS r1, quantile_disc(recency_days, 0.5) AS r2,
+        |  quantile_disc(recency_days, 0.75) AS r3,
+        |  quantile_disc(frequency, 0.25) AS f1, quantile_disc(frequency, 0.5) AS f2,
+        |  quantile_disc(frequency, 0.75) AS f3,
+        |  quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+        |  quantile_disc(m, 0.75) AS m3
+        |  FROM rec),
+        |scored AS (
+        |  SELECT rec.*,
+        |    1 + (CASE WHEN recency_days > r1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency_days > r3 THEN 1 ELSE 0 END) AS r_bucket,
+        |    1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END) AS f_bucket,
+        |    1 + (CASE WHEN m > m1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m > m2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m > m3 THEN 1 ELSE 0 END) AS m_bucket
+        |  FROM rec CROSS JOIN th)
+        |SELECT 'R' || r_bucket || 'F' || f_bucket || 'M' || m_bucket AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(monetary_dec) AS DOUBLE) AS sum_monetary
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+        |      count(*) AS n_days FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT d.event_type, d.day, t.n_days, t.total,
+        |    sum(d.n * t.n_days - t.total)
+        |      OVER (PARTITION BY d.event_type ORDER BY d.day) AS cusum
+        |  FROM daily d JOIN t ON d.event_type = t.event_type),
+        |r AS (SELECT *, row_number()
+        |  OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn FROM c)
+        |SELECT event_type, day AS cp_day, CAST(abs(cusum) AS BIGINT) AS cusum_abs,
+        |  n_days, total
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the

@@ -480,4 +480,82 @@ object Analytics {
         expr("round(n / CAST(n_total AS DOUBLE), 6)").as("share"))
       .orderBy(col("n").desc, col("key"))
   }
+
+  /** RFM customer segmentation (recency / frequency / monetary
+    * quartiles) — the classic warehouse segmentation report.
+    *
+    * The scale-critical choice: buckets come from `percentile_disc`
+    * QUARTILE THRESHOLDS (a 1-row broadcast) applied as per-row
+    * comparisons — NOT from `ntile(4)` windows, whose unpartitioned
+    * ORDER BY would funnel every customer through one sorting task.
+    * Thresholds are SELECTED member values (no interpolation
+    * arithmetic), so both engines pick the identical element of the
+    * identical multiset and every comparison is exact; monetary stays
+    * an exact DECIMAL sum until the final per-segment cast. */
+  def qRfm(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(spark, d)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("monetary_dec"))
+      .persist() // ref-date agg + scoring pass share it
+    val ref = cust.agg(max("last_order").as("ref_date"))
+    val rec = cust.crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_order")).cast("long"))
+      .withColumn("m", col("monetary_dec").cast("double"))
+      .persist() // threshold agg + scoring pass share it
+    val th = rec.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days)").as("r1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days)").as("r2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days)").as("r3"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency)").as("f1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency)").as("f2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)").as("f3"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY m)").as("m1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY m)").as("m2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY m)").as("m3"))
+    def bucket(x: String, q: Seq[String]): Column =
+      q.map(t => when(col(x) > col(t), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    rec.crossJoin(broadcast(th))
+      .withColumn("r_bucket", bucket("recency_days", Seq("r1", "r2", "r3")))
+      .withColumn("f_bucket", bucket("frequency", Seq("f1", "f2", "f3")))
+      .withColumn("m_bucket", bucket("m", Seq("m1", "m2", "m3")))
+      .withColumn("segment", concat(lit("R"), col("r_bucket"),
+        lit("F"), col("f_bucket"), lit("M"), col("m_bucket")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_dec")).cast("double").as("sum_monetary"))
+      .orderBy("segment")
+  }
+
+  /** CUSUM changepoint detection over each event type's daily volume:
+    * the day where the cumulative deviation from the series mean peaks
+    * — where the level shift happened, not merely that one day spiked
+    * (qDailyAnomaly's job).
+    *
+    * Parity trick: deviations are SCALED BY THE DAY COUNT
+    * (dev = n·D − T instead of n − T/D), so the cumulative statistic
+    * is exact integer arithmetic end to end — no mean division, no
+    * float drift, hash-stable by construction. Window work is bounded
+    * by the calendar (days per type), not the event volume: the heavy
+    * reduction is the daily map-side-combining count. */
+  def qChangepoint(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // totals + the cusum join share it
+    val totals = daily.groupBy("event_type")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(totals), "event_type")
+      .withColumn("dev_scaled", col("n") * col("n_days") - col("total"))
+      .withColumn("cusum", sum("dev_scaled").over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("cusum")).as("cusum_abs"), col("n_days"), col("total"))
+      .orderBy("event_type")
+  }
 }

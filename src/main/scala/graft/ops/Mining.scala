@@ -146,6 +146,35 @@ object Mining {
       .orderBy("user_id")
   }
 
+  /** Missing-value imputation: `error` events carry glitched readings,
+    * so their `value` is treated as missing and repaired with the
+    * user's MEDIAN of good readings (global median when the user has
+    * none). Median, not mean, on purpose twice over: it is the robust
+    * choice next to the very outliers that made the reading suspect,
+    * and `percentile_disc` SELECTS an observed value — no division, no
+    * float arithmetic, so both engines emit the identical bits.
+    *
+    * Plan: one aggregate over good rows per user (map-side combining),
+    * a key join back to the error rows only (never the full stream),
+    * and a 1-row global-median broadcast as the cold-start fallback. */
+  def qImpute(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val good = ev.filter(col("event_type") =!= "error")
+    val userMed = good.groupBy("user_id")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("user_median"))
+    val globalMed = good.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("global_median"))
+    ev.filter(col("event_type") === "error")
+      .join(userMed, Seq("user_id"), "left")
+      .crossJoin(broadcast(globalMed))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("user_median"), col("global_median")).as("value_imputed"),
+        when(col("user_median").isNotNull, "user_median")
+          .otherwise("global_median").as("impute_source"))
+      .orderBy("event_id")
+  }
+
   /** PageRank over the nation-to-nation trade graph (customer nation →
     * supplier nation, weighted by lineitem count): link-graph
     * centrality, the canonical iterative-graph workload.

@@ -273,4 +273,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == counts.reverse, s"user $first: engine $got vs recompute ${counts.reverse}")
     df.unpersist()
   }
+
+  test("rfm: segments partition the customer base and buckets stay in 1..4") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = graft.ops.Analytics.qRfm(spark, sf01).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0).matches("R[1-4]F[1-4]M[1-4]"),
+      s"bad segment label ${r.getString(0)}"))
+    val nCust = Tables.orders(spark, sf01).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust,
+      "segments do not partition the customer base")
+    // quartile thresholds really do quarter each axis (±ties): every
+    // single-axis bucket holds between 5% and 60% of customers
+    for (axis <- 0 to 2) {
+      val byBucket = rows.groupBy(_.getString(0).charAt(2 * axis + 1))
+        .view.mapValues(_.map(_.getLong(1)).sum)
+      byBucket.foreach { case (b, n) =>
+        val share = n.toDouble / nCust
+        assert(share > 0.05 && share < 0.6,
+          s"axis $axis bucket $b holds ${share * 100}% of customers")
+      }
+    }
+  }
+
+  test("changepoint: cusum peak matches a scalar replay and the series telescopes to zero") {
+    val rows = graft.ops.Analytics.qChangepoint(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, ds) =>
+      val series = ds.sortBy(_._2.toString)
+      val total = series.map(_._3).sum
+      val nDays = series.length.toLong
+      var s = 0L
+      var best = (0L, "")
+      series.foreach { case (_, day, n) =>
+        s += n * nDays - total
+        if (math.abs(s) > best._1) best = (math.abs(s), day.toString)
+      }
+      assert(s == 0L, s"$tpe: scaled deviations must telescope to zero, got $s")
+      val got = rows.find(_.getString(0) == tpe).get
+      assert(got.getDate(1).toString == best._2 && got.getLong(2) == best._1,
+        s"$tpe: engine (${got.getDate(1)}, ${got.getLong(2)}) vs replay $best")
+      assert(got.getLong(3) == nDays && got.getLong(4) == total)
+    }
+  }
 }

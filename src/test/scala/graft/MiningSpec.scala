@@ -93,6 +93,31 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("impute: every error row gets its user's good-value median, selection-exact") {
+    val out = Mining.qImpute(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+    val ev = Tables.events(spark, sf01)
+      .select("event_id", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // percentile_disc(0.5): smallest value with cume_dist >= 1/2
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1)
+    }
+    val goodByUser = ev.filter(_._3 != "error").groupBy(_._2)
+      .view.mapValues(rs => med(rs.map(_._4).toSeq)).toMap
+    val globalMed = med(ev.filter(_._3 != "error").map(_._4).toSeq)
+    val errors = ev.filter(_._3 == "error")
+    assert(out.size == errors.length, "imputed rows must be exactly the error rows")
+    errors.foreach { case (id, user, _, _) =>
+      val (got, src) = out(id)
+      goodByUser.get(user) match {
+        case Some(m) => assert(got == m && src == "user_median", s"event $id")
+        case None => assert(got == globalMed && src == "global_median", s"event $id")
+      }
+    }
+  }
+
   test("pagerank: fixed-point ranks track a float reference and conserve the damped mass") {
     val out = Mining.qPagerank(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
