@@ -38,17 +38,27 @@ object Mining {
     * basket total are second aggregates over the collapsed stream and
     * broadcast back — one fact scan total. */
   def qMarketBasket(spark: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(spark, d)
+    // ONE shuffle builds the baskets (collect_set dedups in the agg —
+    // no separate distinct pass); pair expansion then happens
+    // MAP-SIDE by double-exploding the basket array, so the quadratic
+    // blow-up (bounded by basket size² ≤ 17² per order) never touches
+    // an exchange — only collapsed (brand_a, brand_b) counts shuffle.
+    // The relational self-join formulation costs two more full
+    // exchanges of the item stream for identical output.
+    val baskets = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand"))
-      .distinct()
-      .persist() // 3 consumers: both self-join sides + marginals
-    val nOrders = items.agg(countDistinct("l_orderkey").as("n_orders"))
-    val marginals = items.groupBy("p_brand").agg(count(lit(1)).as("n_x"))
-    val pairs = items.select(col("l_orderkey"), col("p_brand").as("brand_a"))
-      .join(items.select(col("l_orderkey"), col("p_brand").as("brand_b")), "l_orderkey")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("p_brand")).as("basket"))
+      .persist() // 3 consumers: pair stream, marginals, basket count
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val marginals = baskets
+      .select(explode(col("basket")).as("p_brand"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n_x"))
+    val pairs = baskets
+      .select(explode(col("basket")).as("brand_a"), col("basket"))
+      .select(col("brand_a"), explode(col("basket")).as("brand_b"))
       .filter(col("brand_a") < col("brand_b"))
       .groupBy("brand_a", "brand_b")
       .agg(count(lit(1)).as("n_ab"))
