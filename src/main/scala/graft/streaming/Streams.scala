@@ -189,6 +189,48 @@ object Streams {
           .when(length(col("content")) === 0, lit("HTTP_ERROR"))
           .otherwise(lit(null).cast("string")))
 
+  /** Per-key CDC state: the winning (event-time, event_id) change and
+    * its payload. Tombstones are KEPT (alive=false), not removed —
+    * removing state on delete would let an out-of-order earlier upsert
+    * resurrect a deleted key in the next batch. */
+  case class CdcState(us: Long, eventId: Long, op: String, value: Double)
+
+  /** Mining.qCdcApply's streaming face: materialize each key's CURRENT
+    * row continuously from an unordered change feed. Per batch, the
+    * group folds to its max-(ts, event_id) change and merges with
+    * state by the same total order, so arrival order — within a batch
+    * or across batches — cannot change the outcome (the spec replays
+    * three adversarial batchings against the batch operator). `error`
+    * ops tombstone the key (emitted with alive=false so a sink can
+    * issue the delete downstream).
+    *
+    * Update-mode semantics: a key re-emits its current row whenever a
+    * batch touches it, and a key's emitted (us, event_id) only ever
+    * advances — a reader takes the max per key. State is one 4-field
+    * row per LIVE KEY (bounded by key cardinality, not stream length);
+    * for unbounded key spaces add an event-time TTL via
+    * EventTimeTimeout, exactly as sessionizeWithState does. */
+  def cdcLatest(
+      changes: Dataset[(Long, Long, Long, String, Double)])
+      : Dataset[(Long, Long, Long, String, Double, Boolean)] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_._1)
+      .mapGroupsWithState[CdcState, (Long, Long, Long, String, Double, Boolean)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[CdcState]) =>
+          val batchBest = rows.maxBy(r => (r._2, r._3))
+          val cand = CdcState(batchBest._2, batchBest._3, batchBest._4, batchBest._5)
+          val cur = state.getOption match {
+            case Some(s) if s.us > cand.us ||
+                (s.us == cand.us && s.eventId > cand.eventId) => s
+            case _ => cand
+          }
+          state.update(cur)
+          (user, cur.us, cur.eventId, cur.op, cur.value, cur.op != "error")
+      }
+  }
+
   /** Per-user session state carried across micro-batches:
     * [start, last] event-time bounds (µs) and the event count. */
   case class SessionState(startUs: Long, lastUs: Long, n: Long)

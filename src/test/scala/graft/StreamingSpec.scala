@@ -205,6 +205,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC materialization converges to the batch apply under adversarial batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = Streams.cdcLatest(input.toDS())
+      .toDF("user_id", "us", "event_id", "op", "value", "alive")
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode("update").start()
+    try {
+      // deliberately NOT time-ordered: batches sliced by event_id mod 3,
+      // so later changes often arrive before earlier ones
+      for (b <- 0 until 3) {
+        input.addData(ev.filter(_._3 % 3 == b).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // a key's emitted (us, event_id) only advances: max per key = final
+    val streamed = spark.table("cdc_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getBoolean(5)))
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3))).toMap
+    val batch = graft.ops.Mining.qCdcApply(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getTimestamp(3))).toMap
+    // alive keys match the batch operator exactly
+    val alive = streamed.filter(_._2._6)
+    assert(alive.keySet == batch.keySet)
+    alive.foreach { case (u, (_, us, _, op, v, _)) =>
+      val (bOp, bV, bTs) = batch(u)
+      assert(op == bOp && v == bV, s"user $u payload mismatch")
+      assert(us == bTs.getTime * 1000 + bTs.getNanos / 1000 % 1000,
+        s"user $u timestamp mismatch")
+    }
+    // tombstoned keys are exactly the users the batch operator drops
+    val allUsers = ev.map(_._1).toSet
+    assert(streamed.filterNot(_._2._6).keySet == allUsers -- batch.keySet)
+  }
+
   test("streaming near-dup gate emits exactly the batch incremental-dedup pairs, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
