@@ -172,6 +172,8 @@ object SparkEntry {
     "q_impute" -> (Mining.qImpute _),
     "q_rfm" -> (Analytics.qRfm _),
     "q_changepoint" -> (Analytics.qChangepoint _),
+    "q_pareto" -> (Analytics.qPareto _),
+    "q_activity_bitmap" -> (Analytics.qActivityBitmap _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -2223,6 +2225,52 @@ object SparkEntry {
         |SELECT event_type, day AS cp_day, CAST(abs(cusum) AS BIGINT) AS cusum_abs,
         |  n_days, total
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micros
+        |  FROM orders GROUP BY o_custkey),
+        |th AS (SELECT
+        |  quantile_disc(rev, 0.1) AS t1, quantile_disc(rev, 0.2) AS t2,
+        |  quantile_disc(rev, 0.3) AS t3, quantile_disc(rev, 0.4) AS t4,
+        |  quantile_disc(rev, 0.5) AS t5, quantile_disc(rev, 0.6) AS t6,
+        |  quantile_disc(rev, 0.7) AS t7, quantile_disc(rev, 0.8) AS t8,
+        |  quantile_disc(rev, 0.9) AS t9,
+        |  CAST(sum(rev_micros) AS BIGINT) AS total_micros FROM cust),
+        |scored AS (
+        |  SELECT cust.*, total_micros,
+        |    1 + (CASE WHEN rev > t1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rev > t9 THEN 1 ELSE 0 END) AS decile
+        |  FROM cust CROSS JOIN th)
+        |SELECT decile, count(*) AS n_customers,
+        |  CAST(sum(rev_dec) AS DOUBLE) AS revenue,
+        |  CAST(sum(rev_micros) AS BIGINT) // (max(total_micros) // 1000000) AS share_ppm
+        |FROM scored GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_activity_bitmap" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |ref AS (SELECT max(day) AS ref_day FROM ev),
+        |idx AS (
+        |  SELECT user_id, datediff('day', day, ref_day) AS idx
+        |  FROM ev CROSS JOIN ref WHERE datediff('day', day, ref_day) < 64)
+        |SELECT user_id,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT)) AS bitmap,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT))) AS BIGINT)
+        |    AS n_active_days,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT)) & 1 AS BIGINT)
+        |    AS active_today
+        |FROM idx GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the

@@ -528,6 +528,59 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Pareto / revenue-concentration report: customers bucketed into
+    * revenue DECILES by percentile_disc thresholds (same
+    * selection-not-window pattern as qRfm — no global ntile sort),
+    * each decile's share of total revenue in integer ppm.
+    *
+    * The share needs care twice over: revenue micros are EXACT longs
+    * (DECIMAL(·,6) × 1e6 is integral by construction), and the ppm is
+    * `bucket_micros div (total_micros div 1e6)` — divide-THEN-scale,
+    * because scaling first would overflow BIGINT on both engines at
+    * warehouse totals. Identical floor arithmetic both sides. */
+  def qPareto(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(spark, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_dec"))
+      .withColumn("rev", col("rev_dec").cast("double"))
+      .withColumn("rev_micros", expr("CAST(rev_dec * 1000000 AS BIGINT)"))
+      .persist() // thresholds + totals + bucketing share it
+    val thCols = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY rev)").as(s"t$i")) :+
+      sum(col("rev_micros")).as("total_micros")
+    val th = cust.agg(thCols.head, thCols.tail: _*)
+    cust.crossJoin(broadcast(th))
+      .withColumn("decile",
+        (1 to 9).map(i => when(col("rev") > col(s"t$i"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_dec")).cast("double").as("revenue"),
+        expr("sum(rev_micros) div (max(total_micros) div 1000000)").as("share_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Per-user activity bitmap over the trailing 64 days: one BIGINT
+    * whose bit i says "active i days before the corpus watermark" —
+    * the compact presence encoding retention/engagement systems keep
+    * per entity (a 64-day window in 8 bytes instead of 64 rows).
+    * Built with `bit_or` of `1 << day_index`: a map-side-combining
+    * aggregate of longs, exact on both engines, and `bit_count` reads
+    * active-day totals back out without unpacking. */
+  def qActivityBitmap(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val ref = ev.agg(max("day").as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("idx", datediff(col("ref_day"), col("day")).cast("long"))
+      .filter(col("idx") < 64)
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT)))").as("bitmap"))
+      .withColumn("n_active_days", expr("CAST(bit_count(bitmap) AS BIGINT)"))
+      .withColumn("active_today", expr("CAST(bitmap & 1 AS BIGINT)"))
+      .select("user_id", "bitmap", "n_active_days", "active_today")
+      .orderBy("user_id")
+  }
+
   /** CUSUM changepoint detection over each event type's daily volume:
     * the day where the cumulative deviation from the series mean peaks
     * — where the level shift happened, not merely that one day spiked

@@ -297,6 +297,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pareto: deciles partition customers and shares sum to one within floor loss") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = graft.ops.Analytics.qPareto(spark, sf01).collect()
+    spark.catalog.clearCache()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 10).toSet))
+    val nCust = Tables.orders(spark, sf01).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    val shares = rows.map(_.getLong(3))
+    // ten floor divisions each lose < 1 ppm
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - 10,
+      s"shares sum to ${shares.sum}")
+    // concentration: the top decile out-earns the bottom one
+    assert(rows.maxBy(_.getInt(0)).getLong(3) > rows.minBy(_.getInt(0)).getLong(3))
+  }
+
+  test("activity bitmap: bits are exactly the user's active days in the window") {
+    val rows = graft.ops.Analytics.qActivityBitmap(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val refDay = ev.map(_._2).maxBy(_.toEpochDay)
+    val expect = ev.groupBy(_._1).view.mapValues { rs =>
+      rs.map(r => refDay.toEpochDay - r._2.toEpochDay).filter(_ < 64).toSet
+    }.toMap.filter(_._2.nonEmpty)
+    assert(rows.keySet == expect.keySet)
+    expect.foreach { case (u, days) =>
+      val (bitmap, nActive, today) = rows(u)
+      assert(bitmap == days.map(i => 1L << i).reduce(_ | _), s"user $u bitmap")
+      assert(nActive == days.size.toLong, s"user $u popcount")
+      assert(today == (if (days.contains(0L)) 1L else 0L), s"user $u today flag")
+    }
+  }
+
   test("changepoint: cusum peak matches a scalar replay and the series telescopes to zero") {
     val rows = graft.ops.Analytics.qChangepoint(spark, sfDir).collect()
     spark.catalog.clearCache()

@@ -52,7 +52,9 @@ class PlanQualitySpec extends SparkSpec {
     "q_skew_profile",      // 1-row key-count total broadcast
     "q_market_basket",     // 1-row basket-universe count broadcast
     "q_impute",            // 1-row global-median fallback broadcast
-    "q_rfm")               // 1-row ref-date + quartile-threshold broadcasts
+    "q_rfm",               // 1-row ref-date + quartile-threshold broadcasts
+    "q_pareto",            // 1-row decile-threshold + total broadcast
+    "q_activity_bitmap")   // 1-row corpus-watermark broadcast
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
