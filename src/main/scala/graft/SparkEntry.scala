@@ -174,6 +174,9 @@ object SparkEntry {
     "q_changepoint" -> (Analytics.qChangepoint _),
     "q_pareto" -> (Analytics.qPareto _),
     "q_activity_bitmap" -> (Analytics.qActivityBitmap _),
+    "q_attribution" -> (Analytics.qAttribution _),
+    "q_seasonal_profile" -> (Analytics.qSeasonalProfile _),
+    "q_order_latency" -> (Relational.qOrderLatency _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -2271,6 +2274,48 @@ object SparkEntry {
         |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT)) & 1 AS BIGINT)
         |    AS active_today
         |FROM idx GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+        |  FROM events),
+        |touched AS (
+        |  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev)
+        |SELECT COALESCE(touch, 'direct') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_seasonal_profile" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |    CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_total
+        |      FROM cells GROUP BY 1)
+        |SELECT cells.event_type, dow, hod, n,
+        |  (n * 1000000) // type_total AS share_ppm
+        |FROM cells JOIN t ON cells.event_type = t.event_type
+        |ORDER BY cells.event_type, dow, hod""".stripMargin,
+
+    "q_order_latency" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  min(lat_days) AS min_days,
+        |  quantile_disc(lat_days, 0.5) AS median_days,
+        |  quantile_disc(lat_days, 0.9) AS p90_days,
+        |  max(lat_days) AS max_days
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the

@@ -581,6 +581,52 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Last-touch marketing attribution: every purchase credits the
+    * user's most recent PRECEDING non-purchase event (its type = the
+    * "channel"), falling back to 'direct' for cold-start purchases.
+    * One shuffle on the user key; the credited channel comes from
+    * `last(..., ignoreNulls)` over ROWS UNBOUNDED PRECEDING→1
+    * PRECEDING — the running carry-forward, no self-join against the
+    * event history (the naive formulation joins every purchase to
+    * every earlier event: quadratic per hot user). Revenue sums stay
+    * exact DECIMAL until the final cast. */
+  def qAttribution(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("touch"), lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** Hour-of-day × day-of-week seasonal profile per event type, with
+    * each cell's share of the type's total in integer ppm — the
+    * calendar heatmap behind load forecasting and anomaly baselines.
+    * Two map-side-combining aggregates (cells, then per-type totals
+    * re-aggregated FROM the cells — never a second scan) and an
+    * equi-join back on the type; weekday numbering is pinned to
+    * DuckDB's dow convention (0 = Sunday) explicitly. */
+  def qSeasonalProfile(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(spark, d)
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // totals re-aggregate the cells, not the corpus
+    val totals = cells.groupBy("event_type").agg(sum("n").as("type_total"))
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("share_ppm", expr("(n * 1000000) div type_total"))
+      .select("event_type", "dow", "hod", "n", "share_ppm")
+      .orderBy("event_type", "dow", "hod")
+  }
+
   /** CUSUM changepoint detection over each event type's daily volume:
     * the day where the cumulative deviation from the series mean peaks
     * — where the level shift happened, not merely that one day spiked

@@ -120,6 +120,28 @@ object Relational {
     * crosses the threshold and AQE shuffle-joins it — exactly the dim
     * size where bucketing both sides on the key (IntegrationSpec's
     * co-located join) removes the exchange entirely. */
+  /** Order-fulfillment latency report: days from order to each line's
+    * ship date, distributed per order priority — min / discrete median
+    * / p90 / max. The fact-dim join is the only shuffle; latency is an
+    * integer day count and every summary statistic is a SELECTED
+    * member value (percentile_disc), so the whole row is exact. */
+  def qOrderLatency(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min("lat_days").as("min_days"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days) AS BIGINT)")
+          .as("median_days"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days) AS BIGINT)")
+          .as("p90_days"),
+        max("lat_days").as("max_days"))
+      .orderBy("o_orderpriority")
+
   def qBrandSales(spark: SparkSession, d: String): DataFrame =
     Tables.spread(spark,
         Tables.lineitem(spark, d)

@@ -297,6 +297,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("attribution: every purchase credits the carried-forward last touch") {
+    val rows = graft.ops.Analytics.qAttribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val credits = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+    ev.groupBy(_._1).foreach { case (_, rs) =>
+      var touch: Option[String] = None
+      rs.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+        if (r._4 == "purchase") {
+          val ch = touch.getOrElse("direct")
+          val (n, v) = credits.getOrElse(ch, (0L, BigDecimal(0)))
+          credits(ch) = (n + 1,
+            v + BigDecimal(r._5).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        } else touch = Some(r._4)
+      }
+    }
+    assert(rows.keySet == credits.keySet)
+    credits.foreach { case (ch, (n, v)) =>
+      assert(rows(ch)._1 == n, s"channel $ch purchase count")
+      assert(math.abs(rows(ch)._2 - v.toDouble) < 1e-6, s"channel $ch revenue")
+    }
+    // total credited purchases = total purchase events (conservation)
+    assert(rows.values.map(_._1).sum == ev.count(_._4 == "purchase"))
+  }
+
+  test("seasonal profile: cells conserve the type totals and shares sum within floor loss") {
+    val rows = graft.ops.Analytics.qSeasonalProfile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 6 && r._3 >= 0 && r._3 <= 23))
+    val byType = rows.groupBy(_._1)
+    val eventCounts = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (tpe, cells) =>
+      assert(cells.map(_._4).sum == eventCounts(tpe), s"$tpe cell counts")
+      val s = cells.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - cells.length, s"$tpe shares sum to $s")
+    }
+  }
+
   test("pareto: deciles partition customers and shares sum to one within floor loss") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = graft.ops.Analytics.qPareto(spark, sf01).collect()

@@ -121,4 +121,29 @@ class RelationalSpec extends SparkSpec {
     assert(-(sumDec.toDouble) == ent)
     df.unpersist()
   }
+
+  test("order latency: selected statistics replay exactly per priority") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Relational.qOrderLatency(spark, sfDir).collect()
+    val lat = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("lat")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def disc(xs: Seq[Long], q: Double): Long = {
+      val s = xs.sorted
+      s(math.ceil(q * s.length).toInt.max(1) - 1)
+    }
+    rows.foreach { r =>
+      val xs = lat.filter(_._1 == r.getString(0)).map(_._2).toSeq
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(r.getLong(2) == xs.min && r.getLong(5) == xs.max)
+      assert(r.getLong(3) == disc(xs, 0.5), s"${r.getString(0)} median")
+      assert(r.getLong(4) == disc(xs, 0.9), s"${r.getString(0)} p90")
+    }
+    assert(rows.map(_.getLong(1)).sum == lat.length.toLong)
+  }
 }
