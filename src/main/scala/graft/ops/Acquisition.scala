@@ -183,6 +183,28 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** E8 (native plan): the same as-of semantics as [[qAsofLatest]],
+    * planned through graft's custom operator ([[graft.plans.AsOfJoin]]
+    * → AsOfJoinExec): co-partition events and orders on the user key,
+    * sort each side once, and stream a per-partition two-pointer merge
+    * with one buffered row of state — no unioned stream, no Window
+    * operator, no row fan-out. Shares qAsofLatest's oracle verbatim:
+    * two independent formulations, one answer. */
+  def qAsofNative(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select("user_id", "ts", "event_id")
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsOf.joinLatest(
+        e, o, Seq("user_id"), Seq("o_custkey"), "ts", "t",
+        rightTiebreaks = Seq("o_orderkey"))
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("ts"),
+        col("o_orderkey").as("asof_order"), col("o_orderdate").as("asof_date"))
+      .orderBy("event_id")
+  }
+
   /** E8b: bounded-range join, bucketed — per event, the same user's
     * earlier events inside the trailing 24 h (the "recent activity in
     * the acquisition window" feature; reference window derivation

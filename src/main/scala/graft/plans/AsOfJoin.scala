@@ -1,0 +1,244 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeRowJoiner
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Logical as-of join: for every left row, attach the single right row
+  * with equal keys and the greatest `rightTime <= leftTime` (left-outer
+  * — unmatched left rows carry nulls). The reference's acquisition
+  * window derivation asks exactly this shape of every sensor event
+  * ("the state in force at this instant", app.py:559-566 derives each
+  * fetch window from the latest preceding boundary).
+  *
+  * Spark has no native as-of join, and both declarative encodings pay
+  * real costs at scale:
+  *   - range-join + rank materializes every (left row × all earlier
+  *     right rows) pair before pruning to rank 1 — per-key quadratic;
+  *   - union-and-carry (ops/Acquisition.qAsofLatest) is linear and
+  *     one-shuffle, but funnels both streams through a single Window
+  *     operator: the unioned schema is carried for every row, the
+  *     window sorts events and orders *together*, and the carry
+  *     columns ride the shuffle.
+  *
+  * This node is SURVEY §7.4's case (c): whole-operator semantics the
+  * built-ins can't express without overhead, so it gets a LogicalPlan
+  * + SparkStrategy + SparkPlan, registered via SparkSessionExtensions
+  * (GraftExtensions) or `spark.experimental.extraStrategies`
+  * (AsOf.ensureRegistered). The physical operator (AsOfJoinExec below)
+  * declares the same requirements SortMergeJoin does — co-partition by
+  * key, sort each side by (key, time) — and then streams both sides in
+  * one forward pass with O(1) state: strictly less work than either
+  * declarative form, with spill-able sorts and AQE-coalescible
+  * shuffles exactly like a regular shuffled join at 100 TB.
+  *
+  * Tiebreaks: among right rows sharing the maximal admissible time,
+  * the one greatest under `rightTiebreaks` (ascending sort, last
+  * consumed) wins — matching qAsofLatest's "later (date, key) wins".
+  * Null semantics follow SQL joins: null keys on either side never
+  * match.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreaks: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] into [[AsOfJoinExec]]; a no-op for every other
+  * node, so it composes with Spark's built-in strategies. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sort-merge as-of join.
+  *
+  * Requirements (enforced by EnsureRequirements, same machinery as
+  * SortMergeJoinExec): both children clustered on their keys — so the
+  * partitions zip 1:1 — and sorted by (keys, time[, tiebreaks]).
+  * Execution is a per-partition two-pointer merge: advance the right
+  * iterator while its (key, time) is at-or-behind the current left
+  * row, remembering the last same-key row seen; emit left ++ match.
+  * Per-partition state is ONE buffered right row — no hash table, no
+  * row fan-out, no window buffer — and each input row is touched
+  * exactly once, so a partition streams at memory-bandwidth speed
+  * regardless of how many right rows precede each left row.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreaks: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTiebreaks)).map(SortOrder(_, Ascending)))
+
+  // The merge preserves left's row order and partitioning, so a
+  // downstream groupBy/window on the same keys re-uses this shuffle.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lSchema = DataTypeUtils.fromAttributes(lOut)
+    val rSchema = DataTypeUtils.fromAttributes(rOut)
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        if (!lIter.hasNext) Iterator.empty
+        else {
+          val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+          val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+          val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+          val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+          val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+          val joiner = GenerateUnsafeRowJoiner.create(lSchema, rSchema)
+          // Children may emit non-Unsafe or buffer-reused rows; the
+          // identity projections normalize, and buffered rows are
+          // copied before being held across iterator steps.
+          val lConv = UnsafeProjection.create(lOut, lOut)
+          val rConv = UnsafeProjection.create(rOut, rOut)
+          val nullRight = UnsafeProjection
+            .create(rOut.map(a => Literal.create(null, a.dataType)), Nil)(
+              InternalRow.empty).copy()
+
+          var matched: UnsafeRow = null    // best right row for matchedKey so far
+          var matchedKey: UnsafeRow = null
+          var pending: UnsafeRow = null    // peeked-but-unconsumed right row
+          var pendingKey: UnsafeRow = null
+          var pendingTime: InternalRow = null
+
+          def refill(): Unit = {
+            while (pending == null && rIter.hasNext) {
+              val r = rConv(rIter.next())
+              val k = rKeyProj(r)
+              if (!k.anyNull) { // SQL semantics: null keys never match
+                pending = r.copy()
+                pendingKey = rKeyProj(pending).copy()
+                pendingTime = rTimeProj(pending).copy()
+              }
+            }
+          }
+
+          lIter.map { lRaw =>
+            val lRow = lConv(lRaw)
+            val lKey = lKeyProj(lRow)
+            if (lKey.anyNull) joiner.join(lRow, nullRight)
+            else {
+              val lTime = lTimeProj(lRow)
+              var advance = true
+              while (advance) {
+                refill()
+                if (pending == null) advance = false
+                else {
+                  val kc = keyOrd.compare(pendingKey, lKey)
+                  if (kc < 0) {
+                    pending = null // right key already passed: discard
+                  } else if (kc == 0 && timeOrd.compare(pendingTime, lTime) <= 0) {
+                    matched = pending // admissible: remember, keep advancing
+                    matchedKey = pendingKey
+                    pending = null
+                  } else {
+                    advance = false // right side is ahead of this left row
+                  }
+                }
+              }
+              val m =
+                if (matched != null && keyOrd.compare(matchedKey, lKey) == 0) matched
+                else nullRight
+              joiner.join(lRow, m)
+            }
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.joinLatest(events, orders, Seq("user_id"),
+  * Seq("o_custkey"), "ts", "t")`. Children are pre-analyzed
+  * DataFrames, so the injected node is fully resolved at construction;
+  * column pruning does not see through a custom binary node, so select
+  * the columns you need on each side first (as the reference's windowed
+  * fetches do — they carry only the station key and boundary time). */
+object AsOf {
+
+  /** Idempotently add the planner strategy to a session. GraftExtensions
+    * also injects it for `spark.sql.extensions`-configured sessions. */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  def joinLatest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreaks: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lPlan = GraftSqlShim.analyzed(
+      left.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]])
+    val rPlan = GraftSqlShim.analyzed(
+      right.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]])
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: no column '$name' in ${plan.output.map(_.name).mkString(", ")}"))
+    val lk = leftKeys.map(resolve(lPlan, _))
+    val rk = rightKeys.map(resolve(rPlan, _))
+    val lt = resolve(lPlan, leftTime)
+    val rt = resolve(rPlan, rightTime)
+    require(lk.map(_.dataType) == rk.map(_.dataType),
+      s"as-of join: key types differ: ${lk.map(_.dataType)} vs ${rk.map(_.dataType)}")
+    require(lt.dataType == rt.dataType,
+      s"as-of join: time types differ: ${lt.dataType} vs ${rt.dataType}")
+    GraftSqlShim.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
+        rightTiebreaks.map(resolve(rPlan, _))))
+  }
+}
