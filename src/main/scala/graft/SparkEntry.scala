@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_session_stats" -> (Analytics.qSessionStats _),
     "q_daily_anomaly" -> (Analytics.qDailyAnomaly _),
+    "q_autocorr" -> (Analytics.qAutocorr _),
     "q_retention" -> (Analytics.qRetention _),
     "q_event_transitions" -> (Analytics.qEventTransitions _),
     "q_freshness" -> (Analytics.qFreshness _),
@@ -907,6 +908,28 @@ object SparkEntry {
         |WHERE datediff('day', c.cohort_day, a.day) <= 7
         |GROUP BY c.cohort_day, day_k
         |ORDER BY c.cohort_day, day_k""".stripMargin,
+
+    // Lag-k autocorrelation moments at calendar lags 1 and 7: the
+    // checked surface is exact integer sums only (r is one closed-form
+    // consumer step) — no division/sqrt crosses the hash. DuckDB sums
+    // integers into HUGEINT; CAST back to BIGINT for schema parity.
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.event_type, l.lag_days, x.n AS x, y.n AS y
+        |  FROM daily x
+        |  CROSS JOIN (SELECT * FROM (VALUES (1), (7)) AS t(lag_days)) l
+        |  JOIN daily y ON y.event_type = x.event_type
+        |    AND y.day_us = x.day_us + l.lag_days * 86400000000)
+        |SELECT event_type, lag_days, count(*) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // 2σ day-volume outliers; same exact-decimal moment discipline as
     // q_zscore_outliers (squared-distance form avoids a sqrt).

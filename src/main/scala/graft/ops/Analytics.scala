@@ -657,4 +657,38 @@ object Analytics {
         abs(col("cusum")).as("cusum_abs"), col("n_days"), col("total"))
       .orderBy("event_type")
   }
+
+  /** Lag-k autocorrelation moments of daily volume per event type
+    * (k = 1 and 7: day-over-day persistence and weekly seasonality —
+    * the two structures qSeasonalProfile displays, here quantified).
+    * The daily series is aligned to itself at a CALENDAR lag (exact
+    * integer µs-epoch day keys, so a missing day yields no pair rather
+    * than silently pairing non-adjacent days).
+    *
+    * Parity/scale: the checked surface is the exact integer moment
+    * sums (n, Σx, Σy, Σx², Σy², Σxy) from which r is one closed-form
+    * step for the consumer — no division or sqrt crosses the hash.
+    * Work collapses to day grain first (≤ types × days rows at ANY
+    * corpus size), so the self-alignment is a broadcast join and the
+    * only data-sized shuffle is the daily count's map-side-combined
+    * aggregation. */
+  def qAutocorr(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+      .agg(count(lit(1)).as("n"))
+    val x = daily.select(col("event_type"), col("day_us"), col("n").as("x"))
+      .withColumn("lag_days", explode(array(lit(1L), lit(7L))))
+    val y = daily.select(col("event_type").as("y_et"),
+      col("day_us").as("y_day"), col("n").as("y"))
+    x.join(broadcast(y),
+        col("y_et") === col("event_type") &&
+          col("y_day") === col("day_us") + col("lag_days") * lit(86400000000L))
+      .groupBy("event_type", "lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+      .orderBy("event_type", "lag_days")
+  }
 }

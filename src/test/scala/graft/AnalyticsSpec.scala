@@ -397,4 +397,31 @@ class AnalyticsSpec extends SparkSpec {
       assert(got.getLong(3) == nDays && got.getLong(4) == total)
     }
   }
+
+  test("autocorr: moment sums match a scalar replay of the calendar-lagged pairs") {
+    val rows = Analytics.qAutocorr(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(date_trunc('day', ts))").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = for {
+      lag <- Seq(1L, 7L)
+      ((et, d), x) <- daily.toSeq
+      y <- daily.get((et, d + lag * 86400000000L))
+    } yield ((et, lag), (x, y))
+    val replay = expected.groupBy(_._1).map { case (k, vs) =>
+      val xs = vs.map(_._2._1); val ys = vs.map(_._2._2)
+      k -> (vs.size.toLong, xs.sum, ys.sum,
+        xs.map(v => v * v).sum, ys.map(v => v * v).sum,
+        vs.map { case (_, (x, y)) => x * y }.sum)
+    }
+    assert(rows == replay)
+    // weekly alignment must produce strictly fewer pairs than daily
+    replay.keys.map(_._1).toSeq.distinct.foreach { et =>
+      assert(rows((et, 7L))._1 < rows((et, 1L))._1)
+    }
+  }
 }
