@@ -167,6 +167,7 @@ object SparkEntry {
     "q_frame_sample" -> (Multimodal.qFrameSample _),
     // Pattern mining / entity resolution / CDC / graph centrality
     "q_market_basket" -> (Mining.qMarketBasket _),
+    "q_triangles" -> (Mining.qTriangles _),
     "q_fuzzy_join" -> (Mining.qFuzzyJoin _),
     "q_cdc_apply" -> (Mining.qCdcApply _),
     "q_ewma" -> (Mining.qEwma _),
@@ -2091,6 +2092,38 @@ object SparkEntry {
         |    || strftime(chunk_start, '%Y%m%dT%H%M%S') || '.mseed' AS filename
         |FROM resolved
         |ORDER BY network, station, chunk_start""".stripMargin,
+
+    // Degree-oriented triangle counting; (degree, name) row-value
+    // comparisons mirror Spark's struct ordering exactly.
+    "q_triangles" ->
+      """WITH bb AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |edges AS (
+        |  SELECT DISTINCT x.p_brand AS a, y.p_brand AS b
+        |  FROM bb x JOIN bb y
+        |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand),
+        |deg AS (
+        |  SELECT v, count(*) AS dg FROM (
+        |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        |  GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS dst,
+        |    CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dst_dg
+        |  FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM o e1 JOIN o e2
+        |    ON e1.src = e2.src
+        |    AND (e1.dst_dg, e1.dst) < (e2.dst_dg, e2.dst)
+        |  JOIN o c ON c.src = e1.dst AND c.dst = e2.dst)
+        |SELECT p_brand, count(*) AS n_triangles FROM (
+        |  SELECT u AS p_brand FROM tri
+        |  UNION ALL SELECT v AS p_brand FROM tri
+        |  UNION ALL SELECT w AS p_brand FROM tri)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_market_basket" ->
       """WITH items AS (

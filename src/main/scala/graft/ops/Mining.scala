@@ -72,6 +72,57 @@ object Mining {
       .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
   }
 
+  /** Triangle counting over the brand co-purchase graph — the classic
+    * graph-analytics companion to [[qMarketBasket]]'s pair mining
+    * (a triangle = three brands that pairwise co-occur in baskets;
+    * triangle density is the standard clustering-coefficient input).
+    *
+    * Plan shape for 100 TB: naive triangle enumeration self-joins the
+    * edge list twice with per-node cost ∝ degree² — a power-law hub
+    * explodes. The standard fix implemented here is DEGREE
+    * ORIENTATION: orient every undirected edge from its
+    * lower-(degree, name) endpoint to the higher one, making out-
+    * degrees ≤ O(√|E|) for ANY degree distribution, so the wedge join
+    * is bounded by Σ out-deg² ≤ |E|^1.5 — the provably-optimal join
+    * size — and every triangle is found exactly once (its unique
+    * orientation-minimal apex). Wedges close against the oriented
+    * edge set via one equi-join on the (dst₁, dst₂) pair. All
+    * comparisons use (degree, name) struct ordering, identical in the
+    * oracle's row-value comparison. */
+  def qTriangles(spark: SparkSession, d: String): DataFrame = {
+    val bb = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val edges = bb.as("x").join(bb.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.p_brand") < col("y.p_brand"))
+      .select(col("x.p_brand").as("a"), col("y.p_brand").as("b"))
+      .distinct()
+      .persist() // degree pass + orientation share it
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // orient by (degree, name): src is the smaller endpoint under that
+    // order; carry dst's degree so wedges can order neighbors the same way
+    val o = edges
+      .join(broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("dg", "da"), "a")
+      .join(broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("dg", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db")).otherwise(col("da")).as("dst_dg"))
+      .persist() // wedge build + closing join share it
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dst_dg"), col("e1.dst")) < struct(col("e2.dst_dg"), col("e2.dst")))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_brand"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("p_brand")
+  }
+
   /** Fuzzy entity resolution over free-text names: the
     * dedup-block-compare plan every record-linkage pipeline runs.
     * Step 1 DEDUPLICATES the 20k part names to their ~64 distinct

@@ -153,4 +153,34 @@ class MiningSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("triangles: per-node counts match a brute-force replay and sum to 3x the triangle total") {
+    val got = Mining.qTriangles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    // brute force over the collected edge set (brand graph is dim-sized)
+    val bb = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, sfDir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val edges = (for {
+      (o1, a) <- bb; (o2, b) <- bb if o1 == o2 && a < b
+    } yield (a, b)).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var per = Map.empty[String, Long].withDefaultValue(0L)
+    var total = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if edges((a, b)) && edges((a, c)) && edges((b, c))
+    } {
+      total += 1
+      Seq(a, b, c).foreach(v => per = per.updated(v, per(v) + 1))
+    }
+    assert(total > 0, "testdata should contain at least one brand triangle")
+    assert(got == per.filter(_._2 > 0))
+    assert(got.values.sum == 3 * total)
+  }
 }
