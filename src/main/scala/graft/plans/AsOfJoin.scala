@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeRowJoiner
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -60,12 +60,22 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] into [[AsOfJoinExec]]; a no-op for every other
-  * node, so it composes with Spark's built-in strategies. */
+/** Plans [[AsOfJoin]] physically, mirroring Spark's own join-strategy
+  * selection: if the right side's estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold`, choose
+  * [[BroadcastAsOfJoinExec]] — the big left side is neither shuffled
+  * nor sorted, the dim side ships once per executor — otherwise the
+  * co-partitioned sort-merge [[AsOfJoinExec]]. A no-op for every other
+  * node, so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
@@ -187,6 +197,104 @@ case class AsOfJoinExec(
           }
         }
     }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join for a dim-sized right side: the left fact
+  * stream is NOT shuffled and NOT sorted — each task receives the
+  * whole right side once (standard BroadcastExchange, reused across
+  * stages like any broadcast join), builds a per-key time-sorted
+  * index, and answers each left row with one hash lookup + binary
+  * search. At 100 TB this is the difference between re-clustering the
+  * fact table and a map-only pass — the same reason Spark broadcasts
+  * small equi-join sides. Output order/partitioning of the left child
+  * are preserved, so downstream operators keep their guarantees.
+  *
+  * The per-task index build is O(|R| log |R|) over the dim — bounded
+  * by the broadcast threshold, amortized across the rows of the task's
+  * partition. */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreaks: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val rOrderExprs = rightTime +: rightTiebreaks
+    val timeType = leftTime.dataType
+    val lSchema = DataTypeUtils.fromAttributes(lOut)
+    val rSchema = DataTypeUtils.fromAttributes(rOut)
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rConv = UnsafeProjection.create(rOut, rOut)
+      val rOrd = RowOrdering.create(
+        rOrderExprs.map(SortOrder(_, Ascending)), rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      // key -> rows sorted by (time, tiebreaks); built once per task
+      // over the dim-sized broadcast, probed for every fact row
+      val index = new java.util.HashMap[UnsafeRow, Array[UnsafeRow]]()
+      broadcastRows.value.iterator
+        .map(r => rConv(r).copy())
+        .filterNot(r => rKeyProj(r).anyNull)
+        .toArray.groupBy(r => rKeyProj(r).copy())
+        .foreach { case (k, rows) => index.put(k, rows.sortWith(rOrd.lt)) }
+
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val joiner = GenerateUnsafeRowJoiner.create(lSchema, rSchema)
+      val lConv = UnsafeProjection.create(lOut, lOut)
+      val nullRight = UnsafeProjection
+        .create(rOut.map(a => Literal.create(null, a.dataType)), Nil)(
+          InternalRow.empty).copy()
+
+      lIter.map { lRaw =>
+        val lRow = lConv(lRaw)
+        val lKey = lKeyProj(lRow)
+        val group = if (lKey.anyNull) null else index.get(lKey)
+        if (group == null) joiner.join(lRow, nullRight)
+        else {
+          val lTime = lTimeProj(lRow).copy()
+          // rightmost admissible row: greatest (time, tiebreaks) with
+          // time <= left time (group is time-ascending)
+          var lo = 0
+          var hi = group.length - 1
+          var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(rTimeProj(group(mid)), lTime) <= 0) {
+              ans = mid; lo = mid + 1
+            } else hi = mid - 1
+          }
+          if (ans < 0) joiner.join(lRow, nullRight)
+          else joiner.join(lRow, group(ans))
+        }
+      }
+    }, preservesPartitioning = true)
   }
 
   override protected def withNewChildrenInternal(
