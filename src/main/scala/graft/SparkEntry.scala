@@ -33,6 +33,7 @@ object SparkEntry {
     "q_semi_present" -> (Acquisition.qSemiPresent _),
     "q_asof_latest" -> (Acquisition.qAsofLatest _),
     "q_asof_native" -> (Acquisition.qAsofNative _),
+    "q_asof_window" -> (Acquisition.qAsofWindow _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
     "q_completeness" -> (Acquisition.qCompleteness _),
     "q_skew_join_salted" -> (Acquisition.qSkewJoinSalted _),
@@ -243,6 +244,22 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Tolerance-bounded as-of (custom operator, 8400-day floor —
+    // fixture-calibrated to split matches into kept and expired): the
+    // oracle expresses the floor as a second range predicate; the
+    // engine applies it as an emit-time comparison in the same plan.
+    "q_asof_window" ->
+      """SELECT event_id, ts, asof_order, asof_date FROM (
+        |  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |    o.o_orderkey AS asof_order, o.o_orderdate AS asof_date,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id
+        |    AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |    AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 8400 DAY)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     // q_asof_native shares this oracle verbatim: same semantics, planned
     // through the custom AsOfJoinExec instead of union-and-carry.

@@ -205,6 +205,32 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** E8 (native, bounded staleness): [[qAsofNative]] with a tolerance
+    * floor — an order too far before the event no longer describes the
+    * user's state (pandas `merge_asof(tolerance=...)` semantics; the
+    * reference bounds every fetch window the same way,
+    * app.py:559-566). Planned through the same custom operator; the
+    * floor is one comparison at emit time, not a second join
+    * predicate, so the plan shape is unchanged. The 8400-day bound is
+    * fixture-calibrated: testdata staleness spans 8190–9799 days, so
+    * this floor genuinely partitions matches into kept and expired
+    * (a floor that keeps or drops everything would test nothing). */
+  def qAsofWindow(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select("user_id", "ts", "event_id")
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsOf.joinLatest(
+        e, o, Seq("user_id"), Seq("o_custkey"), "ts", "t",
+        rightTiebreaks = Seq("o_orderkey"),
+        minTime = Some("ts - INTERVAL 8400 DAYS"))
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("ts"),
+        col("o_orderkey").as("asof_order"), col("o_orderdate").as("asof_date"))
+      .orderBy("event_id")
+  }
+
   /** E8b: bounded-range join, bucketed — per event, the same user's
     * earlier events inside the trailing 24 h (the "recent activity in
     * the acquisition window" feature; reference window derivation

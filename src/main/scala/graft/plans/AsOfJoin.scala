@@ -44,6 +44,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * consumed) wins — matching qAsofLatest's "later (date, key) wins".
   * Null semantics follow SQL joins: null keys on either side never
   * match.
+  *
+  * `leftMinTime` is the optional tolerance floor (pandas
+  * `merge_asof(tolerance=...)`): an expression over the LEFT row
+  * (e.g. `ts - INTERVAL 30 DAYS`) below which a candidate is too
+  * stale and the row matches null instead.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -52,7 +57,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreaks: Seq[Expression]) extends BinaryNode {
+    rightTiebreaks: Seq[Expression],
+    leftMinTime: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -69,13 +75,13 @@ case class AsOfJoin(
   * node, so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, mn) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes <= threshold)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, mn) :: Nil
       else
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, mn) :: Nil
     case _ => Nil
   }
 }
@@ -100,7 +106,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreaks: Seq[Expression]) extends BinaryExecNode {
+    rightTiebreaks: Seq[Expression],
+    leftMinTime: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -124,6 +131,7 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val lMinExpr = leftMinTime
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
@@ -148,8 +156,10 @@ case class AsOfJoinExec(
             .create(rOut.map(a => Literal.create(null, a.dataType)), Nil)(
               InternalRow.empty).copy()
 
+          val lMinProj = lMinExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
           var matched: UnsafeRow = null    // best right row for matchedKey so far
           var matchedKey: UnsafeRow = null
+          var matchedTime: InternalRow = null
           var pending: UnsafeRow = null    // peeked-but-unconsumed right row
           var pendingKey: UnsafeRow = null
           var pendingTime: InternalRow = null
@@ -183,14 +193,19 @@ case class AsOfJoinExec(
                   } else if (kc == 0 && timeOrd.compare(pendingTime, lTime) <= 0) {
                     matched = pending // admissible: remember, keep advancing
                     matchedKey = pendingKey
+                    matchedTime = pendingTime // refill() allocates fresh copies
                     pending = null
                   } else {
                     advance = false // right side is ahead of this left row
                   }
                 }
               }
+              // tolerance floor: a match older than leftMinTime is too
+              // stale for THIS left row (it may still serve a later one)
               val m =
-                if (matched != null && keyOrd.compare(matchedKey, lKey) == 0) matched
+                if (matched != null && keyOrd.compare(matchedKey, lKey) == 0 &&
+                    lMinProj.forall(p => timeOrd.compare(matchedTime, p(lRow)) >= 0))
+                  matched
                 else nullRight
               joiner.join(lRow, m)
             }
@@ -224,7 +239,8 @@ case class BroadcastAsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreaks: Seq[Expression]) extends BinaryExecNode {
+    rightTiebreaks: Seq[Expression],
+    leftMinTime: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -244,6 +260,7 @@ case class BroadcastAsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val rOrderExprs = rightTime +: rightTiebreaks
+    val lMinExpr = leftMinTime
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
     val rSchema = DataTypeUtils.fromAttributes(rOut)
@@ -265,6 +282,7 @@ case class BroadcastAsOfJoinExec(
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val lMinProj = lMinExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joiner = GenerateUnsafeRowJoiner.create(lSchema, rSchema)
       val lConv = UnsafeProjection.create(lOut, lOut)
@@ -290,7 +308,12 @@ case class BroadcastAsOfJoinExec(
               ans = mid; lo = mid + 1
             } else hi = mid - 1
           }
-          if (ans < 0) joiner.join(lRow, nullRight)
+          // tolerance floor: the rightmost admissible row is also the
+          // newest, so if IT is below the floor no row qualifies
+          if (ans < 0 ||
+              lMinProj.exists(p =>
+                timeOrd.compare(rTimeProj(group(ans)), p(lRow)) < 0))
+            joiner.join(lRow, nullRight)
           else joiner.join(lRow, group(ans))
         }
       }
@@ -318,6 +341,10 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 
+  /** @param minTime optional tolerance floor, a SQL expression over
+    *   LEFT columns evaluating to the time type (e.g.
+    *   `"ts - INTERVAL 30 DAYS"`): right rows older than it match
+    *   null — pandas `merge_asof(tolerance=...)` semantics. */
   def joinLatest(
       left: DataFrame,
       right: DataFrame,
@@ -325,7 +352,8 @@ object AsOf {
       rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightTiebreaks: Seq[String] = Nil): DataFrame = {
+      rightTiebreaks: Seq[String] = Nil,
+      minTime: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = GraftSqlShim.analyzed(
@@ -344,9 +372,28 @@ object AsOf {
       s"as-of join: key types differ: ${lk.map(_.dataType)} vs ${rk.map(_.dataType)}")
     require(lt.dataType == rt.dataType,
       s"as-of join: time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // Resolve the floor expression against the left plan by analyzing
+    // a throwaway projection — same attribute ids, so the extracted
+    // child expression binds directly inside the join node.
+    val mn = minTime.map { s =>
+      val analyzed = GraftSqlShim.analyzed(
+        left.select(org.apache.spark.sql.functions.expr(s).as("__asof_min"))
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]])
+      val e = analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: Alias => a.child
+            case other => other
+          }
+        case other => other.output.head
+      }
+      require(e.dataType == lt.dataType,
+        s"as-of join: minTime type ${e.dataType} != time type ${lt.dataType}")
+      e
+    }
     GraftSqlShim.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
-        rightTiebreaks.map(resolve(rPlan, _))))
+        rightTiebreaks.map(resolve(rPlan, _)), mn))
   }
 }

@@ -56,6 +56,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out4.count() == 2)
     assert(out4.filter(col("v").isNotNull).count() == 0)
 
+    // tolerance floor: matches older than minTime become null, and a
+    // too-stale match for one row can still serve a later row
+    val l6 = Seq((1L, 10L, "near"), (1L, 100L, "far"), (1L, 12L, "edge"))
+      .toDF("k", "t", "tag")
+    val r6 = Seq((1L, 7L, "a")).toDF("rk", "rt", "v")
+    val out6 = AsOf.joinLatest(l6, r6, Seq("k"), Seq("rk"), "t", "rt",
+        minTime = Some("t - 5"))
+      .select("tag", "v").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toMap
+    // near: 7 >= 10-5 ok; edge: 7 >= 12-5 ok (boundary); far: 7 < 95 null
+    assert(out6 == Map("near" -> Some("a"), "edge" -> Some("a"), "far" -> None))
+
     // many keys, closed-form expected match (greatest even <= t)
     val l5 = spark.range(10000).select(
       (col("id") % 500).as("k"), expr("id div 500").as("t"))
