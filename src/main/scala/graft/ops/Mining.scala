@@ -90,15 +90,19 @@ object Mining {
     * comparisons use (degree, name) struct ordering, identical in the
     * oracle's row-value comparison. */
   def qTriangles(spark: SparkSession, d: String): DataFrame = {
-    val bb = Tables.lineitem(spark, d)
+    // One shuffle builds the baskets (qMarketBasket's shape); pair
+    // expansion happens MAP-SIDE by double-exploding the ≤17-brand
+    // basket array — the equivalent item-stream self-join costs two
+    // more full exchanges for the same edge set.
+    val edges = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
-    val edges = bb.as("x").join(bb.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.p_brand") < col("y.p_brand"))
-      .select(col("x.p_brand").as("a"), col("y.p_brand").as("b"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("p_brand")).as("basket"))
+      .select(explode(col("basket")).as("a"), col("basket"))
+      .select(col("a"), explode(col("basket")).as("b"))
+      .filter(col("a") < col("b"))
       .distinct()
       .persist() // degree pass + orientation share it
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
