@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeRowJoiner
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -64,6 +65,43 @@ case class AsOfJoin(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning through [[AsOfJoin]]: Catalyst's built-in
+  * ColumnPruning only understands its own node types, so a custom
+  * binary operator is a pruning barrier — a consumer that selects two
+  * columns would still drag every column of both children through the
+  * shuffle (and defeat parquet column pruning at the scans). This rule
+  * restores the invariant: when a Project (optionally over a Filter)
+  * sits on an AsOfJoin, each child is narrowed to the columns the
+  * consumer, the filter, and the join expressions actually reference.
+  * Fires only when it strictly narrows a child, so it reaches a fixed
+  * point; the inserted Projects then merge into the scans via the
+  * standard rules. */
+object AsOfJoinPruning extends Rule[LogicalPlan] {
+
+  private def needed(j: AsOfJoin, above: AttributeSet): AsOfJoin = {
+    val required = above ++
+      AttributeSet(j.leftKeys.flatMap(_.references)) ++
+      AttributeSet(j.rightKeys.flatMap(_.references)) ++
+      j.leftTime.references ++ j.rightTime.references ++
+      AttributeSet(j.rightTiebreaks.flatMap(_.references)) ++
+      j.leftMinTime.map(_.references).getOrElse(AttributeSet.empty)
+    def prune(child: LogicalPlan): LogicalPlan = {
+      val keep = child.output.filter(required.contains)
+      if (keep.length < child.output.length) Project(keep, child) else child
+    }
+    j.copy(left = prune(j.left), right = prune(j.right))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) =>
+      val pruned = needed(j, p.references)
+      if (pruned fastEquals j) p else p.copy(child = pruned)
+    case p @ Project(_, f @ Filter(cond, j: AsOfJoin)) =>
+      val pruned = needed(j, p.references ++ cond.references)
+      if (pruned fastEquals j) p else p.copy(child = f.copy(child = pruned))
+  }
 }
 
 /** Plans [[AsOfJoin]] physically, mirroring Spark's own join-strategy
@@ -328,9 +366,9 @@ case class BroadcastAsOfJoinExec(
 /** Public API: `AsOf.joinLatest(events, orders, Seq("user_id"),
   * Seq("o_custkey"), "ts", "t")`. Children are pre-analyzed
   * DataFrames, so the injected node is fully resolved at construction;
-  * column pruning does not see through a custom binary node, so select
-  * the columns you need on each side first (as the reference's windowed
-  * fetches do — they carry only the station key and boundary time). */
+  * [[AsOfJoinPruning]] restores column pruning through the custom
+  * node, so a narrow consumer projection reaches the scans without
+  * manual child selection. */
 object AsOf {
 
   /** Idempotently add the planner strategy to a session. GraftExtensions
@@ -339,6 +377,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruning
   }
 
   /** @param minTime optional tolerance floor, a SQL expression over

@@ -75,6 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder16"),
       (children: Seq[Expression]) => ZOrderKey(children.head, children(1))))
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    ext.injectOptimizerRule(_ => AsOfJoinPruning)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -108,6 +108,37 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("pruning rule narrows unprojected children down to the referenced columns") {
+    // No manual select on either side: the rule must keep only the
+    // join-needed + consumer-needed columns, dropping event_type/value/
+    // props on the left and status/price/priority on the right.
+    val e = Tables.events(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("t", col("o_orderdate").cast("timestamp"))
+    val df = AsOf.joinLatest(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "t")
+      .filter(col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey")
+    val j = df.queryExecution.optimizedPlan.collect {
+      case x: graft.plans.AsOfJoin => x
+    }.head
+    assert(j.left.output.map(_.name).toSet == Set("event_id", "ts", "user_id"))
+    assert(j.right.output.map(_.name).toSet == Set("o_orderkey", "o_custkey", "t"))
+    // pruning reaches the parquet scan: the orders ReadSchema drops the
+    // columns the query never references
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("o_orderstatus") && !plan.contains("o_totalprice"), plan)
+    // and the narrowed plan still agrees with the manually-projected form
+    val manual = AsOf.joinLatest(
+        e.select("user_id", "ts", "event_id"),
+        o.select("o_custkey", "t", "o_orderkey"),
+        Seq("user_id"), Seq("o_custkey"), "ts", "t")
+      .filter(col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey")
+    assert(df.collect().toSeq.sortBy(_.getLong(0)) ==
+      manual.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("as-of semantics hold on the broadcast path (default threshold)") {
     semanticsSuite()
   }
