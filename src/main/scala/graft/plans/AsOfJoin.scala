@@ -78,7 +78,24 @@ case class AsOfJoin(
   * Fires only when it strictly narrows a child, so it reaches a fixed
   * point; the inserted Projects then merge into the scans via the
   * standard rules. */
-object AsOfJoinPruning extends Rule[LogicalPlan] {
+object AsOfJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Push the deterministic conjuncts that reference only LEFT columns
+    * below the join. Sound because the operator is left-outer over a
+    * per-left-row function of (left row, matched right row): dropping
+    * a left row early never changes any other row's match. RIGHT-side
+    * conjuncts must NOT move — filtering right rows pre-join would
+    * re-match affected left rows to older rows instead of null. */
+  private def pushLeftFilters(f: Filter, j: AsOfJoin): LogicalPlan = {
+    val (push, keep) = splitConjunctivePredicates(f.condition)
+      .partition(e => e.deterministic &&
+        e.references.subsetOf(j.left.outputSet))
+    if (push.isEmpty) f
+    else {
+      val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+      keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+    }
+  }
 
   private def needed(j: AsOfJoin, above: AttributeSet): AsOfJoin = {
     val required = above ++
@@ -101,6 +118,7 @@ object AsOfJoinPruning extends Rule[LogicalPlan] {
     case p @ Project(_, f @ Filter(cond, j: AsOfJoin)) =>
       val pruned = needed(j, p.references ++ cond.references)
       if (pruned fastEquals j) p else p.copy(child = f.copy(child = pruned))
+    case f @ Filter(_, j: AsOfJoin) => pushLeftFilters(f, j)
   }
 }
 

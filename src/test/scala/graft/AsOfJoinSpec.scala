@@ -139,6 +139,42 @@ class AsOfJoinSpec extends SparkSpec {
       manual.collect().toSeq.sortBy(_.getLong(0)))
   }
 
+  test("left-only filter conjuncts push below the join; right-side conjuncts stay above") {
+    val e = Tables.events(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("t", col("o_orderdate").cast("timestamp"))
+    val df = AsOf.joinLatest(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "t")
+      .filter(col("event_id") < 500 && col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey")
+    val j = df.queryExecution.optimizedPlan.collect {
+      case x: graft.plans.AsOfJoin => x
+    }.head
+    // the event_id bound moved below the join (merged into the scan
+    // side), so the join's left subtree already constrains event_id...
+    assert(j.left.constraints.exists(_.references.map(_.name).toSet == Set("event_id")),
+      j.left.toString)
+    // ...and the right-side null filter did NOT move below
+    assert(!j.right.exists {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+        c.references.exists(_.name == "o_orderkey")
+      case _ => false
+    }, j.right.toString)
+    df.collect()
+    // pushed predicate reaches the parquet scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,500)]") ||
+      plan.contains("LessThan(event_id,500)"), plan)
+    // semantics unchanged vs filtering after a plain as-of join
+    val reference = AsOf.joinLatest(
+        e.select("user_id", "ts", "event_id"),
+        o.select("o_custkey", "t", "o_orderkey"),
+        Seq("user_id"), Seq("o_custkey"), "ts", "t")
+      .filter(col("event_id") < 500 && col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey")
+    assert(df.collect().toSeq.sortBy(_.getLong(0)) ==
+      reference.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("as-of semantics hold on the broadcast path (default threshold)") {
     semanticsSuite()
   }
