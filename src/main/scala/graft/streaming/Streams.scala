@@ -134,6 +134,23 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-static AS-OF enrichment: each arriving event carries the
+    * latest dim row at-or-before ITS OWN event time — temporal dim
+    * semantics (an SCD2 lookup at stream time), where
+    * [[enrichWithDim]] only answers "current state". Planned through
+    * graft's custom operator (plans/AsOfJoin.scala): the static side
+    * is dim-sized, so the strategy picks BroadcastAsOfJoinExec and the
+    * stream side is a stateless map per micro-batch — no shuffle, no
+    * sort, no state store, nothing to watermark. The same zero-state
+    * argument as enrichWithDim, extended to time-versioned dims. */
+  def asofEnrich(
+      events: DataFrame, dim: DataFrame,
+      keys: Seq[String], dimKeys: Seq[String],
+      eventTime: String, dimTime: String,
+      tiebreaks: Seq[String] = Nil): DataFrame =
+    graft.plans.AsOf.joinLatest(
+      events, dim, keys, dimKeys, eventTime, dimTime, tiebreaks)
+
   /** Streaming MinHash-LSH near-dup gate: arriving documents checked
     * against a STATIC corpus index — q_incremental_dedup's semantics
     * at stream time, and the dedup a continuous ingest actually runs

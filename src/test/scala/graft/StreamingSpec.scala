@@ -168,6 +168,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment: each event sees the dim state at ITS OWN time, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // time-versioned dim: key 1 changes value at t=20
+    val dim = Seq((1L, 5L, "v5"), (1L, 20L, "v20"), (2L, 1L, "w1"))
+      .toDF("dk", "dt", "v")
+    val input = MemoryStream[(Long, Long)]
+    val enriched = Streams.asofEnrich(
+      input.toDF().toDF("k", "t"), dim, Seq("k"), Seq("dk"), "t", "dt")
+    val q = enriched.writeStream.format("memory")
+      .queryName("asof_enrich_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 10L), (1L, 25L), (2L, 0L))
+      q.processAllAvailable()
+      input.addData((3L, 7L), (1L, 20L))
+      q.processAllAvailable()
+      val out = spark.table("asof_enrich_test").select("k", "t", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2))).toMap
+      assert(out((1L, 10L)) == Some("v5"))   // before the change
+      assert(out((1L, 20L)) == Some("v20"))  // at the boundary
+      assert(out((1L, 25L)) == Some("v20"))  // after the change
+      assert(out((2L, 0L)) == None)          // dim row is later than event
+      assert(out((3L, 7L)) == None)          // unknown key surfaces as null
+      // custom-operator plan, no streaming state accumulated
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions via in-batch gaps AND event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
