@@ -33,6 +33,7 @@ object SparkEntry {
     "q_semi_present" -> (Acquisition.qSemiPresent _),
     "q_asof_latest" -> (Acquisition.qAsofLatest _),
     "q_asof_native" -> (Acquisition.qAsofNative _),
+    "q_asof_merge" -> (Acquisition.qAsofMerge _),
     "q_asof_window" -> (Acquisition.qAsofWindow _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
     "q_completeness" -> (Acquisition.qCompleteness _),
@@ -259,6 +260,19 @@ object SparkEntry {
         |    ON o.o_custkey = e.user_id
         |    AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |    AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 8400 DAY)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // q_asof_merge pins the broadcast hint OFF so the co-partitioned
+    // sort-merge exec is oracle-verified too (stats would always pick
+    // broadcast at testdata scale); same SQL as q_asof_latest.
+    "q_asof_merge" ->
+      """SELECT event_id, ts, asof_order, asof_date FROM (
+        |  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |    o.o_orderkey AS asof_order, o.o_orderdate AS asof_date,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     // q_asof_native shares this oracle verbatim: same semantics, planned

@@ -205,6 +205,28 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** E8 (native, merge path pinned): [[qAsofNative]] with the
+    * broadcast hint forced OFF, so the driver's oracle gate exercises
+    * the co-partitioned sort-merge exec too — at real scale orders is
+    * fact-sized and THIS is the plan that runs; the testdata dim is
+    * small enough that stats-driven selection would always broadcast
+    * and leave the merge path oracle-unverified. */
+  def qAsofMerge(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select("user_id", "ts", "event_id")
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsOf.joinLatest(
+        e, o, Seq("user_id"), Seq("o_custkey"), "ts", "t",
+        rightTiebreaks = Seq("o_orderkey"),
+        broadcastHint = Some(false))
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("ts"),
+        col("o_orderkey").as("asof_order"), col("o_orderdate").as("asof_date"))
+      .orderBy("event_id")
+  }
+
   /** E8 (native, bounded staleness): [[qAsofNative]] with a tolerance
     * floor — an order too far before the event no longer describes the
     * user's state (pandas `merge_asof(tolerance=...)` semantics; the

@@ -59,7 +59,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    leftMinTime: Option[Expression]) extends BinaryNode {
+    leftMinTime: Option[Expression],
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -131,10 +132,12 @@ object AsOfJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
   * node, so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, mn) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, mn, hint) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+      val broadcast = hint.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      if (broadcast)
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, mn) :: Nil
       else
         AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, mn) :: Nil
@@ -403,7 +406,10 @@ object AsOf {
   /** @param minTime optional tolerance floor, a SQL expression over
     *   LEFT columns evaluating to the time type (e.g.
     *   `"ts - INTERVAL 30 DAYS"`): right rows older than it match
-    *   null — pandas `merge_asof(tolerance=...)` semantics. */
+    *   null — pandas `merge_asof(tolerance=...)` semantics.
+    * @param broadcastHint force the physical path like Spark's join
+    *   hints: Some(true) = broadcast, Some(false) = co-partitioned
+    *   sort-merge, None (default) = stats-driven selection. */
   def joinLatest(
       left: DataFrame,
       right: DataFrame,
@@ -412,7 +418,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTiebreaks: Seq[String] = Nil,
-      minTime: Option[String] = None): DataFrame = {
+      minTime: Option[String] = None,
+      broadcastHint: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = GraftSqlShim.analyzed(
@@ -453,6 +460,6 @@ object AsOf {
     GraftSqlShim.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
-        rightTiebreaks.map(resolve(rPlan, _)), mn))
+        rightTiebreaks.map(resolve(rPlan, _)), mn, broadcastHint))
   }
 }

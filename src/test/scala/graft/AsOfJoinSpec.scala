@@ -108,6 +108,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("broadcast hint overrides stats in both directions") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "e1")).toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, "a")).toDF("rk", "rt", "v")
+    // force merge although the right side is tiny
+    val merged = AsOf.joinLatest(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      broadcastHint = Some(false))
+    merged.collect()
+    val p1 = merged.queryExecution.executedPlan.toString
+    assert(p1.contains("AsOfJoin") && !p1.contains("BroadcastAsOfJoin"), p1)
+    // force broadcast although broadcasting is disabled
+    withThreshold("-1") {
+      val bc = AsOf.joinLatest(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        broadcastHint = Some(true))
+      bc.collect()
+      val p2 = bc.queryExecution.executedPlan.toString
+      assert(p2.contains("BroadcastAsOfJoin"), p2)
+    }
+    // q_asof_merge is the hint-pinned query the driver oracle-gates
+    val pinned = Acquisition.qAsofMerge(spark, sfDir)
+    pinned.collect()
+    val p3 = pinned.queryExecution.executedPlan.toString
+    assert(p3.contains("AsOfJoin") && !p3.contains("BroadcastAsOfJoin"), p3)
+    assert(pinned.collect().toSeq ==
+      Acquisition.qAsofLatest(spark, sfDir).collect().toSeq)
+  }
+
   test("pruning rule narrows unprojected children down to the referenced columns") {
     // No manual select on either side: the rule must keep only the
     // join-needed + consumer-needed columns, dropping event_type/value/
