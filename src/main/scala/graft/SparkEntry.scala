@@ -34,6 +34,7 @@ object SparkEntry {
     "q_asof_latest" -> (Acquisition.qAsofLatest _),
     "q_asof_native" -> (Acquisition.qAsofNative _),
     "q_asof_merge" -> (Acquisition.qAsofMerge _),
+    "q_asof_forward" -> (Acquisition.qAsofForward _),
     "q_asof_window" -> (Acquisition.qAsofWindow _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
     "q_completeness" -> (Acquisition.qCompleteness _),
@@ -261,6 +262,19 @@ object SparkEntry {
         |    AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |    AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 8400 DAY)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Forward as-of: per order, the customer's first event at-or-after
+    // the order date; smallest (ts, event_id) wins ties.
+    "q_asof_forward" ->
+      """SELECT o_orderkey, next_event, next_ts FROM (
+        |  SELECT o.o_orderkey, e.event_id AS next_event,
+        |    CAST(e.ts AS TIMESTAMP) AS next_ts,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id ASC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON e.user_id = o.o_custkey
+        |    AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     // q_asof_merge pins the broadcast hint OFF so the co-partitioned
     // sort-merge exec is oracle-verified too (stats would always pick

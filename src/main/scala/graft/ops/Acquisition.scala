@@ -227,6 +227,28 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** E8 (native, forward direction): per order, the customer's FIRST
+    * event at-or-after the order date — `merge_asof
+    * (direction='forward')` through the same custom operator (the
+    * "time to next activity" question qOrderLatency asks of
+    * fulfilment, here asked of the event stream). Smallest
+    * (ts, event_id) wins ties; customers with no subsequent events
+    * surface as null and are filtered like the other asof queries. */
+  def qAsofForward(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"))
+    val e = Tables.events(spark, d).select("user_id", "ts", "event_id")
+    graft.plans.AsOf.joinNext(
+        o, e, Seq("o_custkey"), Seq("user_id"), "t", "ts",
+        rightTiebreaks = Seq("event_id"))
+      .filter(col("event_id").isNotNull)
+      .select(col("o_orderkey"), col("event_id").as("next_event"),
+        col("ts").as("next_ts"))
+      .orderBy("o_orderkey")
+  }
+
   /** E8 (native, bounded staleness): [[qAsofNative]] with a tolerance
     * floor — an order too far before the event no longer describes the
     * user's state (pandas `merge_asof(tolerance=...)` semantics; the

@@ -46,10 +46,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Null semantics follow SQL joins: null keys on either side never
   * match.
   *
-  * `leftMinTime` is the optional tolerance floor (pandas
-  * `merge_asof(tolerance=...)`): an expression over the LEFT row
-  * (e.g. `ts - INTERVAL 30 DAYS`) below which a candidate is too
-  * stale and the row matches null instead.
+  * `timeBound` is the optional tolerance bound (pandas
+  * `merge_asof(tolerance=...)`): an expression over the LEFT row. For
+  * the backward direction it is a floor (e.g. `ts - INTERVAL 30 DAYS`)
+  * below which a candidate is too stale; with `forward = true` it is a
+  * ceiling above which a candidate is too far ahead. `forward` flips
+  * the direction to pandas `merge_asof(direction='forward')`: the
+  * FIRST right row with `rightTime >= leftTime` (smallest
+  * (time, tiebreaks)) instead of the last at-or-before.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -59,7 +63,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    leftMinTime: Option[Expression],
+    timeBound: Option[Expression],
+    forward: Boolean = false,
     broadcastHint: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -104,7 +109,7 @@ object AsOfJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
       AttributeSet(j.rightKeys.flatMap(_.references)) ++
       j.leftTime.references ++ j.rightTime.references ++
       AttributeSet(j.rightTiebreaks.flatMap(_.references)) ++
-      j.leftMinTime.map(_.references).getOrElse(AttributeSet.empty)
+      j.timeBound.map(_.references).getOrElse(AttributeSet.empty)
     def prune(child: LogicalPlan): LogicalPlan = {
       val keep = child.output.filter(required.contains)
       if (keep.length < child.output.length) Project(keep, child) else child
@@ -132,15 +137,15 @@ object AsOfJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
   * node, so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, mn, hint) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, bound, fwd, hint) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = hint.getOrElse(
         threshold > 0 && r.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, mn) :: Nil
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd) :: Nil
       else
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, mn) :: Nil
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -166,7 +171,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    leftMinTime: Option[Expression]) extends BinaryExecNode {
+    timeBound: Option[Expression],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -190,7 +196,8 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
-    val lMinExpr = leftMinTime
+    val boundExpr = timeBound
+    val fwd = forward
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
@@ -215,7 +222,7 @@ case class AsOfJoinExec(
             .create(rOut.map(a => Literal.create(null, a.dataType)), Nil)(
               InternalRow.empty).copy()
 
-          val lMinProj = lMinExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
+          val boundProj = boundExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
           var matched: UnsafeRow = null    // best right row for matchedKey so far
           var matchedKey: UnsafeRow = null
           var matchedTime: InternalRow = null
@@ -235,7 +242,7 @@ case class AsOfJoinExec(
             }
           }
 
-          lIter.map { lRaw =>
+          if (!fwd) lIter.map { lRaw =>
             val lRow = lConv(lRaw)
             val lKey = lKeyProj(lRow)
             if (lKey.anyNull) joiner.join(lRow, nullRight)
@@ -259,12 +266,47 @@ case class AsOfJoinExec(
                   }
                 }
               }
-              // tolerance floor: a match older than leftMinTime is too
+              // tolerance floor: a match older than the bound is too
               // stale for THIS left row (it may still serve a later one)
               val m =
                 if (matched != null && keyOrd.compare(matchedKey, lKey) == 0 &&
-                    lMinProj.forall(p => timeOrd.compare(matchedTime, p(lRow)) >= 0))
+                    boundProj.forall(p => timeOrd.compare(matchedTime, p(lRow)) >= 0))
                   matched
+                else nullRight
+              joiner.join(lRow, m)
+            }
+          }
+          else lIter.map { lRaw =>
+            // forward: discard right rows strictly behind the current
+            // left row; the pending row (NOT consumed — it may serve
+            // later left rows of the same key) is then the first
+            // admissible candidate, i.e. the minimal (time, tiebreaks)
+            // with time >= left time.
+            val lRow = lConv(lRaw)
+            val lKey = lKeyProj(lRow)
+            if (lKey.anyNull) joiner.join(lRow, nullRight)
+            else {
+              val lTime = lTimeProj(lRow)
+              var advance = true
+              while (advance) {
+                refill()
+                if (pending == null) advance = false
+                else {
+                  val kc = keyOrd.compare(pendingKey, lKey)
+                  if (kc < 0 ||
+                      (kc == 0 && timeOrd.compare(pendingTime, lTime) < 0)) {
+                    pending = null // strictly behind: can never match again
+                  } else {
+                    advance = false
+                  }
+                }
+              }
+              // tolerance ceiling: a match further ahead than the bound
+              // is too far in the future for THIS left row
+              val m =
+                if (pending != null && keyOrd.compare(pendingKey, lKey) == 0 &&
+                    boundProj.forall(p => timeOrd.compare(pendingTime, p(lRow)) <= 0))
+                  pending
                 else nullRight
               joiner.join(lRow, m)
             }
@@ -299,7 +341,8 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    leftMinTime: Option[Expression]) extends BinaryExecNode {
+    timeBound: Option[Expression],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -319,7 +362,8 @@ case class BroadcastAsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val rOrderExprs = rightTime +: rightTiebreaks
-    val lMinExpr = leftMinTime
+    val boundExpr = timeBound
+    val fwd = forward
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
     val rSchema = DataTypeUtils.fromAttributes(rOut)
@@ -341,7 +385,7 @@ case class BroadcastAsOfJoinExec(
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
-      val lMinProj = lMinExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
+      val boundProj = boundExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joiner = GenerateUnsafeRowJoiner.create(lSchema, rSchema)
       val lConv = UnsafeProjection.create(lOut, lOut)
@@ -356,22 +400,31 @@ case class BroadcastAsOfJoinExec(
         if (group == null) joiner.join(lRow, nullRight)
         else {
           val lTime = lTimeProj(lRow).copy()
-          // rightmost admissible row: greatest (time, tiebreaks) with
-          // time <= left time (group is time-ascending)
+          // backward: rightmost row with time <= left time (greatest
+          // admissible (time, tiebreaks)); forward: leftmost row with
+          // time >= left time (smallest). Group is (time, tiebreaks)-
+          // ascending, so both are single binary searches.
           var lo = 0
           var hi = group.length - 1
           var ans = -1
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (timeOrd.compare(rTimeProj(group(mid)), lTime) <= 0) {
-              ans = mid; lo = mid + 1
-            } else hi = mid - 1
+            val c = timeOrd.compare(rTimeProj(group(mid)), lTime)
+            if (if (fwd) c >= 0 else c <= 0) {
+              ans = mid
+              if (fwd) hi = mid - 1 else lo = mid + 1
+            } else {
+              if (fwd) lo = mid + 1 else hi = mid - 1
+            }
           }
-          // tolerance floor: the rightmost admissible row is also the
-          // newest, so if IT is below the floor no row qualifies
+          // tolerance bound: the selected row is the extreme admissible
+          // one, so if IT violates the bound no row qualifies
+          // (backward: floor, forward: ceiling)
           if (ans < 0 ||
-              lMinProj.exists(p =>
-                timeOrd.compare(rTimeProj(group(ans)), p(lRow)) < 0))
+              boundProj.exists { p =>
+                val c = timeOrd.compare(rTimeProj(group(ans)), p(lRow))
+                if (fwd) c > 0 else c < 0
+              })
             joiner.join(lRow, nullRight)
           else joiner.join(lRow, group(ans))
         }
@@ -403,7 +456,9 @@ object AsOf {
         spark.experimental.extraOptimizations :+ AsOfJoinPruning
   }
 
-  /** @param minTime optional tolerance floor, a SQL expression over
+  /** Backward as-of: latest right row at-or-before each left row.
+    *
+    * @param minTime optional tolerance floor, a SQL expression over
     *   LEFT columns evaluating to the time type (e.g.
     *   `"ts - INTERVAL 30 DAYS"`): right rows older than it match
     *   null — pandas `merge_asof(tolerance=...)` semantics.
@@ -419,7 +474,38 @@ object AsOf {
       rightTime: String,
       rightTiebreaks: Seq[String] = Nil,
       minTime: Option[String] = None,
-      broadcastHint: Option[Boolean] = None): DataFrame = {
+      broadcastHint: Option[Boolean] = None): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreaks, minTime, forward = false, broadcastHint)
+
+  /** Forward as-of (pandas `merge_asof(direction='forward')`): FIRST
+    * right row at-or-after each left row — smallest (time, tiebreaks)
+    * with `rightTime >= leftTime`. `maxTime` is the tolerance ceiling
+    * (right rows beyond it match null). */
+  def joinNext(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreaks: Seq[String] = Nil,
+      maxTime: Option[String] = None,
+      broadcastHint: Option[Boolean] = None): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreaks, maxTime, forward = true, broadcastHint)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreaks: Seq[String],
+      timeBound: Option[String],
+      forward: Boolean,
+      broadcastHint: Option[Boolean]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = GraftSqlShim.analyzed(
@@ -441,7 +527,7 @@ object AsOf {
     // Resolve the floor expression against the left plan by analyzing
     // a throwaway projection — same attribute ids, so the extracted
     // child expression binds directly inside the join node.
-    val mn = minTime.map { s =>
+    val mn = timeBound.map { s =>
       val analyzed = GraftSqlShim.analyzed(
         left.select(org.apache.spark.sql.functions.expr(s).as("__asof_min"))
           .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]])
@@ -460,6 +546,6 @@ object AsOf {
     GraftSqlShim.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
-        rightTiebreaks.map(resolve(rPlan, _)), mn, broadcastHint))
+        rightTiebreaks.map(resolve(rPlan, _)), mn, forward, broadcastHint))
   }
 }

@@ -68,6 +68,26 @@ class AsOfJoinSpec extends SparkSpec {
     // near: 7 >= 10-5 ok; edge: 7 >= 12-5 ok (boundary); far: 7 < 95 null
     assert(out6 == Map("near" -> Some("a"), "edge" -> Some("a"), "far" -> None))
 
+    // forward direction: first right row at-or-after, min tiebreak on
+    // ties, ceiling bound nulls too-distant matches
+    val lf = Seq((1L, 10L, "f1"), (1L, 16L, "f2"), (1L, 30L, "f3"))
+      .toDF("k", "t", "tag")
+    val rf = Seq((1L, 10L, "b"), (1L, 10L, "a"), (1L, 25L, "c"))
+      .toDF("rk", "rt", "v")
+    val outF = AsOf.joinNext(lf, rf, Seq("k"), Seq("rk"), "t", "rt",
+        rightTiebreaks = Seq("v"))
+      .select("tag", "v").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toMap
+    // f1 at t=10: ties at rt=10, smallest tiebreak "a"; f2: next is 25
+    // -> "c"; f3: nothing at-or-after 30 -> null
+    assert(outF == Map("f1" -> Some("a"), "f2" -> Some("c"), "f3" -> None))
+    val outFB = AsOf.joinNext(lf, rf, Seq("k"), Seq("rk"), "t", "rt",
+        rightTiebreaks = Seq("v"), maxTime = Some("t + 5"))
+      .select("tag", "v").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toMap
+    // ceiling t+5: f2's candidate at 25 > 21 -> null; f1 unaffected
+    assert(outFB == Map("f1" -> Some("a"), "f2" -> None, "f3" -> None))
+
     // many keys, closed-form expected match (greatest even <= t)
     val l5 = spark.range(10000).select(
       (col("id") % 500).as("k"), expr("id div 500").as("t"))
