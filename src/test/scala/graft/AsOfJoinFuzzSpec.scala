@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.AsOf
+
+/** Randomized (fixed-seed, deterministic) equivalence for the as-of
+  * operator: seeded scenarios driven through BOTH physical paths and
+  * BOTH directions, with and without a tolerance bound, compared
+  * against a brute-force in-memory reference. Complements the
+  * example-based AsOfJoinSpec the way the repo's other fuzz suites
+  * (TopKProps, IntervalMergeProps) complement theirs.
+  */
+class AsOfJoinFuzzSpec extends SparkSpec {
+
+  /** Brute force: per left row, filter admissible candidates and pick
+    * the extreme (time, tiebreak) — max for backward, min for forward. */
+  private def reference(
+      left: Seq[(Long, Long, Long)],      // (id, key, t)
+      right: Seq[(Long, Long, String)],   // (key, t, v)
+      forward: Boolean,
+      bound: Option[Long]): Map[Long, Option[String]] =
+    left.map { case (id, k, t) =>
+      val cands = right.filter { case (rk, rt, _) =>
+        rk == k && (
+          if (forward) rt >= t && bound.forall(b => rt <= t + b)
+          else rt <= t && bound.forall(b => rt >= t - b))
+      }
+      val pick =
+        if (cands.isEmpty) None
+        else if (forward) Some(cands.minBy { case (_, rt, v) => (rt, v) }._3)
+        else Some(cands.maxBy { case (_, rt, v) => (rt, v) }._3)
+      id -> pick
+    }.toMap
+
+  test("seeded random scenarios: engine ≡ brute force over both paths × directions × bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (iter <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = (0 until (5 + rnd.nextInt(40)))
+        .map(i => (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong))
+      val right = (0 until rnd.nextInt(40))
+        .map(i => (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, s"v$i"))
+      val bound = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(10)) else None
+      val ldf = left.toDF("id", "k", "t")
+      val rdf = right.toDF("rk", "rt", "v")
+      for (forward <- Seq(false, true); hint <- Seq(Some(true), Some(false))) {
+        val df =
+          if (forward)
+            AsOf.joinNext(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
+              Seq("v"), bound.map(b => s"t + $b"), hint)
+          else
+            AsOf.joinLatest(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
+              Seq("v"), bound.map(b => s"t - $b"), hint)
+        val got = df.select("id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val want = reference(left, right, forward, bound)
+        assert(got == want,
+          s"iter=$iter forward=$forward hint=$hint bound=$bound\nleft=$left\nright=$right")
+      }
+    }
+  }
+}
