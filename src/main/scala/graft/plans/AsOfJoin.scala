@@ -53,7 +53,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * ceiling above which a candidate is too far ahead. `forward` flips
   * the direction to pandas `merge_asof(direction='forward')`: the
   * FIRST right row with `rightTime >= leftTime` (smallest
-  * (time, tiebreaks)) instead of the last at-or-before.
+  * (time, tiebreaks)) instead of the last at-or-before. `allowExact =
+  * false` makes the time comparison strict in either direction
+  * (pandas `allow_exact_matches=False`).
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -65,6 +67,7 @@ case class AsOfJoin(
     rightTiebreaks: Seq[Expression],
     timeBound: Option[Expression],
     forward: Boolean = false,
+    allowExact: Boolean = true,
     broadcastHint: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -137,15 +140,15 @@ object AsOfJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
   * node, so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, bound, fwd, hint) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, bound, fwd, exact, hint) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = hint.getOrElse(
         threshold > 0 && r.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd) :: Nil
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd, exact) :: Nil
       else
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd) :: Nil
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd, exact) :: Nil
     case _ => Nil
   }
 }
@@ -172,7 +175,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
     timeBound: Option[Expression],
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean,
+    allowExact: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -198,6 +202,7 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val boundExpr = timeBound
     val fwd = forward
+    val exact = allowExact
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
@@ -256,7 +261,10 @@ case class AsOfJoinExec(
                   val kc = keyOrd.compare(pendingKey, lKey)
                   if (kc < 0) {
                     pending = null // right key already passed: discard
-                  } else if (kc == 0 && timeOrd.compare(pendingTime, lTime) <= 0) {
+                  } else if (kc == 0 && {
+                    val tc = timeOrd.compare(pendingTime, lTime)
+                    if (exact) tc <= 0 else tc < 0
+                  }) {
                     matched = pending // admissible: remember, keep advancing
                     matchedKey = pendingKey
                     matchedTime = pendingTime // refill() allocates fresh copies
@@ -293,9 +301,11 @@ case class AsOfJoinExec(
                 if (pending == null) advance = false
                 else {
                   val kc = keyOrd.compare(pendingKey, lKey)
-                  if (kc < 0 ||
-                      (kc == 0 && timeOrd.compare(pendingTime, lTime) < 0)) {
-                    pending = null // strictly behind: can never match again
+                  if (kc < 0 || (kc == 0 && {
+                    val tc = timeOrd.compare(pendingTime, lTime)
+                    if (exact) tc < 0 else tc <= 0
+                  })) {
+                    pending = null // behind this left row: can never match again
                   } else {
                     advance = false
                   }
@@ -342,7 +352,8 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
     timeBound: Option[Expression],
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean,
+    allowExact: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -364,6 +375,7 @@ case class BroadcastAsOfJoinExec(
     val rOrderExprs = rightTime +: rightTiebreaks
     val boundExpr = timeBound
     val fwd = forward
+    val exact = allowExact
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
     val rSchema = DataTypeUtils.fromAttributes(rOut)
@@ -410,7 +422,10 @@ case class BroadcastAsOfJoinExec(
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
             val c = timeOrd.compare(rTimeProj(group(mid)), lTime)
-            if (if (fwd) c >= 0 else c <= 0) {
+            val admissible =
+              if (fwd) { if (exact) c >= 0 else c > 0 }
+              else { if (exact) c <= 0 else c < 0 }
+            if (admissible) {
               ans = mid
               if (fwd) hi = mid - 1 else lo = mid + 1
             } else {
@@ -474,9 +489,10 @@ object AsOf {
       rightTime: String,
       rightTiebreaks: Seq[String] = Nil,
       minTime: Option[String] = None,
-      broadcastHint: Option[Boolean] = None): DataFrame =
+      broadcastHint: Option[Boolean] = None,
+      allowExact: Boolean = true): DataFrame =
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTiebreaks, minTime, forward = false, broadcastHint)
+      rightTiebreaks, minTime, forward = false, allowExact, broadcastHint)
 
   /** Forward as-of (pandas `merge_asof(direction='forward')`): FIRST
     * right row at-or-after each left row — smallest (time, tiebreaks)
@@ -491,9 +507,10 @@ object AsOf {
       rightTime: String,
       rightTiebreaks: Seq[String] = Nil,
       maxTime: Option[String] = None,
-      broadcastHint: Option[Boolean] = None): DataFrame =
+      broadcastHint: Option[Boolean] = None,
+      allowExact: Boolean = true): DataFrame =
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTiebreaks, maxTime, forward = true, broadcastHint)
+      rightTiebreaks, maxTime, forward = true, allowExact, broadcastHint)
 
   private def join(
       left: DataFrame,
@@ -505,6 +522,7 @@ object AsOf {
       rightTiebreaks: Seq[String],
       timeBound: Option[String],
       forward: Boolean,
+      allowExact: Boolean,
       broadcastHint: Option[Boolean]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
@@ -546,6 +564,7 @@ object AsOf {
     GraftSqlShim.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
-        rightTiebreaks.map(resolve(rPlan, _)), mn, forward, broadcastHint))
+        rightTiebreaks.map(resolve(rPlan, _)), mn, forward, allowExact,
+        broadcastHint))
   }
 }

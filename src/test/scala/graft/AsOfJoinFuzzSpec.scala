@@ -17,12 +17,15 @@ class AsOfJoinFuzzSpec extends SparkSpec {
       left: Seq[(Long, Long, Long)],      // (id, key, t)
       right: Seq[(Long, Long, String)],   // (key, t, v)
       forward: Boolean,
-      bound: Option[Long]): Map[Long, Option[String]] =
+      bound: Option[Long],
+      allowExact: Boolean): Map[Long, Option[String]] =
     left.map { case (id, k, t) =>
       val cands = right.filter { case (rk, rt, _) =>
         rk == k && (
-          if (forward) rt >= t && bound.forall(b => rt <= t + b)
-          else rt <= t && bound.forall(b => rt >= t - b))
+          if (forward)
+            (if (allowExact) rt >= t else rt > t) && bound.forall(b => rt <= t + b)
+          else
+            (if (allowExact) rt <= t else rt < t) && bound.forall(b => rt >= t - b))
       }
       val pick =
         if (cands.isEmpty) None
@@ -41,21 +44,22 @@ class AsOfJoinFuzzSpec extends SparkSpec {
       val right = (0 until rnd.nextInt(40))
         .map(i => (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, s"v$i"))
       val bound = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(10)) else None
+      val exact = rnd.nextBoolean()
       val ldf = left.toDF("id", "k", "t")
       val rdf = right.toDF("rk", "rt", "v")
       for (forward <- Seq(false, true); hint <- Seq(Some(true), Some(false))) {
         val df =
           if (forward)
             AsOf.joinNext(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
-              Seq("v"), bound.map(b => s"t + $b"), hint)
+              Seq("v"), bound.map(b => s"t + $b"), hint, allowExact = exact)
           else
             AsOf.joinLatest(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
-              Seq("v"), bound.map(b => s"t - $b"), hint)
+              Seq("v"), bound.map(b => s"t - $b"), hint, allowExact = exact)
         val got = df.select("id", "v").collect()
           .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
-        val want = reference(left, right, forward, bound)
+        val want = reference(left, right, forward, bound, exact)
         assert(got == want,
-          s"iter=$iter forward=$forward hint=$hint bound=$bound\nleft=$left\nright=$right")
+          s"iter=$iter forward=$forward hint=$hint bound=$bound exact=$exact\nleft=$left\nright=$right")
       }
     }
   }

@@ -68,6 +68,15 @@ class AsOfJoinSpec extends SparkSpec {
     // near: 7 >= 10-5 ok; edge: 7 >= 12-5 ok (boundary); far: 7 < 95 null
     assert(out6 == Map("near" -> Some("a"), "edge" -> Some("a"), "far" -> None))
 
+    // allowExact = false: boundary rows excluded in both directions
+    val outStrict = AsOf.joinLatest(l2, r2, Seq("k"), Seq("rk"), "t", "rt",
+        rightTiebreaks = Seq("v"), allowExact = false)
+      .select("tag", "v").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toMap
+    // e1 at t=10: the rt=10 ties are now excluded -> null (nothing
+    // strictly before); e2 at t=20 still sees rt=15
+    assert(outStrict == Map("e0" -> None, "e1" -> None, "e2" -> Some("c")))
+
     // forward direction: first right row at-or-after, min tiebreak on
     // ties, ceiling bound nulls too-distant matches
     val lf = Seq((1L, 10L, "f1"), (1L, 16L, "f2"), (1L, 30L, "f3"))
