@@ -35,6 +35,7 @@ object SparkEntry {
     "q_asof_native" -> (Acquisition.qAsofNative _),
     "q_asof_merge" -> (Acquisition.qAsofMerge _),
     "q_asof_forward" -> (Acquisition.qAsofForward _),
+    "q_asof_nearest" -> (Acquisition.qAsofNearest _),
     "q_asof_window" -> (Acquisition.qAsofWindow _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
     "q_completeness" -> (Acquisition.qCompleteness _),
@@ -262,6 +263,29 @@ object SparkEntry {
         |    AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |    AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 8400 DAY)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Nearest as-of: per order, the customer's closest shipment in
+    // absolute µs distance; ties to backward, then the directional
+    // tiebreak (max backward / min forward) via CASE-flipped ranking.
+    "q_asof_nearest" ->
+      """SELECT o_orderkey, ship_order, ship_line, ship_date FROM (
+        |  SELECT o.o_orderkey, s.l_orderkey AS ship_order,
+        |    s.l_linenumber AS ship_line, CAST(s.st AS TIMESTAMP) AS ship_date,
+        |    row_number() OVER (PARTITION BY o.o_orderkey ORDER BY
+        |      abs(epoch_us(CAST(s.st AS TIMESTAMP))
+        |          - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+        |      CASE WHEN CAST(s.st AS TIMESTAMP) <= CAST(o.o_orderdate AS TIMESTAMP)
+        |        THEN 0 ELSE 1 END ASC,
+        |      CASE WHEN CAST(s.st AS TIMESTAMP) <= CAST(o.o_orderdate AS TIMESTAMP)
+        |        THEN -s.l_orderkey ELSE s.l_orderkey END ASC,
+        |      CASE WHEN CAST(s.st AS TIMESTAMP) <= CAST(o.o_orderdate AS TIMESTAMP)
+        |        THEN -s.l_linenumber ELSE s.l_linenumber END ASC) AS rn
+        |  FROM orders o JOIN (
+        |    SELECT o2.o_custkey AS ck, l.l_shipdate AS st,
+        |      l.l_orderkey, l.l_linenumber
+        |    FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey) s
+        |    ON s.ck = o.o_custkey)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     // Forward as-of: per order, the customer's first event at-or-after
     // the order date; smallest (ts, event_id) wins ties.

@@ -249,6 +249,34 @@ object Acquisition {
       .orderBy("o_orderkey")
   }
 
+  /** E8 (native, nearest direction): per order, the same customer's
+    * NEAREST shipment event in absolute time — `merge_asof
+    * (direction='nearest')` through the custom operator. Shipments
+    * straddle order dates in the fixture (shipdate = some order's date
+    * + 0..121 d), so both direction candidates genuinely compete; ties
+    * go backward, within a side the directional tiebreak applies
+    * (max (order, line) backward, min forward), matching the oracle's
+    * CASE-flipped ranking. */
+  def qAsofNearest(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey"))
+    val ship = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(spark, d)
+        .select(col("o_orderkey").as("lo_key"), col("o_custkey").as("ship_ck")),
+        col("l_orderkey") === col("lo_key"))
+      .select(col("ship_ck"), col("l_shipdate").cast("timestamp").as("st"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.plans.AsOf.joinNearest(
+        o, ship, Seq("o_custkey"), Seq("ship_ck"), "t", "st",
+        rightTiebreaks = Seq("l_orderkey", "l_linenumber"))
+      .select(col("o_orderkey"), col("l_orderkey").as("ship_order"),
+        col("l_linenumber").as("ship_line"), col("st").as("ship_date"))
+      .orderBy("o_orderkey")
+  }
+
   /** E8 (native, bounded staleness): [[qAsofNative]] with a tolerance
     * floor — an order too far before the event no longer describes the
     * user's state (pandas `merge_asof(tolerance=...)` semantics; the

@@ -55,7 +55,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * FIRST right row with `rightTime >= leftTime` (smallest
   * (time, tiebreaks)) instead of the last at-or-before. `allowExact =
   * false` makes the time comparison strict in either direction
-  * (pandas `allow_exact_matches=False`).
+  * (pandas `allow_exact_matches=False`). `nearest` picks whichever of
+  * the backward/forward candidates is closer in absolute time
+  * (distance measured on the type's primitive value — µs for
+  * timestamps, days for dates), ties to backward, optionally bounded
+  * by `maxDistance` — pandas `direction='nearest'` with `tolerance`;
+  * requires allowExact (the pandas default) so the merge stays
+  * single-pass.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -68,6 +74,8 @@ case class AsOfJoin(
     timeBound: Option[Expression],
     forward: Boolean = false,
     allowExact: Boolean = true,
+    nearest: Boolean = false,
+    maxDistance: Option[Long] = None,
     broadcastHint: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -140,16 +148,34 @@ object AsOfJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
   * node, so it composes with the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, bound, fwd, exact, hint) =>
+    case j: AsOfJoin =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      val broadcast = hint.getOrElse(
-        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      val broadcast = j.broadcastHint.getOrElse(
+        threshold > 0 && j.right.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd, exact) :: Nil
+        BroadcastAsOfJoinExec(planLater(j.left), planLater(j.right),
+          j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.rightTiebreaks,
+          j.timeBound, j.forward, j.allowExact, j.nearest, j.maxDistance) :: Nil
       else
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, bound, fwd, exact) :: Nil
+        AsOfJoinExec(planLater(j.left), planLater(j.right),
+          j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.rightTiebreaks,
+          j.timeBound, j.forward, j.allowExact, j.nearest, j.maxDistance) :: Nil
     case _ => Nil
+  }
+}
+
+/** Time-value extraction for nearest-direction distance arithmetic:
+  * the supported time types are exactly those whose Catalyst physical
+  * value is an integral primitive (µs for timestamps, days for dates),
+  * so |l - r| is exact long math. */
+private[plans] object AsOfTime {
+  import org.apache.spark.sql.types._
+  def asLong(t: DataType): InternalRow => Long = t match {
+    case LongType | TimestampType | TimestampNTZType => r => r.getLong(0)
+    case IntegerType | DateType => r => r.getInt(0).toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of nearest: time type $other has no primitive distance")
   }
 }
 
@@ -176,7 +202,9 @@ case class AsOfJoinExec(
     rightTiebreaks: Seq[Expression],
     timeBound: Option[Expression],
     forward: Boolean,
-    allowExact: Boolean) extends BinaryExecNode {
+    allowExact: Boolean,
+    nearest: Boolean,
+    maxDistance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -203,6 +231,8 @@ case class AsOfJoinExec(
     val boundExpr = timeBound
     val fwd = forward
     val exact = allowExact
+    val near = nearest
+    val maxDist = maxDistance.getOrElse(Long.MaxValue)
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
@@ -228,6 +258,7 @@ case class AsOfJoinExec(
               InternalRow.empty).copy()
 
           val boundProj = boundExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
+          val timeToLong = if (near) AsOfTime.asLong(timeType) else null
           var matched: UnsafeRow = null    // best right row for matchedKey so far
           var matchedKey: UnsafeRow = null
           var matchedTime: InternalRow = null
@@ -274,10 +305,26 @@ case class AsOfJoinExec(
                   }
                 }
               }
-              // tolerance floor: a match older than the bound is too
-              // stale for THIS left row (it may still serve a later one)
+              // nearest: the backward loop's matched row and the
+              // un-consumed pending row ARE the two candidates —
+              // closer absolute distance wins, ties to backward,
+              // both subject to maxDistance
               val m =
-                if (matched != null && keyOrd.compare(matchedKey, lKey) == 0 &&
+                if (near) {
+                  val lT = timeToLong(lTime)
+                  val bOk = matched != null && keyOrd.compare(matchedKey, lKey) == 0
+                  val fOk = pending != null && keyOrd.compare(pendingKey, lKey) == 0
+                  val bd = if (bOk) lT - timeToLong(matchedTime) else 0L
+                  val fd = if (fOk) timeToLong(pendingTime) - lT else 0L
+                  val bGood = bOk && bd <= maxDist
+                  val fGood = fOk && fd <= maxDist
+                  if (bGood && (!fGood || bd <= fd)) matched
+                  else if (fGood) pending
+                  else nullRight
+                }
+                // tolerance floor: a match older than the bound is too
+                // stale for THIS left row (it may still serve a later one)
+                else if (matched != null && keyOrd.compare(matchedKey, lKey) == 0 &&
                     boundProj.forall(p => timeOrd.compare(matchedTime, p(lRow)) >= 0))
                   matched
                 else nullRight
@@ -353,7 +400,9 @@ case class BroadcastAsOfJoinExec(
     rightTiebreaks: Seq[Expression],
     timeBound: Option[Expression],
     forward: Boolean,
-    allowExact: Boolean) extends BinaryExecNode {
+    allowExact: Boolean,
+    nearest: Boolean,
+    maxDistance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -376,6 +425,8 @@ case class BroadcastAsOfJoinExec(
     val boundExpr = timeBound
     val fwd = forward
     val exact = allowExact
+    val near = nearest
+    val maxDist = maxDistance.getOrElse(Long.MaxValue)
     val timeType = leftTime.dataType
     val lSchema = DataTypeUtils.fromAttributes(lOut)
     val rSchema = DataTypeUtils.fromAttributes(rOut)
@@ -398,6 +449,7 @@ case class BroadcastAsOfJoinExec(
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
       val boundProj = boundExpr.map(e => UnsafeProjection.create(Seq(e), lOut))
+      val timeToLong = if (near) AsOfTime.asLong(timeType) else null
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joiner = GenerateUnsafeRowJoiner.create(lSchema, rSchema)
       val lConv = UnsafeProjection.create(lOut, lOut)
@@ -415,7 +467,10 @@ case class BroadcastAsOfJoinExec(
           // backward: rightmost row with time <= left time (greatest
           // admissible (time, tiebreaks)); forward: leftmost row with
           // time >= left time (smallest). Group is (time, tiebreaks)-
-          // ascending, so both are single binary searches.
+          // ascending, so both are single binary searches. Nearest
+          // runs the backward-exact search: its answer and the row
+          // right AFTER it are precisely the two direction candidates.
+          val searchFwd = fwd && !near
           var lo = 0
           var hi = group.length - 1
           var ans = -1
@@ -423,19 +478,31 @@ case class BroadcastAsOfJoinExec(
             val mid = (lo + hi) >>> 1
             val c = timeOrd.compare(rTimeProj(group(mid)), lTime)
             val admissible =
-              if (fwd) { if (exact) c >= 0 else c > 0 }
-              else { if (exact) c <= 0 else c < 0 }
+              if (searchFwd) { if (exact) c >= 0 else c > 0 }
+              else { if (exact || near) c <= 0 else c < 0 }
             if (admissible) {
               ans = mid
-              if (fwd) hi = mid - 1 else lo = mid + 1
+              if (searchFwd) hi = mid - 1 else lo = mid + 1
             } else {
-              if (fwd) lo = mid + 1 else hi = mid - 1
+              if (searchFwd) lo = mid + 1 else hi = mid - 1
             }
+          }
+          if (near) {
+            val lT = timeToLong(lTime)
+            val bOk = ans >= 0
+            val fOk = ans + 1 < group.length
+            val bd = if (bOk) lT - timeToLong(rTimeProj(group(ans))) else 0L
+            val fd = if (fOk) timeToLong(rTimeProj(group(ans + 1))) - lT else 0L
+            val bGood = bOk && bd <= maxDist
+            val fGood = fOk && fd <= maxDist
+            if (bGood && (!fGood || bd <= fd)) joiner.join(lRow, group(ans))
+            else if (fGood) joiner.join(lRow, group(ans + 1))
+            else joiner.join(lRow, nullRight)
           }
           // tolerance bound: the selected row is the extreme admissible
           // one, so if IT violates the bound no row qualifies
           // (backward: floor, forward: ceiling)
-          if (ans < 0 ||
+          else if (ans < 0 ||
               boundProj.exists { p =>
                 val c = timeOrd.compare(rTimeProj(group(ans)), p(lRow))
                 if (fwd) c > 0 else c < 0
@@ -512,6 +579,26 @@ object AsOf {
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
       rightTiebreaks, maxTime, forward = true, allowExact, broadcastHint)
 
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`): the
+    * right row with minimal |rightTime - leftTime|, ties to backward.
+    * `maxDistance` is the optional tolerance in the time type's
+    * primitive unit (µs for timestamps, days for dates). Requires a
+    * primitively-integral time type; exact matches are always allowed
+    * (the pandas default). */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreaks: Seq[String] = Nil,
+      maxDistance: Option[Long] = None,
+      broadcastHint: Option[Boolean] = None): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreaks, None, forward = false, allowExact = true,
+      broadcastHint, nearest = true, maxDistance = maxDistance)
+
   private def join(
       left: DataFrame,
       right: DataFrame,
@@ -523,7 +610,9 @@ object AsOf {
       timeBound: Option[String],
       forward: Boolean,
       allowExact: Boolean,
-      broadcastHint: Option[Boolean]): DataFrame = {
+      broadcastHint: Option[Boolean],
+      nearest: Boolean = false,
+      maxDistance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = GraftSqlShim.analyzed(
@@ -542,6 +631,7 @@ object AsOf {
       s"as-of join: key types differ: ${lk.map(_.dataType)} vs ${rk.map(_.dataType)}")
     require(lt.dataType == rt.dataType,
       s"as-of join: time types differ: ${lt.dataType} vs ${rt.dataType}")
+    if (nearest) AsOfTime.asLong(lt.dataType) // fail fast if no primitive distance
     // Resolve the floor expression against the left plan by analyzing
     // a throwaway projection — same attribute ids, so the extracted
     // child expression binds directly inside the join node.
@@ -565,6 +655,6 @@ object AsOf {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
         rightTiebreaks.map(resolve(rPlan, _)), mn, forward, allowExact,
-        broadcastHint))
+        nearest, maxDistance, broadcastHint))
   }
 }

@@ -61,6 +61,32 @@ class AsOfJoinFuzzSpec extends SparkSpec {
         assert(got == want,
           s"iter=$iter forward=$forward hint=$hint bound=$bound exact=$exact\nleft=$left\nright=$right")
       }
+      // nearest direction: closest absolute distance, ties to backward,
+      // within-side ties to the directional tiebreak, bounded by maxDist
+      val maxDist = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(8)) else None
+      for (hint <- Seq(Some(true), Some(false))) {
+        val got = AsOf.joinNearest(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
+            Seq("v"), maxDist, hint)
+          .select("id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val want = left.map { case (id, k, t) =>
+          val cands = right.filter { case (rk, rt, _) =>
+            rk == k && maxDist.forall(d => math.abs(rt - t) <= d) }
+          val pick =
+            if (cands.isEmpty) None
+            else {
+              val best = cands.map { case (_, rt, v) => (math.abs(rt - t), rt > t, v) }
+              // distance asc, backward (false) before forward (true),
+              // then max tiebreak backward / min tiebreak forward
+              val (d0, f0, _) = best.minBy { case (d, f, _) => (d, f) }
+              val side = best.filter { case (d, f, _) => d == d0 && f == f0 }
+              Some(if (f0) side.map(_._3).min else side.map(_._3).max)
+            }
+          id -> pick
+        }.toMap
+        assert(got == want,
+          s"iter=$iter nearest hint=$hint maxDist=$maxDist\nleft=$left\nright=$right")
+      }
     }
   }
 }
