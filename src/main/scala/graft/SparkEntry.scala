@@ -46,6 +46,7 @@ object SparkEntry {
     "q_group_agg_salted" -> (Inventory.qGroupAggSalted _),
     "q_distinct" -> (Inventory.qDistinct _),
     "q_distinct_approx" -> (Inventory.qDistinctApprox _),
+    "q_heavy_hitters" -> (Inventory.qHeavyHitters _),
     "q_rollup" -> (Inventory.qRollup _),
     "q_schema_profile" -> (Inventory.qSchemaProfile _),
     "q_cube" -> (Inventory.qCube _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_tumbling_daily" -> (TimeWindows.qTumblingDaily _),
     "q_sliding_window" -> (TimeWindows.qSlidingWindow _),
     "q_session_window" -> (TimeWindows.qSessionWindow _),
+    "q_throttle_events" -> (TimeWindows.qThrottleEvents _),
     // Quality / training-data ops (E21-E23, E25 + north star)
     "q_exact_dedup" -> (Quality.qExactDedup _),
     "q_text_stats" -> (Quality.qTextStats _),
@@ -180,6 +182,7 @@ object SparkEntry {
     "q_rfm" -> (Analytics.qRfm _),
     "q_changepoint" -> (Analytics.qChangepoint _),
     "q_pareto" -> (Analytics.qPareto _),
+    "q_skyline" -> (Analytics.qSkyline _),
     "q_activity_bitmap" -> (Analytics.qActivityBitmap _),
     "q_attribution" -> (Analytics.qAttribution _),
     "q_seasonal_profile" -> (Analytics.qSeasonalProfile _),
@@ -528,6 +531,15 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 4) AS p99_exact,
         |  TRUE AS med_ok, TRUE AS p95_ok, TRUE AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Sketch-oracle pattern: exact top-10 counts + literal TRUE where
+    // the engine asserts the count-min guarantees (est ≥ exact, and
+    // est ≤ exact + ⌈e·N/width⌉ under the fixed seed).
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*) AS exact_n,
+        |  TRUE AS est_ge_ok, TRUE AS est_band_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin,
 
     "q_distinct_approx" ->
       """SELECT event_type,
@@ -1075,6 +1087,28 @@ object SparkEntry {
         |  FROM events CROSS JOIN range(2) t(k))
         |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, count(*) AS n
         |FROM g GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    // Greedy admission throttle: whether a row is kept depends on
+    // which earlier rows were kept — a data-dependent recurrence, so
+    // the oracle walks each user's stream with a recursive CTE
+    // (rn → rn+1), carrying the last-kept time in µs integers.
+    "q_throttle_events" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_id, us, rn, TRUE AS kept, us AS last_kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.us, e.rn,
+        |    e.us >= w.last_kept + 3600000000 AS kept,
+        |    CASE WHEN e.us >= w.last_kept + 3600000000
+        |      THEN e.us ELSE w.last_kept END AS last_kept
+        |  FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, make_timestamp(us) AS ts
+        |FROM walk WHERE kept ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_session_window" ->
       """WITH x AS (
@@ -2366,6 +2400,16 @@ object SparkEntry {
         |SELECT event_type, day AS cp_day, CAST(abs(cusum) AS BIGINT) AS cusum_abs,
         |  n_days, total
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Skyline spec: the O(n²) dominance anti-join IS the semantics;
+    // the engine's frontier-walk plan must reproduce it exactly.
+    "q_skyline" ->
+      """SELECT p_brand, p_partkey, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+        |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin,
 
     "q_pareto" ->
       """WITH cust AS (

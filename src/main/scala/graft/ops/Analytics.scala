@@ -691,4 +691,44 @@ object Analytics {
         sum(expr("x * y")).as("sxy"))
       .orderBy("event_type", "lag_days")
   }
+
+  /** Skyline (Pareto-optimal set) per brand: parts not dominated on
+    * (price low, size high) — the multi-objective shortlist query
+    * ("no other same-brand part is both cheaper and at-least-as-big,
+    * or as-cheap and strictly bigger"). The naive form is an O(n²)
+    * dominance anti-join; for two criteria the skyline is a 1-D
+    * frontier, so this plan collapses the facts to one row per
+    * (brand, price) with the max size — bounded by |distinct prices|,
+    * NOT row count — walks that tiny frontier with a cumulative-max
+    * window, and joins the surviving (brand, price, size) triples
+    * back to the fact scan (broadcastable: the frontier only
+    * shrinks). Every step is a hash aggregate or a broadcast join;
+    * nothing quadratic, nothing driver-side — the 100 TB shape. The
+    * NOT EXISTS oracle is the semantic spec. */
+  def qSkyline(spark: SparkSession, d: String): DataFrame =
+    skylineOf(Tables.part(spark, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"), col("p_retailprice")))
+
+  /** Generic frontier walk over (p_brand, p_partkey, p_size,
+    * p_retailprice)-shaped input — minimize price, maximize size,
+    * per brand. Factored out so the spec can fuzz it against
+    * brute-force dominance on random points. */
+  private[graft] def skylineOf(p: DataFrame): DataFrame = {
+    val priceMax = p.groupBy("p_brand", "p_retailprice")
+      .agg(max("p_size").as("smax"))
+    // One row per (brand, price): a price survives iff its max size
+    // strictly exceeds every cheaper price's max size (equal-price
+    // smaller sizes are dominated inside the group; equal (price,
+    // size) duplicates do not dominate each other and all survive).
+    val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = priceMax
+      .withColumn("runmax", max("smax").over(w))
+      .filter(col("runmax").isNull || col("smax") > col("runmax"))
+      .select(col("p_brand"), col("p_retailprice"), col("smax"))
+    p.join(broadcast(frontier), Seq("p_brand", "p_retailprice"))
+      .filter(col("p_size") === col("smax"))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_brand", "p_partkey")
+  }
 }

@@ -343,6 +343,44 @@ object Inventory {
         approx_count_distinct(col("value"), 0.02).as("approx_values"))
       .orderBy("event_type")
 
+  /** Heavy hitters via a count-min sketch ([[graft.functions
+    * .CmsAggregator]]): the top-10 users by event count, each probed
+    * against a single corpus-wide sketch built in one pass. The exact
+    * group-count path shuffles one partial per distinct key — fine
+    * here, unbounded at 100 TB key cardinality; the sketch's shuffle
+    * is depth × width longs per map partition, CONSTANT in both rows
+    * and keys, and the serialized sketch is storable/re-mergeable
+    * across runs (the streaming-accumulator shape). Declared output
+    * follows the sketch-oracle pattern (q_distinct_approx): exact
+    * counts plus `_ok` flags asserting the CM guarantees — estimate ≥
+    * exact always, and ≤ exact + ⌈e·N/width⌉ (the ε·N error bound,
+    * deterministic here under the fixed seed). The 1-row sketch joins
+    * the top-k by broadcast cross join, so the probe UDF deserializes
+    * the sketch 10 times total — never per fact row. */
+  def qHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val width = 8192
+    val ev = Tables.spread(spark, Tables.events(spark, d), "event_id")
+    val sketch = ev.select(col("user_id")).as[Long]
+      .select(new graft.functions.CmsAggregator(5, width, 42).toColumn)
+      .toDF("cms")
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    val check = udf { (bytes: Array[Byte], uid: Long, exact: Long) =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val est = cms.estimateCount(uid)
+      val band = math.ceil(math.E * cms.totalCount() / width).toLong
+      Seq(est >= exact, est <= exact + band)
+    }
+    top.crossJoin(broadcast(sketch))
+      .withColumn("ok", check(col("cms"), col("user_id"), col("exact_n")))
+      .select(col("user_id"), col("exact_n"),
+        col("ok").getItem(0).as("est_ge_ok"),
+        col("ok").getItem(1).as("est_band_ok"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
   /** Changelog compaction (upsert keep-latest): one row per key with
     * its most recent state by (ts, event_id) — the read-side view of an
     * upsert sink, and the compaction pass a CDC-fed table needs. One

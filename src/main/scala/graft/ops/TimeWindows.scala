@@ -52,4 +52,46 @@ object TimeWindows {
       .select(col("user_id"), col("w.start").as("s_start"),
         col("w.end").as("s_end"), col("n"))
       .orderBy("user_id", "s_start")
+
+  /** Greedy per-key admission throttle: keep an event only if ≥ 1 h
+    * has passed since the LAST KEPT event of the same user (first
+    * event always kept; ties ordered by event_id) — the reference's
+    * rate-limit semantics (app.py:399-431) applied to an event log.
+    * This is genuinely not window-expressible: whether a row is kept
+    * depends on which earlier rows were kept, a data-dependent
+    * recurrence (the oracle needs a recursive CTE). The Spark form is
+    * the secondary-sort pattern — hash-repartition by user, external
+    * sort within partitions on (user, time, id), then a single
+    * `mapPartitions` scan holding O(1) state (current user + last
+    * kept time). No group is ever materialized in memory (unlike
+    * groupByKey+flatMapGroups), so a 100 TB user's stream spills in
+    * the sort and streams through the scan. Time compares are µs
+    * integers on both engines — no timestamp-arithmetic parity edge. */
+  def qThrottleEvents(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000L
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+    val kept = ev.repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var lastKept = Long.MinValue
+        var any = false
+        it.flatMap { case (u, id, us) =>
+          if (!any || u != curUser) {
+            curUser = u; lastKept = us; any = true
+            Some((u, id, us))
+          } else if (us >= lastKept + gapUs) {
+            lastKept = us
+            Some((u, id, us))
+          } else None
+        }
+      }
+    kept.toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .orderBy("user_id", "ts", "event_id")
+  }
 }

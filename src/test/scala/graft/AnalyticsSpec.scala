@@ -424,4 +424,43 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows((et, 7L))._1 < rows((et, 1L))._1)
     }
   }
+
+  test("skyline: frontier-walk plan equals brute-force dominance on random 2-D points") {
+    // 400 seeded random points in few distinct x values (forces the
+    // equal-price tie paths and duplicate points) across 3 groups.
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 400L).map(i =>
+      (s"g${rnd.nextInt(3)}", i, rnd.nextInt(12), (rnd.nextInt(9) * 25).toDouble))
+    val df = pts.toDF("p_brand", "p_partkey", "p_size", "p_retailprice")
+    val got = graft.ops.Analytics.skylineOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = pts.filter { case (g, _, sz, pr) =>
+      !pts.exists { case (g2, _, sz2, pr2) =>
+        g2 == g && pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(p => (p._1, p._2)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("throttle: secondary-sort scan equals the sequential greedy replay per user") {
+    val out = graft.ops.TimeWindows.qThrottleEvents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gap = 3600L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastKept = Long.MinValue
+      rows.sortBy(r => (r._3, r._2)).flatMap { case (u, id, us) =>
+        if (lastKept == Long.MinValue || us >= lastKept + gap) {
+          lastKept = us; Some((u, id))
+        } else None
+      }
+    }.toSet
+    assert(out.toSet == want)
+    // the throttle must actually drop something AND keep every user
+    assert(out.length < evs.length)
+    assert(out.map(_._1).distinct.length == evs.map(_._1).distinct.length)
+  }
 }

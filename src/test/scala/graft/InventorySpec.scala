@@ -173,4 +173,42 @@ class InventorySpec extends SparkSpec {
     }
     ev.unpersist()
   }
+
+  test("count-min sketch: estimate >= exact for EVERY key, within e*N/width, and merges across partitions") {
+    import spark.implicits._
+    // Skewed multiset split across 4 partitions — merge() must combine
+    // partial sketches exactly (CM sketches are counter matrices;
+    // merge is element-wise add, lossless given identical seeds).
+    val keys = (1L to 200L).flatMap(k => Seq.fill((k % 17 + 1).toInt)(k))
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val width = 1024
+    val bytes = spark.createDataset(keys).repartition(4)
+      .select(new graft.functions.CmsAggregator(5, width, 42).toColumn)
+      .head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    assert(cms.totalCount() == keys.size)
+    val band = math.ceil(math.E * cms.totalCount() / width).toLong
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CM underestimated key $k: $est < $n")
+      assert(est <= n + band, s"key $k outside the e*N/width band: $est vs $n + $band")
+    }
+    // a key never inserted only ever reads collision mass
+    assert(cms.estimateCount(10000L) <= band)
+  }
+
+  test("heavy hitters: top-10 matches the exact group-count ranking and both sketch bounds hold") {
+    val rows = Inventory.qHeavyHitters(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == exact.toSeq)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"est < exact for user ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"est outside band for user ${r.getLong(0)}")
+    }
+  }
 }

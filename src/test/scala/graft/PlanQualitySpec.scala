@@ -54,7 +54,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_impute",            // 1-row global-median fallback broadcast
     "q_rfm",               // 1-row ref-date + quartile-threshold broadcasts
     "q_pareto",            // 1-row decile-threshold + total broadcast
-    "q_activity_bitmap")   // 1-row corpus-watermark broadcast
+    "q_activity_bitmap",   // 1-row corpus-watermark broadcast
+    "q_heavy_hitters")     // 1-row count-min sketch broadcast to the top-10 probes
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
