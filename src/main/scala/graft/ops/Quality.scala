@@ -456,6 +456,85 @@ object Quality {
     * prefix filter (index only each doc's rarest |A|−⌈τ|A|⌉+1
     * shingles) before this join. */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    // PPJoin-style exact similarity join (Xiao et al., "Efficient
+    // Similarity Joins for Near Duplicate Detection", WWW'08) —
+    // prefix filter + positional filter, then exact verification.
+    // Both filters are LOSSLESS for J ≥ t (the oracle stays the naive
+    // all-shingles join and hashes identically; the spec also asserts
+    // set equality against it):
+    //  (1) prefix filter: under any global token order, two sets with
+    //      J ≥ t must share a token among their first
+    //      |X| − ⌈t·|X|⌉ + 1 tokens — only those enter the inverted
+    //      index. Ordering by ascending document frequency puts the
+    //      RAREST tokens in the prefix, shrinking the index join's
+    //      Σdf² — the term that explodes on hot boilerplate shingles
+    //      at 100 TB (measured at sf0.1: 326 026 naive pair rows →
+    //      77 740 prefix pair rows).
+    //  (2) positional filter: shared prefix tokens sort identically in
+    //      both docs, so the LAST one (max rn on both sides) bounds
+    //      the total overlap by matches-so-far + min(remaining
+    //      suffix); pairs that cannot reach the required overlap
+    //      α = ⌈t/(1+t)·(szA+szB)⌉ die before verification
+    //      (measured: 73 839 candidates → 15 849).
+    // Verification then intersects the two docs' full shingle ARRAYS
+    // map-side (one native word_shingles eval per doc, two hash joins
+    // of the small candidate stream) — no second pass over the
+    // inverted index. 20.6× fewer pair rows than the naive join end
+    // to end, same result. At sf0.1 wall-clock is a wash (~1.8 s vs
+    // 1.7 s: the naive join is still tiny, and the prefix build pays
+    // a df-join + per-doc window) — the point is the BOUND: naive
+    // cost is Σdf² over all shingles, this cost is Σdf² over rare
+    // prefix shingles + surviving candidates, which is what survives
+    // a corpus with hot boilerplate.
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.5
+    val inv = wordShingleInv(spark, d).persist()
+    val sizes = inv.groupBy("doc_id", "lang").agg(count(lit(1)).as("sz"))
+    val dfreq = inv.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+    // ⌈t·sz⌉ in exact integer math for t = 0.5: (sz + 1) div 2. The
+    // window's partition is one document's vocabulary, never the
+    // corpus.
+    val w = Window.partitionBy("lang", "doc_id").orderBy("df", "shingle")
+    val prefix = inv.join(dfreq, Seq("lang", "shingle"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq("doc_id", "lang"))
+      .filter(col("rn") <= expr("sz - ((sz + 1) div 2) + 1"))
+      .select("lang", "shingle", "doc_id", "rn", "sz")
+      .persist()
+    val cand = prefix.toDF("lang", "shingle", "doc_a", "rn_a", "sz_a")
+      .join(prefix.toDF("lang", "shingle", "doc_b", "rn_b", "sz_b"),
+        Seq("lang", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("lang", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_matches"),
+        max("rn_a").as("last_a"), max("rn_b").as("last_b"),
+        first("sz_a").as("sz_a"), first("sz_b").as("sz_b"))
+      .filter(expr(
+        "n_matches + least(sz_a - last_a, sz_b - last_b) >= ((sz_a + sz_b + 2) div 3)"))
+    // Exact verify: |A∩B| via array intersection of the full distinct
+    // shingle sets, recomputed map-side from the text (cheaper than
+    // re-shuffling the inverted index; the arrays are per-doc
+    // vocabulary-sized).
+    GraftFunctions.register(spark)
+    val docsArr = Tables.documentsSpread(spark, d)
+      .select(col("lang"), col("doc_id"),
+        array_distinct(expr("word_shingles(text, 3)")).as("arr"))
+    cand
+      .join(docsArr.select(col("lang"), col("doc_id").as("doc_a"), col("arr").as("arr_a")),
+        Seq("lang", "doc_a"))
+      .join(docsArr.select(col("lang"), col("doc_id").as("doc_b"), col("arr").as("arr_b")),
+        Seq("lang", "doc_b"))
+      .withColumn("n_common", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", expr(
+        "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= t)
+      .select("lang", "doc_a", "doc_b", "jaccard")
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** The naive all-shingles inverted-index join — the spec's ground
+    * truth proving the prefix filter above is lossless. */
+  private[graft] def ngramJaccardNaive(spark: SparkSession, d: String): DataFrame = {
     // the index is referenced 3× (both join sides + sizes) and Catalyst
     // does not share common subplans — persist it once
     val inv = wordShingleInv(spark, d).persist()

@@ -26,6 +26,21 @@ class QualitySpec extends SparkSpec {
     assert(pairs.nonEmpty) // the corpus plants near-dups at every sf
   }
 
+  test("prefix-filtered jaccard join is lossless: identical rows to the naive all-shingles join") {
+    // The PPJoin prefix lemma says dropping non-prefix tokens from the
+    // index loses NO pair with J >= t — assert it on the real corpus
+    // by comparing full result sets (ids AND scores) at two SFs.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val fast = Quality.qNgramJaccard(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val naive = Quality.ngramJaccardNaive(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      spark.catalog.clearCache()
+      assert(fast == naive, s"prefix filter dropped or invented pairs at $dir")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("minhash (LSH) is a superset of same-lang exact jaccard pairs it bands together") {
     // every exact pair found by the quadratic ground truth that also
     // lands in the same LSH band must appear in the minhash result;
