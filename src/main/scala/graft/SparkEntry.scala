@@ -178,6 +178,7 @@ object SparkEntry {
     "q_cdc_apply" -> (Mining.qCdcApply _),
     "q_ewma" -> (Mining.qEwma _),
     "q_pagerank" -> (Mining.qPagerank _),
+    "q_khop_reach" -> (Mining.qKhopReach _),
     "q_impute" -> (Mining.qImpute _),
     "q_rfm" -> (Analytics.qRfm _),
     "q_changepoint" -> (Analytics.qChangepoint _),
@@ -2290,6 +2291,25 @@ object SparkEntry {
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
+
+    // Semi-naive BFS ≡ min-hop per node: the recursive CTE re-derives
+    // nodes at every hop that reaches them; min(hop) collapses to the
+    // BFS level the frontier/anti-join evaluation assigns directly.
+    "q_khop_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |edges AS (
+        |  SELECT 'p' || p AS src, 's' || s AS dst FROM e
+        |  UNION ALL
+        |  SELECT 's' || s AS src, 'p' || p AS dst FROM e),
+        |walk AS (
+        |  SELECT 'p' || p_partkey AS node, 0 AS hop
+        |  FROM part WHERE p_partkey < 5
+        |  UNION ALL
+        |  SELECT g.dst AS node, w.hop + 1 AS hop
+        |  FROM walk w JOIN edges g ON g.src = w.node WHERE w.hop < 3)
+        |SELECT node, min(hop) AS hop FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     "q_containment" ->
       """WITH tkt AS (

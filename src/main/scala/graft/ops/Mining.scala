@@ -296,4 +296,43 @@ object Mining {
           StructField("pagerank", LongType, nullable = false))))
       .orderBy("n_name")
   }
+
+  /** Bounded k-hop reachability (BFS to 3 hops) over the bipartite
+    * part↔supplier graph, from the seed parts with p_partkey < 5 —
+    * the blast-radius query ("everything within k supply-chain hops
+    * of these SKUs"). Semi-naive evaluation: each hop joins the
+    * FRONTIER (only the newly discovered nodes) against the edge
+    * list, then anti-joins the visited set, so a node's neighborhood
+    * is expanded exactly once — the delta iteration Datalog engines
+    * use, and the reason hop h costs |frontier_h| × degree, not
+    * |visited| × degree. Spark mechanics: the edge list is persisted
+    * once (both directions); the frontier is localCheckpoint()ed per
+    * hop (constant-size plan, and fresh size stats so Catalyst
+    * broadcasts it while it fits and shuffle-joins when a hop
+    * explodes past the threshold — exactly the adaptivity a 100 TB
+    * graph needs). The oracle is a recursive CTE walking the same
+    * edges with hop < 3, min(hop) per node. */
+  def qKhopReach(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val edges = e.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .union(e.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
+      .persist()
+    val seeds = Tables.part(spark, d).filter(col("p_partkey") < 5)
+      .select(concat(lit("p"), col("p_partkey")).as("node"))
+    var frontier = seeds.localCheckpoint()
+    var visited = frontier.withColumn("hop", lit(0L)).localCheckpoint()
+    for (h <- 1 to 3) {
+      frontier = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(frontier.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    visited.orderBy("node")
+  }
 }

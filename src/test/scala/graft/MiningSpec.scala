@@ -183,4 +183,28 @@ class MiningSpec extends SparkSpec {
     assert(got == per.filter(_._2 > 0))
     assert(got.values.sum == 3 * total)
   }
+
+  test("k-hop reachability equals a sequential BFS replay") {
+    val got = Mining.qKhopReach(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .flatMap { r =>
+        val p = s"p${r.getLong(0)}"; val s = s"s${r.getLong(1)}"
+        Seq(p -> s, s -> p)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Tables.part(spark, sfDir).filter(col("p_partkey") < 5)
+      .collect().map(r => s"p${r.getLong(0)}").toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1L to 3L) {
+      frontier = frontier.flatMap(n => edges.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist ++= frontier.map(_ -> h)
+    }
+    assert(got == dist)
+    // the graph genuinely fans out (sf0.001 saturates at hop 2 — all
+    // 10 suppliers are one hop from the seed parts)
+    assert(Seq(0L, 1L, 2L).forall(h => dist.values.exists(_ == h)))
+  }
 }
