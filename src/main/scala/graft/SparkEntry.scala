@@ -164,6 +164,8 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
+    "q_pq_codes" -> (Similarity.qPqCodes _),
+    "q_pq_search" -> (Similarity.qPqSearch _),
     "q_knn_classify" -> (Similarity.qKnnClassify _),
     "q_embedding_stats" -> (Similarity.qEmbeddingStats _),
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _),
@@ -773,6 +775,75 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PQ assignment: ||a-b||^2 expanded as (daa - 2*dab) + dbb with
+    // each dot the vec_dot ≡ list_sum left-fold (bit-identical IEEE
+    // doubles on both engines); ties to the lower centroid id.
+    "q_pq_codes" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, m, e[1 + m * 16:(m + 1) * 16] AS s
+        |  FROM v CROSS JOIN range(4) t(m)),
+        |a AS (SELECT vec_id, m, s, list_sum([x * x for x in s]) AS daa FROM sv),
+        |c AS (SELECT vec_id AS centroid_id, m, s, list_sum([x * x for x in s]) AS dbb
+        |      FROM sv WHERE vec_id < 8),
+        |p AS (
+        |  SELECT a.vec_id, a.m, c.centroid_id,
+        |    (a.daa - 2 * list_sum([a.s[i] * c.s[i]
+        |       for i in range(1, len(a.s) + 1)])) + c.dbb AS d2
+        |  FROM a JOIN c ON a.m = c.m),
+        |r AS (
+        |  SELECT vec_id, m, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d2, centroid_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, m AS subspace, centroid_id AS code
+        |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // ADC search: per-probe sub-distance table joined on the stored
+    // codes; the distance is the FIXED fold ((d0+d1)+d2)+d3 after a
+    // CASE pivot, so partial-aggregation order can't re-associate it.
+    "q_pq_search" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, m, e[1 + m * 16:(m + 1) * 16] AS s
+        |  FROM v CROSS JOIN range(4) t(m)),
+        |a AS (SELECT vec_id, m, s, list_sum([x * x for x in s]) AS daa FROM sv),
+        |c AS (SELECT vec_id AS centroid_id, m, s, list_sum([x * x for x in s]) AS dbb
+        |      FROM sv WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, m, centroid_id AS code FROM (
+        |    SELECT a.vec_id, a.m, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id, a.m ORDER BY
+        |        (a.daa - 2 * list_sum([a.s[i] * c.s[i]
+        |           for i in range(1, len(a.s) + 1)])) + c.dbb,
+        |        c.centroid_id) AS rn
+        |    FROM a JOIN c ON a.m = c.m) WHERE rn = 1),
+        |tbl AS (
+        |  SELECT a.vec_id AS probe_id, a.m, c.centroid_id,
+        |    (a.daa - 2 * list_sum([a.s[i] * c.s[i]
+        |       for i in range(1, len(a.s) + 1)])) + c.dbb AS pd2
+        |  FROM a JOIN c ON a.m = c.m WHERE a.vec_id < 5),
+        |sc AS (
+        |  SELECT t.probe_id, g.vec_id,
+        |    min(CASE WHEN g.m = 0 THEN t.pd2 END) AS d0,
+        |    min(CASE WHEN g.m = 1 THEN t.pd2 END) AS d1,
+        |    min(CASE WHEN g.m = 2 THEN t.pd2 END) AS d2,
+        |    min(CASE WHEN g.m = 3 THEN t.pd2 END) AS d3
+        |  FROM asg g JOIN tbl t ON t.m = g.m AND t.centroid_id = g.code
+        |  WHERE g.vec_id <> t.probe_id
+        |  GROUP BY t.probe_id, g.vec_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, d0 + d1 + d2 + d3 AS ad2,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY d0 + d1 + d2 + d3, vec_id) AS rn
+        |  FROM sc)
+        |SELECT probe_id, vec_id, round(ad2, 4) AS approx_d2, rn
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     "q_kmeans_step" ->
       """WITH v AS (

@@ -359,6 +359,97 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Product quantization codes: each 64-dim embedding compressed to
+    * 4 sub-codes by splitting into 4 × 16-dim subspaces and assigning
+    * each slice to its nearest of 8 sub-centroids (squared L2;
+    * centroids = the slices of vec_id < 8, the same deterministic
+    * k-means stand-in as IVF). PQ is the vector-compression half of a
+    * production ANN index (IVF-PQ): 64 floats (256 B) become 4 codes
+    * (4 B, 3 bits used each here), and search scans codes against a
+    * per-probe lookup table (ADC) instead of raw vectors — the reason
+    * a 100 TB embedding corpus can be searched from memory. Plan
+    * shape: the corpus explodes ×4 subspaces map-side, joins the
+    * broadcast 32-row sub-codebook, and the ×8 candidate expansion
+    * collapses map-side via partial `min_by` — one shuffle of
+    * (vec, subspace, code) partials, nothing vector-sized. Distance
+    * parity with the oracle: ||a−b||² expands to (daa − 2·dab) + dbb
+    * with every dot the proven vec_dot ≡ list_sum left-fold, so both
+    * engines produce bit-identical doubles; ties break to the lower
+    * centroid id. */
+  def qPqCodes(spark: SparkSession, d: String): DataFrame =
+    pqAssign(spark, d)
+      .select(col("vec_id"), col("m").as("subspace"), col("code"))
+      .orderBy("vec_id", "subspace")
+
+  /** The per-(vector, subspace) slice stream: vec_id, m ∈ [0,4),
+    * sa = the 16-dim slice, daa = its squared norm. */
+  private def pqSubs(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, d)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("m", explode(array((0 until 4).map(lit(_)): _*)))
+      .withColumn("sa", expr("slice(e, 1 + m * 16, 16)"))
+      .withColumn("daa", expr("vec_dot(sa, sa)"))
+      .select(col("vec_id"), col("m"), col("sa"), col("daa"))
+  }
+
+  /** The 32-row sub-codebook (8 centroids × 4 subspaces). */
+  private def pqCodebook(spark: SparkSession, d: String): DataFrame =
+    pqSubs(spark, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("m").as("cm"),
+        col("sa").as("sb"), col("daa").as("dbb"))
+
+  private[graft] def pqAssign(spark: SparkSession, d: String): DataFrame =
+    pqSubs(spark, d)
+      .join(broadcast(pqCodebook(spark, d)), col("m") === col("cm"))
+      .withColumn("d2", expr("(daa - 2 * vec_dot(sa, sb)) + dbb"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("centroid_id"), struct(col("d2"), col("centroid_id"))).as("code"))
+
+  /** PQ search by asymmetric distance computation (ADC): each probe
+    * (vec_id < 5) precomputes its 8 × 4 table of exact sub-distances
+    * to the codebook, and every corpus vector is scored as the SUM of
+    * 4 table lookups selected by its stored codes — the scan phase of
+    * a production IVF-PQ index, where the corpus side touches only
+    * 4-byte codes, never raw vectors. Plan shape: the probe tables
+    * (5 × 32 rows) broadcast against the code stream; the per-(probe,
+    * vector) 4-row lookup collapses by pivoting the four subspaces
+    * into columns, so the final distance is the FIXED-ORDER fold
+    * ((d0 + d1) + d2) + d3 — deterministic IEEE, identical on both
+    * engines (a plain SUM over the 4 rows would re-associate under
+    * partial aggregation). Top-5 per probe via the bounded
+    * TopKAggregator (no per-probe window sort), ties to the lower
+    * vec_id. */
+  def qPqSearch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val table = pqSubs(spark, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("m").as("pm"),
+        col("sa"), col("daa"))
+      .join(broadcast(pqCodebook(spark, d)), col("pm") === col("cm"))
+      .withColumn("pd2", expr("(daa - 2 * vec_dot(sa, sb)) + dbb"))
+      .select(col("probe_id"), col("pm"), col("centroid_id"), col("pd2"))
+    val scored = pqAssign(spark, d)
+      .join(broadcast(table),
+        col("m") === col("pm") && col("code") === col("centroid_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(min(when(col("m") === 0, col("pd2"))).as("d0"),
+        min(when(col("m") === 1, col("pd2"))).as("d1"),
+        min(when(col("m") === 2, col("pd2"))).as("d2"),
+        min(when(col("m") === 3, col("pd2"))).as("d3"))
+      .withColumn("ad2", expr("d0 + d1 + d2 + d3"))
+    scored.select(col("probe_id"), col("ad2"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Double, Long)](
+        5, r => (-r._2, r._3)).toColumn.name("topk"))
+      .toDF("probe_id", "topk")
+      .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e._2").as("vec_id"),
+        round(-col("e._1"), 4).as("approx_d2"), (col("pos") + 1).as("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

@@ -180,4 +180,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(3) - worst._2) < 1e-3)
     assert(rows.head.getLong(1) == vecs.length)
   }
+
+  test("pq codes: every vector gets 4 sub-codes matching a brute-force argmin; codebook vectors code to themselves") {
+    val rows = Similarity.qPqCodes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.size == vecs.size * 4)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((id, e) <- vecs; m <- 0 until 4) {
+      val sa = e.slice(m * 16, (m + 1) * 16)
+      val want = (0L until 8L).minBy(c =>
+        (d2(sa, vecs(c).slice(m * 16, (m + 1) * 16)), c))
+      assert(rows((id, m)) == want, s"vec $id subspace $m")
+    }
+    // a centroid's own slice is at distance 0 from itself
+    for (c <- 0L until 8L; m <- 0 until 4) assert(rows((c, m)) == c)
+  }
 }
