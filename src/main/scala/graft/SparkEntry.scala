@@ -47,6 +47,7 @@ object SparkEntry {
     "q_distinct" -> (Inventory.qDistinct _),
     "q_distinct_approx" -> (Inventory.qDistinctApprox _),
     "q_heavy_hitters" -> (Inventory.qHeavyHitters _),
+    "q_dq_audit" -> (Inventory.qDqAudit _),
     "q_rollup" -> (Inventory.qRollup _),
     "q_schema_profile" -> (Inventory.qSchemaProfile _),
     "q_cube" -> (Inventory.qCube _),
@@ -534,6 +535,49 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 4) AS p99_exact,
         |  TRUE AS med_ok, TRUE AS p95_ok, TRUE AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dq_audit" ->
+      """SELECT check_name, target, n_total, n_bad, n_bad = 0 AS ok FROM (
+        |  SELECT 'not_null_events_user' AS check_name, 'events' AS target,
+        |    (SELECT count(*) FROM events) AS n_total,
+        |    (SELECT count(*) FROM events WHERE user_id IS NULL) AS n_bad
+        |  UNION ALL
+        |  SELECT 'not_null_events_value', 'events',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events WHERE value IS NULL)
+        |  UNION ALL
+        |  SELECT 'range_events_ts', 'events',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events WHERE ts IS NULL
+        |       OR CAST(ts AS TIMESTAMP) < TIMESTAMP '1990-01-01'
+        |       OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2030-01-01')
+        |  UNION ALL
+        |  SELECT 'range_lineitem_quantity', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+        |  UNION ALL
+        |  SELECT 'range_lineitem_price', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+        |  UNION ALL
+        |  SELECT 'pk_orders_unique', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'range_orders_totalprice', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+        |       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders r WHERE NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
+        |) t ORDER BY check_name""".stripMargin,
 
     // Sketch-oracle pattern: exact top-10 counts + literal TRUE where
     // the engine asserts the count-min guarantees (est ≥ exact, and

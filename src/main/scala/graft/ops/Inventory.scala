@@ -500,4 +500,66 @@ object Inventory {
       .select("event_id", "network", "station", "channel", "date_part", "s3_key")
       .orderBy("event_id")
   }
+
+  /** Declarative data-quality audit (the Deequ/Great-Expectations
+    * shape): a fixed suite of constraints — foreign-key integrity,
+    * key uniqueness, not-null, and value-domain checks — each
+    * reported as (check, target, n_total, n_bad, ok). This is the
+    * gate a landed batch passes before downstream jobs consume it
+    * (reference analogue: the verify-before-tag pass of
+    * app.py:315-334 — here generalized from "file exists" to table
+    * invariants). Plan shape: the per-column checks for one table
+    * fuse into ONE aggregate over one scan (then `stack` unpivots the
+    * counters into rows); only the FK checks need a join — left-anti
+    * against the parent keys, which Catalyst broadcasts while the
+    * parent fits and shuffle-joins beyond (a 100 TB child side
+    * streams either way). Every output is an integer count or a
+    * boolean — nothing float, nothing order-dependent. */
+  def qDqAudit(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val li = Tables.lineitem(spark, d)
+    val ord = Tables.orders(spark, d)
+    def bad(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val evChecks = ev.agg(count(lit(1)).as("n"),
+        bad(col("user_id").isNull).as("null_user"),
+        bad(col("value").isNull).as("null_value"),
+        bad(col("ts").isNull || col("ts") < lit("1990-01-01").cast("timestamp") ||
+          col("ts") >= lit("2030-01-01").cast("timestamp")).as("ts_range"))
+      .select(expr("""stack(3,
+        'not_null_events_user',  'events', n, null_user,
+        'not_null_events_value', 'events', n, null_value,
+        'range_events_ts',       'events', n, ts_range)
+        AS (check_name, target, n_total, n_bad)"""))
+    val liChecks = li.agg(count(lit(1)).as("n"),
+        bad(col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_range"),
+        bad(col("l_extendedprice") <= 0).as("price_range"))
+      .select(expr("""stack(2,
+        'range_lineitem_quantity', 'lineitem', n, qty_range,
+        'range_lineitem_price',    'lineitem', n, price_range)
+        AS (check_name, target, n_total, n_bad)"""))
+    val ordChecks = ord.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        bad(col("o_totalprice") <= 0).as("price_range"))
+      .select(expr("""stack(2,
+        'pk_orders_unique',       'orders', n, dup_keys,
+        'range_orders_totalprice','orders', n, price_range)
+        AS (check_name, target, n_total, n_bad)"""))
+    val fkLi = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .crossJoin(li.agg(count(lit(1)).as("n_total")))
+      .select(lit("fk_lineitem_orders").as("check_name"), lit("lineitem").as("target"),
+        col("n_total"), col("n_bad"))
+    val fkOrd = ord.select(col("o_custkey"))
+      .join(Tables.customer(spark, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .crossJoin(ord.agg(count(lit(1)).as("n_total")))
+      .select(lit("fk_orders_customer").as("check_name"), lit("orders").as("target"),
+        col("n_total"), col("n_bad"))
+    evChecks.union(liChecks).union(ordChecks).union(fkLi).union(fkOrd)
+      .withColumn("ok", col("n_bad") === 0)
+      .orderBy("check_name")
+  }
 }

@@ -61,6 +61,23 @@ object Streams {
       }
   }
 
+  /** A count-min sketch maintained INCREMENTALLY over the stream —
+    * the streaming half of q_heavy_hitters. The CmsAggregator's
+    * merge-associativity is exactly what a streaming aggregation
+    * needs: each micro-batch folds its keys into the state-store
+    * buffer, so after N triggers the emitted bytes equal one batch
+    * sketch over everything seen — the spec proves estimates over two
+    * separate batches match the union's exact counts. State size is
+    * the CONSTANT depth × width table (vs per-key state for an exact
+    * streaming count), which is why a 100 TB/day key stream can keep
+    * a permanently-running frequency monitor. */
+  def sketchRunning(keys: Dataset[Long]): DataFrame = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(_ => true)
+      .agg(new graft.functions.CmsAggregator(5, 1024, 42).toColumn.name("cms"))
+      .toDF("grp", "cms")
+  }
+
   /** R20: the reference's status dashboard (`/get-next-run-time`,
     * app.py:625-639) maps to a StreamingQueryListener — progress and
     * termination events collected for any thin HTTP layer to serve.

@@ -198,6 +198,34 @@ class InventorySpec extends SparkSpec {
     assert(cms.estimateCount(10000L) <= band)
   }
 
+  test("dq audit: all 9 checks present, clean testdata passes, and a planted violation is counted") {
+    import spark.implicits._
+    val rows = Inventory.qDqAudit(spark, sfDir).collect()
+    assert(rows.length == 9)
+    assert(rows.forall(_.getBoolean(4)), // the generated testdata is clean
+      rows.filterNot(_.getBoolean(4)).mkString(", "))
+    // plant violations in a scratch copy: an orphan lineitem (FK), a
+    // null user (not-null), an out-of-range quantity
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    for (t <- Seq("orders", "customer"))
+      Tables.table(spark, sfDir, t).write.parquet(s"$dir/$t.parquet")
+    Tables.lineitem(spark, sfDir)
+      .union(Tables.lineitem(spark, sfDir).limit(1)
+        .withColumn("l_orderkey", lit(-999L))
+        .withColumn("l_quantity", lit(99L)))
+      .write.parquet(s"$dir/lineitem.parquet")
+    Tables.events(spark, sfDir).limit(50)
+      .union(Tables.events(spark, sfDir).limit(1)
+        .withColumn("user_id", lit(null).cast("long")))
+      .write.parquet(s"$dir/events.parquet")
+    val audited = Inventory.qDqAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(audited("fk_lineitem_orders") == ((1L, false)))
+    assert(audited("range_lineitem_quantity") == ((1L, false)))
+    assert(audited("not_null_events_user") == ((1L, false)))
+    assert(audited("pk_orders_unique") == ((0L, true)))
+  }
+
   test("heavy hitters: top-10 matches the exact group-count ranking and both sketch bounds hold") {
     val rows = Inventory.qHeavyHitters(spark, sfDir).collect()
     assert(rows.length == 10)

@@ -90,6 +90,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch accumulates across micro-batches with constant state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = Streams.sketchRunning(input.toDS())
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode("update").start()
+    val batch1 = Seq.tabulate(300)(i => (i % 20).toLong)
+    val batch2 = Seq.tabulate(200)(i => (i % 5).toLong)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // update mode re-emits the one global row per batch; the
+      // highest totalCount is the union sketch
+      val cms = spark.table("cms_test").collect()
+        .map(r => org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
+        .maxBy(_.totalCount())
+      val all = batch1 ++ batch2
+      assert(cms.totalCount() == all.size)
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val band = math.ceil(math.E * all.size / 1024).toLong
+      exact.foreach { case (k, n) =>
+        assert(cms.estimateCount(k) >= n && cms.estimateCount(k) <= n + band,
+          s"key $k: est ${cms.estimateCount(k)} vs exact $n")
+      }
+    } finally q.stop()
+  }
+
   test("dedup-within-watermark drops redelivered keys, keeps state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
