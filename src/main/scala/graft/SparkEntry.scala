@@ -48,6 +48,7 @@ object SparkEntry {
     "q_distinct_approx" -> (Inventory.qDistinctApprox _),
     "q_heavy_hitters" -> (Inventory.qHeavyHitters _),
     "q_dq_audit" -> (Inventory.qDqAudit _),
+    "q_theta_overlap" -> (Inventory.qThetaOverlap _),
     "q_rollup" -> (Inventory.qRollup _),
     "q_schema_profile" -> (Inventory.qSchemaProfile _),
     "q_cube" -> (Inventory.qCube _),
@@ -578,6 +579,16 @@ object SparkEntry {
         |    (SELECT count(*) FROM orders r WHERE NOT EXISTS (
         |       SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
         |) t ORDER BY check_name""".stripMargin,
+
+    // Theta-sketch set intersection: exact pairwise distinct-user
+    // overlap + TRUE where the engine asserts the estimate band.
+    "q_theta_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS exact_overlap, TRUE AS est_ok
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Sketch-oracle pattern: exact top-10 counts + literal TRUE where
     // the engine asserts the count-min guarantees (est ≥ exact, and

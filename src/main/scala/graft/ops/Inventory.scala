@@ -501,6 +501,64 @@ object Inventory {
       .orderBy("event_id")
   }
 
+  /** Distinct-user OVERLAP between event types via theta sketches
+    * (Apache DataSketches, shipped with Spark) — the set-operation
+    * capability per-group HLLs cannot provide: |A ∩ B| of distinct
+    * sets needs intersectable sketches, not just mergeable counters.
+    * Execution is the canonical sketch-partials shape: each input
+    * partition builds one local sketch per type (mapPartitions,
+    * constant memory), the ≤ partitions-per-type partials union in a
+    * single small aggregate, and the pairwise intersections run over
+    * the |types|² tiny result — the corpus is scanned ONCE and only
+    * kilobyte sketches ever shuffle. Theta unions/intersections are
+    * order-independent (retained set = hashes below min θ), so the
+    * result is deterministic under any partitioning. At test SF the
+    * sketches sit in exact mode (< 4096 entries) so the estimate
+    * equals the truth; the declared surface keeps the sketch-oracle
+    * pattern regardless: exact overlap + an `_ok` flag with a ±2%
+    * (min 1) band. */
+  def qThetaOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    val ut = Tables.spread(spark, Tables.events(spark, d), "event_id")
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+    val partials = ut.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, UpdateSketch]()
+      it.foreach { case (t, u) =>
+        m.getOrElseUpdate(t, UpdateSketch.builder().build()).update(u)
+      }
+      m.iterator.map { case (t, sk) => (t, sk.compact().toByteArray) }
+    }.toDF("event_type", "sk")
+    val unionUdf = udf { sks: Seq[Array[Byte]] =>
+      val u = SetOperation.builder().buildUnion()
+      sks.foreach(b => u.union(Sketches.wrapSketch(Memory.wrap(b))))
+      u.getResult.toByteArray
+    }
+    val merged = partials.groupBy("event_type")
+      .agg(collect_list("sk").as("sks"))
+      .select(col("event_type"), unionUdf(col("sks")).as("sk"))
+    val estUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val i = SetOperation.builder().buildIntersection()
+      i.intersect(Sketches.wrapSketch(Memory.wrap(a)))
+      i.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+      math.round(i.getResult.getEstimate)
+    }
+    val est = merged.toDF("type_a", "sk_a")
+      .join(broadcast(merged.toDF("type_b", "sk_b")), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        estUdf(col("sk_a"), col("sk_b")).as("est"))
+    val exact = ut.distinct().toDF("type_a", "user_id")
+      .join(ut.distinct().toDF("type_b", "ub"),
+        col("user_id") === col("ub") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_overlap"))
+    exact.join(broadcast(est), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est") - col("exact_overlap")) <=
+          greatest(lit(1L), (col("exact_overlap") * 2) / 100)).as("est_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Declarative data-quality audit (the Deequ/Great-Expectations
     * shape): a fixed suite of constraints — foreign-key integrity,
     * key uniqueness, not-null, and value-domain checks — each

@@ -198,6 +198,25 @@ class InventorySpec extends SparkSpec {
     assert(cms.estimateCount(10000L) <= band)
   }
 
+  test("theta overlap: every declared pair in band; estimation mode stays within sketch error on 50k-element sets") {
+    val rows = Inventory.qThetaOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), s"pair ${r.getString(0)}/${r.getString(1)} out of band"))
+    // force ESTIMATION mode (beyond 4096 retained entries): two 50k
+    // sets with a known 10k intersection; theta relative error at
+    // lgK=12 is ~1/sqrt(4096) ≈ 1.6% per bound — allow 3 sigma
+    import org.apache.datasketches.theta.{SetOperation, UpdateSketch}
+    val a = UpdateSketch.builder().build()
+    val b = UpdateSketch.builder().build()
+    (0L until 50000L).foreach(a.update)
+    (40000L until 90000L).foreach(b.update)
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(a.compact()); i.intersect(b.compact())
+    val est = i.getResult.getEstimate
+    assert(math.abs(est - 10000.0) < 10000.0 * 0.05 + 3 * 50000 * 0.016,
+      s"intersection estimate $est far from 10000")
+  }
+
   test("dq audit: all 9 checks present, clean testdata passes, and a planted violation is counted") {
     import spark.implicits._
     val rows = Inventory.qDqAudit(spark, sfDir).collect()
