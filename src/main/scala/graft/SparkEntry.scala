@@ -168,6 +168,7 @@ object SparkEntry {
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
     "q_pq_codes" -> (Similarity.qPqCodes _),
     "q_pq_search" -> (Similarity.qPqSearch _),
+    "q_ann_ivfpq" -> (Similarity.qAnnIvfPq _),
     "q_knn_classify" -> (Similarity.qKnnClassify _),
     "q_embedding_stats" -> (Similarity.qEmbeddingStats _),
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _),
@@ -856,6 +857,65 @@ object SparkEntry {
         |  FROM p)
         |SELECT vec_id, m AS subspace, centroid_id AS code
         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // Composed IVF-PQ: the q_ann_ivf assignment CTEs restrict
+    // candidates to the probe's cosine cluster, the q_pq_search CTEs
+    // score them from codes via ADC with the fixed pivot fold.
+    "q_ann_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |pr AS (SELECT vec_id AS probe_id, cluster FROM asg WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT pr.probe_id, pr.cluster, asg.vec_id
+        |  FROM pr JOIN asg ON pr.cluster = asg.cluster
+        |    AND asg.vec_id <> pr.probe_id),
+        |sv AS (
+        |  SELECT vec_id, m, e[1 + m * 16:(m + 1) * 16] AS s
+        |  FROM v CROSS JOIN range(4) t(m)),
+        |a2 AS (SELECT vec_id, m, s, list_sum([x * x for x in s]) AS daa FROM sv),
+        |c2 AS (SELECT vec_id AS centroid_id, m, s, list_sum([x * x for x in s]) AS dbb
+        |       FROM sv WHERE vec_id < 8),
+        |codes AS (
+        |  SELECT vec_id, m, centroid_id AS code FROM (
+        |    SELECT a2.vec_id, a2.m, c2.centroid_id,
+        |      row_number() OVER (PARTITION BY a2.vec_id, a2.m ORDER BY
+        |        (a2.daa - 2 * list_sum([a2.s[i] * c2.s[i]
+        |           for i in range(1, len(a2.s) + 1)])) + c2.dbb,
+        |        c2.centroid_id) AS rn
+        |    FROM a2 JOIN c2 ON a2.m = c2.m) WHERE rn = 1),
+        |tbl AS (
+        |  SELECT a2.vec_id AS probe_id, a2.m, c2.centroid_id,
+        |    (a2.daa - 2 * list_sum([a2.s[i] * c2.s[i]
+        |       for i in range(1, len(a2.s) + 1)])) + c2.dbb AS pd2
+        |  FROM a2 JOIN c2 ON a2.m = c2.m WHERE a2.vec_id < 5),
+        |sc AS (
+        |  SELECT cd.probe_id, cd.cluster, g.vec_id,
+        |    min(CASE WHEN g.m = 0 THEN t.pd2 END) AS d0,
+        |    min(CASE WHEN g.m = 1 THEN t.pd2 END) AS d1,
+        |    min(CASE WHEN g.m = 2 THEN t.pd2 END) AS d2,
+        |    min(CASE WHEN g.m = 3 THEN t.pd2 END) AS d3
+        |  FROM cand cd
+        |    JOIN codes g ON g.vec_id = cd.vec_id
+        |    JOIN tbl t ON t.m = g.m AND t.centroid_id = g.code
+        |      AND t.probe_id = cd.probe_id
+        |  GROUP BY cd.probe_id, cd.cluster, g.vec_id),
+        |r AS (
+        |  SELECT probe_id, cluster, vec_id, d0 + d1 + d2 + d3 AS ad2,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY d0 + d1 + d2 + d3, vec_id) AS rn
+        |  FROM sc)
+        |SELECT probe_id, cluster, vec_id, round(ad2, 4) AS approx_d2, rn
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
 
     // ADC search: per-probe sub-distance table joined on the stored
     // codes; the distance is the FIXED fold ((d0+d1)+d2)+d3 after a

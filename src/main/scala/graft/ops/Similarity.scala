@@ -420,18 +420,25 @@ object Similarity {
     * partial aggregation). Top-5 per probe via the bounded
     * TopKAggregator (no per-probe window sort), ties to the lower
     * vec_id. */
-  def qPqSearch(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val table = pqSubs(spark, d).filter(col("vec_id") < 5)
+  /** Per-probe ADC table: exact sub-distances from each probe slice
+    * to every sub-centroid — nProbes × 32 rows. */
+  private def pqProbeTable(spark: SparkSession, d: String, nProbes: Int): DataFrame =
+    pqSubs(spark, d).filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("m").as("pm"),
         col("sa"), col("daa"))
       .join(broadcast(pqCodebook(spark, d)), col("pm") === col("cm"))
       .withColumn("pd2", expr("(daa - 2 * vec_dot(sa, sb)) + dbb"))
       .select(col("probe_id"), col("pm"), col("centroid_id"), col("pd2"))
-    val scored = pqAssign(spark, d)
+
+  /** ADC scoring + bounded per-probe top-k over a (probe_id, vec_id,
+    * m, code) stream joined to the broadcast probe tables. */
+  private def adcTopK(
+      spark: SparkSession, coded: DataFrame, table: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val scored = coded
       .join(broadcast(table),
-        col("m") === col("pm") && col("code") === col("centroid_id"))
-      .filter(col("vec_id") =!= col("probe_id"))
+        col("m") === col("pm") && col("code") === col("centroid_id") &&
+          col("probe_id") === col("tp"))
       .groupBy("probe_id", "vec_id")
       .agg(min(when(col("m") === 0, col("pd2"))).as("d0"),
         min(when(col("m") === 1, col("pd2"))).as("d1"),
@@ -442,11 +449,44 @@ object Similarity {
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .agg(new graft.functions.TopKAggregator[(Long, Double, Long)](
-        5, r => (-r._2, r._3)).toColumn.name("topk"))
+        k, r => (-r._2, r._3)).toColumn.name("topk"))
       .toDF("probe_id", "topk")
       .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "e")))
       .select(col("probe_id"), col("e._2").as("vec_id"),
         round(-col("e._1"), 4).as("approx_d2"), (col("pos") + 1).as("rn"))
+  }
+
+  def qPqSearch(spark: SparkSession, d: String): DataFrame = {
+    val coded = pqAssign(spark, d)
+      .withColumn("probe_id", explode(array((0 until 5).map(i => lit(i.toLong)): _*)))
+      .filter(col("vec_id") =!= col("probe_id"))
+    adcTopK(spark, coded,
+        pqProbeTable(spark, d, 5).withColumnRenamed("probe_id", "tp"), 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Composed IVF-PQ search — the production ANN index shape end to
+    * end: the IVF half restricts each probe's candidates to its own
+    * cosine cluster (~n_clusters× fewer vectors touched), and the PQ
+    * half scores those candidates from 4-byte codes via the broadcast
+    * ADC tables — the scan reads codes, never raw vectors. Both
+    * halves are the already-oracled building blocks (ivfAssigned,
+    * pqAssign, pqProbeTable); this query is their composition, so the
+    * oracle composes the same CTEs. Top-3 per probe by approximate
+    * distance, ties to the lower vec_id. */
+  def qAnnIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(spark, d).select("vec_id", "cluster").persist()
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("cluster"))
+    val cands = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val coded = pqAssign(spark, d).join(cands, Seq("vec_id"))
+    adcTopK(spark, coded,
+        pqProbeTable(spark, d, 5).withColumnRenamed("probe_id", "tp"), 3)
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("cluster"), col("vec_id"),
+        col("approx_d2"), col("rn"))
       .orderBy("probe_id", "rn")
   }
 

@@ -38,6 +38,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_bloom_dedup",       // 1-row bloom filter broadcast to the arrival scan
     "q_daily_anomaly",     // 1-row day-volume moment stats broadcast
     "q_ann_ivf",           // centroids (8) broadcast for assignment
+    "q_ann_ivfpq",         // same centroid broadcast in the IVF half
     "q_ann_lsh",           // hyperplanes (16) broadcast for signatures
     "q_embed_neardup",     // multi-probe assignment, same centroid broadcast
     "q_kmeans_step",       // assignment step, same centroid broadcast
