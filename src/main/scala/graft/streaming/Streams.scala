@@ -138,6 +138,35 @@ object Streams {
         resp_ts <= req_ts + INTERVAL $timeout"""))
   }
 
+  /** [[correlateWithinTimeout]] as a LEFT OUTER stream-stream join —
+    * the failure-detection form: a request with no response inside
+    * the timeout window must still be EMITTED (with nulls) so the
+    * retry path sees it (reference analogue: the failed-request
+    * accounting of app.py:399-431). Outer stream-stream joins are
+    * where watermarks stop being an optimization and become the
+    * SEMANTICS: the unmatched row can only be emitted once the
+    * watermark passes the end of its join window (before that, a
+    * matching response could still arrive), so the null-padded result
+    * appears one watermark-advance AFTER the timeout — the spec
+    * drives exactly that: no emission while the window is open, the
+    * null row after a later batch advances the watermark. State on
+    * both sides is evicted at the same horizon, keeping the join
+    * bounded on an unbounded stream. */
+  def correlateLeftOuter(
+      requests: DataFrame,
+      responses: DataFrame,
+      timeout: String = "10 minutes",
+      lateness: String = "1 minute"): DataFrame = {
+    val req = requests.withWatermark("req_ts", lateness)
+    val resp = responses.withWatermark("resp_ts", lateness)
+    req.join(resp,
+      expr(s"""
+        req_key = resp_key AND
+        resp_ts >= req_ts AND
+        resp_ts <= req_ts + INTERVAL $timeout"""),
+      "left_outer")
+  }
+
   /** Stream-static enrichment join: each streaming micro-batch joined
     * to a static dimension (the reference's station-catalog lookup,
     * app.py:238-244, applied to a live stream instead of a batch).

@@ -162,6 +162,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits the unmatched request only after the watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Long, Timestamp)]
+    val resps = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.correlateLeftOuter(
+      reqs.toDF().toDF("req_key", "req_ts"),
+      resps.toDF().toDF("resp_key", "resp_ts"),
+      timeout = "10 minutes", lateness = "1 minute")
+    val q = joined.writeStream.format("memory")
+      .queryName("louter_test").outputMode(OutputMode.Append()).start()
+    try {
+      reqs.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      resps.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // key 2's window [10:00, 10:11] is still open — only the match
+      // may have been emitted, never a premature null row
+      val early = spark.table("louter_test").collect()
+      assert(!early.exists(r => r.getLong(0) == 2L),
+        s"null row emitted while window open: ${early.mkString(", ")}")
+      // advance BOTH watermarks past 10:11
+      reqs.addData((99L, ts("2024-01-01 11:00:00")))
+      resps.addData((99L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable() // outer results surface a micro-batch later
+      val rows = spark.table("louter_test").collect()
+        .map(r => r.getLong(0) -> Option(r.get(2)).map(_ => r.getLong(2))).toMap
+      assert(rows(1L).contains(1L))       // matched within timeout
+      assert(rows.contains(2L) && rows(2L).isEmpty,
+        s"unmatched request not emitted with nulls: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("dead-letter split flags empty and missing payloads like the reference") {
     import spark.implicits._
     val df = Seq(
