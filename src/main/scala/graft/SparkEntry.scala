@@ -104,6 +104,7 @@ object SparkEntry {
     "q_passage_dedup" -> (Packing.qPassageDedup _),
     "q_chunk_overlap" -> (Packing.qChunkOverlap _),
     "q_zorder_layout" -> (Packing.qZorderLayout _),
+    "q_zorder_skipping" -> (Packing.qZorderSkipping _),
     // Time windows (E16-E18)
     "q_tumbling_daily" -> (TimeWindows.qTumblingDaily _),
     "q_sliding_window" -> (TimeWindows.qSlidingWindow _),
@@ -2514,6 +2515,56 @@ object SparkEntry {
         |SELECT lang, doc_a, doc_b, n_common, containment_ppm FROM j
         |WHERE containment_ppm >= 800000
         |ORDER BY lang, doc_a, doc_b""".stripMargin,
+
+    // File-skipping dividend: both layouts judged by the same min/max
+    // overlap test; the masked (a & 65535) pk equals the raw key at
+    // every test SF (keys < 2^16), matching q_zorder_layout's
+    // precedent.
+    "q_zorder_skipping" ->
+      """WITH q AS (
+        |  SELECT (l_partkey & 65535) AS pk,
+        |    (datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) & 65535) AS day
+        |  FROM lineitem),
+        |s1 AS (SELECT pk, day,
+        |  ((pk | (pk << 8)) & 16711935) AS xa,
+        |  ((day | (day << 8)) & 16711935) AS xb FROM q),
+        |s2 AS (SELECT pk, day,
+        |  ((xa | (xa << 4)) & 252645135) AS xa,
+        |  ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
+        |s3 AS (SELECT pk, day,
+        |  ((xa | (xa << 2)) & 858993459) AS xa,
+        |  ((xb | (xb << 2)) & 858993459) AS xb FROM s2),
+        |s4 AS (SELECT pk, day,
+        |  ((xa | (xa << 1)) & 1431655765) AS xa,
+        |  ((xb | (xb << 1)) & 1431655765) AS xb FROM s3),
+        |z AS (SELECT pk, day, (xa | (xb << 1)) >> 22 AS file_id FROM s4),
+        |lin AS (SELECT pk, day, pk // 128 AS file_id FROM q),
+        |boxes(box_id, pk_lo, pk_hi, day_lo, day_hi) AS (VALUES
+        |  (1, 100, 300, 0, 5000), (2, 0, 100000, 1500, 1560),
+        |  (3, 500, 900, 2000, 2200)),
+        |zst AS (SELECT file_id, min(pk) AS min_pk, max(pk) AS max_pk,
+        |  min(day) AS min_day, max(day) AS max_day FROM z GROUP BY file_id),
+        |lst AS (SELECT file_id, min(pk) AS min_pk, max(pk) AS max_pk,
+        |  min(day) AS min_day, max(day) AS max_day FROM lin GROUP BY file_id),
+        |zt AS (SELECT box_id, count(*) AS z_files_touched FROM boxes b JOIN zst s
+        |  ON s.min_pk <= b.pk_hi AND s.max_pk >= b.pk_lo
+        |  AND s.min_day <= b.day_hi AND s.max_day >= b.day_lo GROUP BY box_id),
+        |lt AS (SELECT box_id, count(*) AS lin_files_touched FROM boxes b JOIN lst s
+        |  ON s.min_pk <= b.pk_hi AND s.max_pk >= b.pk_lo
+        |  AND s.min_day <= b.day_hi AND s.max_day >= b.day_lo GROUP BY box_id),
+        |mt AS (SELECT box_id, count(*) AS n_rows_match FROM boxes b JOIN q
+        |  ON q.pk BETWEEN b.pk_lo AND b.pk_hi
+        |  AND q.day BETWEEN b.day_lo AND b.day_hi GROUP BY box_id)
+        |SELECT b.box_id, coalesce(mt.n_rows_match, 0) AS n_rows_match,
+        |  coalesce(zt.z_files_touched, 0) AS z_files_touched,
+        |  (SELECT count(*) FROM zst) AS z_files_total,
+        |  coalesce(lt.lin_files_touched, 0) AS lin_files_touched,
+        |  (SELECT count(*) FROM lst) AS lin_files_total
+        |FROM boxes b
+        |LEFT JOIN mt ON mt.box_id = b.box_id
+        |LEFT JOIN zt ON zt.box_id = b.box_id
+        |LEFT JOIN lt ON lt.box_id = b.box_id
+        |ORDER BY b.box_id""".stripMargin,
 
     "q_zorder_layout" ->
       """WITH q AS (

@@ -186,6 +186,62 @@ object Packing {
       .orderBy("file_id")
   }
 
+  /** WHY z-order: the file-skipping dividend, measured. For three
+    * query rectangles over (partkey, ship-day), count the files a
+    * reader must touch under the z-ordered layout (qZorderLayout's
+    * buckets) versus a single-column pk-range layout of similar file
+    * count — both judged by the same min/max-stats overlap test
+    * parquet/Iceberg/Delta readers run. The pk-sorted layout prunes
+    * pk predicates but must read EVERY file for a day-only predicate;
+    * the z-order curve bounds both dimensions per file, so both
+    * predicate shapes skip. All counts are integers; the row-count
+    * truth per box ships alongside so the skipping ratios can be
+    * judged against selectivity. The stats tables are file-count
+    * sized (broadcast); the fact scan runs once per layout plus once
+    * for the truth — nothing quadratic. */
+  def qZorderSkipping(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = Tables.lineitem(spark, d).select(
+        col("l_partkey").cast("long").as("pk"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') AS BIGINT)").as("day"))
+      .persist()
+    def stats(df: DataFrame): DataFrame = df.groupBy("file_id")
+      .agg(min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("day").as("min_day"), max("day").as("max_day"))
+    val zStats = stats(base.withColumn("file_id",
+      expr("shiftright(zorder16(pk, day), 22)"))).persist()
+    val linStats = stats(base.withColumn("file_id", expr("pk div 128"))).persist()
+    val boxes = Seq(
+        (1L, 100L, 300L, 0L, 5000L),   // narrow pk, all days
+        (2L, 0L, 100000L, 1500L, 1560L), // all pk, narrow day window
+        (3L, 500L, 900L, 2000L, 2200L) // small box on both dims
+      ).toDF("box_id", "pk_lo", "pk_hi", "day_lo", "day_hi")
+    def touched(st: DataFrame, name: String): DataFrame =
+      boxes.crossJoin(broadcast(st))
+        .filter(col("min_pk") <= col("pk_hi") && col("max_pk") >= col("pk_lo") &&
+          col("min_day") <= col("day_hi") && col("max_day") >= col("day_lo"))
+        .groupBy("box_id").agg(count(lit(1)).as(name))
+    val matches = base.crossJoin(broadcast(boxes))
+      .filter(col("pk").between(col("pk_lo"), col("pk_hi")) &&
+        col("day").between(col("day_lo"), col("day_hi")))
+      .groupBy("box_id").agg(count(lit(1)).as("n_rows_match"))
+    val totals = zStats.agg(count(lit(1)).as("z_files_total"))
+      .crossJoin(linStats.agg(count(lit(1)).as("lin_files_total")))
+    boxes.select("box_id")
+      .join(matches, Seq("box_id"), "left")
+      .join(touched(zStats, "z_files_touched"), Seq("box_id"), "left")
+      .join(touched(linStats, "lin_files_touched"), Seq("box_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("box_id"),
+        coalesce(col("n_rows_match"), lit(0L)).as("n_rows_match"),
+        coalesce(col("z_files_touched"), lit(0L)).as("z_files_touched"),
+        col("z_files_total"),
+        coalesce(col("lin_files_touched"), lit(0L)).as("lin_files_touched"),
+        col("lin_files_total"))
+      .orderBy("box_id")
+  }
+
   def qChunkOverlap(spark: SparkSession, d: String): DataFrame =
     graft.ops.Quality.docTokens(spark, d)
       .select(col("doc_id"), col("t"),
