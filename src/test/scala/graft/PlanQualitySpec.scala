@@ -88,6 +88,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("throttle scan shuffles the events table exactly once (the user repartition)") {
+    // The secondary-sort pattern must be: one hash exchange (the
+    // repartition by user), an in-partition sort, the mapPartitions
+    // scan — a second hash exchange would mean the sort or scan lost
+    // the co-partitioning. The only other exchange allowed is the
+    // final output orderBy (range partitioning).
+    val plan = graft.ops.TimeWindows.qThrottleEvents(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan.toLowerCase).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (the user repartition), got $hashExchanges:\n$plan")
+  }
+
+  test("skyline joins the frontier back by broadcast, never a shuffle of the fact side") {
+    // The frontier only shrinks (≤ |distinct prices| rows), so the
+    // join back to the fact scan must be a BroadcastHashJoin; a
+    // SortMergeJoin would shuffle the full fact table a second time.
+    val plan = graft.ops.Analytics.qSkyline(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"frontier join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side shuffled for the join:\n$plan")
+  }
+
   test("sessionize shuffles the events table exactly once (windows + groupBy share one exchange)") {
     // qSessionize's groupBy(user_id, session_id) must reuse the
     // lag/running-sum window's hash partitioning on user_id
