@@ -323,16 +323,19 @@ object Mining {
     val seeds = Tables.part(spark, d).filter(col("p_partkey") < 5)
       .select(concat(lit("p"), col("p_partkey")).as("node"))
     var frontier = seeds.localCheckpoint()
-    var visited = frontier.withColumn("hop", lit(0L)).localCheckpoint()
+    // visited is a UNION of the ≤4 checkpointed frontiers — plan depth
+    // is bounded by the hop count, so it needs no checkpoint of its
+    // own (one materialization job per hop saved; the frontier's
+    // checkpoint is the one that matters, for stats + the anti-join).
+    var visited = frontier.withColumn("hop", lit(0L))
     for (h <- 1 to 3) {
       frontier = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .localCheckpoint()
       visited = visited.union(frontier.withColumn("hop", lit(h.toLong)))
-        .localCheckpoint()
     }
-    edges.unpersist()
+    edges.unpersist(blocking = false)
     visited.orderBy("node")
   }
 }
