@@ -28,6 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    working directory; build.sbt routes forked stdout through
   *    unprefixed (sbt's default "[info] " prefix broke the driver's
   *    parse in rounds 1-2 — the file is the belt-and-braces copy).
+  *  - the driver's harness keeps only the LAST 2000 characters of
+  *    stdout (BENCH_r3.json's `tail`), and the full per-query JSON is
+  *    ~8 KB — its opening brace never lands in that window, which is
+  *    why rounds 1-3 recorded `parsed: null`. So after the full line
+  *    (the repo record), the FINAL stdout act is a compact summary
+  *    line — same `metric`/`value`/`unit`/`sf` keys, `queries`
+  *    trimmed to the slowest few — guaranteed to sit complete inside
+  *    the tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +45,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,5 +96,12 @@ object Bench {
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
+    // Compact summary as the very last stdout line (post-stop so no
+    // shutdown logging can follow it on stdout): fits the driver's
+    // 2000-char tail capture with room to spare.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full map in BENCH_LOCAL.json","sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}""")
   }
 }

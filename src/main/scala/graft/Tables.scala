@@ -57,11 +57,17 @@ object Tables {
     events(spark, sfDir).createOrReplaceTempView("events")
   }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS) (TESTDATA.md /
-    * FIXTURES.md caveat). Spark's vectorized reader cannot map NANOS to
-    * its microsecond TimestampType directly; read the column as a long
-    * (nanos since epoch) and convert — identical truncation to what
-    * DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP.
+  /** `events.ts` normalization. The driver's fixture generator has
+    * shipped two physical layouts across rounds: parquet
+    * TIMESTAMP(NANOS) (rounds 1-3 — Spark can only read it as a long
+    * via `nanosAsLong`) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (round 4+ — Spark reads it as TIMESTAMP_NTZ). Both normalize to
+    * the session's microsecond TimestampType so every downstream
+    * consumer (`unix_micros`, windows, the as-of operator) sees one
+    * type. The NTZ→LTZ cast interprets the naive value in the session
+    * time zone — all engine mains pin UTC, making the conversion the
+    * identity on the stored micros value, exactly how the DuckDB
+    * oracle reads the same column (naive TIMESTAMP).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     // Session conf (not a read option): Spark's schema converter only
@@ -70,11 +76,12 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$d/events.parquet")
-    val tsType = raw.schema("ts").dataType.typeName
-    // Integer `div`, NOT `/`: long/1000 promotes to double, and epoch
-    // nanos (~1.7e18) exceed double's 53-bit mantissa — off-by-1 µs.
-    if (tsType == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      // Integer `div`, NOT `/`: long/1000 promotes to double, and epoch
+      // nanos (~1.7e18) exceed double's 53-bit mantissa — off-by-1 µs.
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
