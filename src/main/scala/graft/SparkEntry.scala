@@ -98,6 +98,7 @@ object SparkEntry {
     "q_brand_sales" -> (Relational.qBrandSales _),
     // Corpus layout (bucketing, packing, sharding, passage dedup)
     "q_length_buckets" -> (Packing.qLengthBuckets _),
+    "q_curriculum" -> (Packing.qCurriculum _),
     "q_pack_greedy" -> (Packing.qPackGreedy _),
     "q_shard_assign" -> (Packing.qShardAssign _),
     "q_shard_manifest" -> (Packing.qShardManifest _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_normalize_text" -> (Quality.qNormalizeText _),
     "q_bloom_dedup" -> (Quality.qBloomDedup _),
     "q_ngram_counts" -> (Quality.qNgramCounts _),
+    "q_bpe_pairs" -> (Quality.qBpePairs _),
     "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
     "q_cross_source_leak" -> (Quality.qCrossSourceLeak _),
     "q_contamination" -> (Quality.qContamination _),
@@ -794,6 +796,18 @@ object SparkEntry {
         |SELECT shard, doc_id, n_tokens, cum_before // 512 AS bin_id,
         |  cum_before - (cum_before // 512) * 512 AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH th AS (
+        |  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS c1,
+        |         percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS c2,
+        |         percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS c3
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN n_chars <= c1 THEN 0 WHEN n_chars <= c2 THEN 1
+        |            WHEN n_chars <= c3 THEN 2 ELSE 3 END AS BIGINT) AS phase,
+        |  md5('curr:' || doc_id) AS order_key
+        |FROM documents, th ORDER BY doc_id""".stripMargin,
 
     "q_shard_assign" ->
       """WITH t AS (
@@ -1740,6 +1754,18 @@ object SparkEntry {
         |  FROM tkt WHERE len(tk) >= 3)
         |SELECT shingle, count(*) AS n FROM shr GROUP BY shingle
         |ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT n, unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair
+        |  FROM w WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
 
     "q_dup_rate_by_source" ->
       """SELECT source, count(*) AS n_docs,

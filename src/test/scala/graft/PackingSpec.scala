@@ -19,6 +19,37 @@ class PackingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("curriculum: phases partition the corpus into ordered quartile bands, key is deterministic") {
+    val out = Packing.qCurriculum(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    // every document assigned exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // phases are ordered bands over n_chars: no doc in a lower phase is
+    // longer than any doc in a higher phase
+    val bounds = out.groupBy("phase")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("phase").collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(a.fieldIndex("hi")) <= b.getLong(b.fieldIndex("lo")),
+          s"phase bands overlap: $a vs $b")
+      case _ =>
+    }
+    // quartile sizing: phases 0-2 each hold >= 1/8 and <= 1/2 of the
+    // corpus (exact quarters up to ties at the disc thresholds)
+    val n = docs.count()
+    bounds.dropRight(1).foreach { r =>
+      val c = r.getLong(r.fieldIndex("n"))
+      assert(c >= n / 8 && c <= n / 2, s"phase size off: $r of $n")
+    }
+    // the order key is a pure function of doc_id — recomputing yields
+    // byte-identical assignments
+    assert(Packing.qCurriculum(spark, sfDir).exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
   test("greedy packing is gap-free per shard: offsets advance by exactly n_tokens across bins") {
     val df = Packing.qPackGreedy(spark, sfDir).cache()
     // reconstruct the global position: bin_id * 512 + bin_offset must equal

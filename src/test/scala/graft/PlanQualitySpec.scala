@@ -54,6 +54,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_market_basket",     // 1-row basket-universe count broadcast
     "q_impute",            // 1-row global-median fallback broadcast
     "q_rfm",               // 1-row ref-date + quartile-threshold broadcasts
+    "q_curriculum",        // 1-row length-quartile thresholds broadcast
     "q_pareto",            // 1-row decile-threshold + total broadcast
     "q_activity_bitmap",   // 1-row corpus-watermark broadcast
     "q_heavy_hitters",     // 1-row count-min sketch broadcast to the top-10 probes

@@ -283,6 +283,26 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bpe pairs: top-20 equals a from-scratch scalar recount of adjacent char pairs") {
+    val got = Quality.qBpePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // driver-side replay: word counts, then pair counts over the vocab
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val wordN = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      .foreach(w => wordN(w) = wordN.getOrElse(w, 0L) + 1))
+    val pairN = scala.collection.mutable.Map.empty[String, Long]
+    wordN.foreach { case (w, n) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairN(p) = pairN.getOrElse(p, 0L) + n
+      }
+    }
+    val want = pairN.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
   test("contamination: only non-benchmark docs flagged, every flag is a real overlap") {
     val out = Quality.qContamination(spark, sfDir).collect()
     assert(out.nonEmpty) // the shared vocabulary guarantees overlaps
