@@ -128,6 +128,7 @@ object SparkEntry {
     "q_bloom_dedup" -> (Quality.qBloomDedup _),
     "q_ngram_counts" -> (Quality.qNgramCounts _),
     "q_bpe_pairs" -> (Quality.qBpePairs _),
+    "q_hybrid_rank" -> (Quality.qHybridRank _),
     "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
     "q_cross_source_leak" -> (Quality.qCrossSourceLeak _),
     "q_contamination" -> (Quality.qContamination _),
@@ -1754,6 +1755,61 @@ object SparkEntry {
         |  FROM tkt WHERE len(tk) >= 3)
         |SELECT shingle, count(*) AS n FROM shr GROUP BY shingle
         |ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_hybrid_rank" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+        |       / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+        |     * (CAST(tf AS DOUBLE) * 2.2e0)
+        |     / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
+        |          * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |lex AS (
+        |  SELECT term, doc_id, rn AS rn_lex FROM (
+        |    SELECT term, doc_id, score,
+        |      row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+        |    FROM s)
+        |  WHERE rn <= 10),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+        |  FROM documents),
+        |qs AS (
+        |  SELECT doc_id, round(least(1.0, greatest(0.0,
+        |      0.5 * least(n_tokens / 20.0, 1.0)
+        |      + 0.3 * (1.0 - round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4))
+        |      + 0.2 * least(round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) * 5.0, 1.0))),
+        |    4) AS quality_score
+        |  FROM m),
+        |rq AS (
+        |  SELECT l.term, l.doc_id, l.rn_lex, q.quality_score,
+        |    row_number() OVER (PARTITION BY l.term
+        |      ORDER BY q.quality_score DESC, l.doc_id) AS rn_quality
+        |  FROM lex l JOIN qs q USING (doc_id)),
+        |f AS (
+        |  SELECT term, doc_id, CAST(rn_lex AS BIGINT) AS rn_lex,
+        |    CAST(rn_quality AS BIGINT) AS rn_quality,
+        |    CAST(1000000000 // (60 + rn_lex)
+        |       + 1000000000 // (60 + rn_quality) AS BIGINT) AS rrf_scaled
+        |  FROM rq)
+        |SELECT term, doc_id, rn_lex, rn_quality, rrf_scaled,
+        |  CAST(row_number() OVER (PARTITION BY term
+        |    ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank
+        |FROM f ORDER BY term, fused_rank""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (

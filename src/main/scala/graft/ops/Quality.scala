@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -232,6 +233,42 @@ object Quality {
       .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
         length(col("norm")).as("n_chars_norm"))
       .orderBy("doc_id")
+
+  /** Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    * top-10 for each query term re-ranked against a document-quality
+    * prior — the standard way production retrieval combines rankers
+    * whose scores live on incomparable scales (RRF needs only ranks,
+    * never score calibration). Fused score is INTEGER-scaled,
+    * Σ ⌊10⁹/(60+rank)⌋ with the conventional k=60, so the checked
+    * surface has no floating point at all — rank positions are the
+    * only thing the two rankers contribute.
+    *
+    * Scale shape: both inputs are already bounded — the BM25 side is
+    * the TopKAggregator's ≤10 rows per term, the prior side streams
+    * the corpus once past the broadcast 30-row candidate set. The two
+    * row_number windows partition by term over ≤10-row groups
+    * (k-bounded, NOT corpus-bounded — the windows the similarity
+    * family had to avoid are harmless here because the aggregator
+    * already shrank the data). */
+  def qHybridRank(spark: SparkSession, d: String): DataFrame = {
+    val lex = qBm25(spark, d)
+      .select(col("term"), col("doc_id"), col("rn").cast("long").as("rn_lex"))
+    val pri = qQualityScore(spark, d).select(col("doc_id"), col("quality_score"))
+    val cand = pri.join(broadcast(lex), Seq("doc_id"))
+    val wq = Window.partitionBy("term")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val fused = cand
+      .withColumn("rn_quality", row_number().over(wq).cast("long"))
+      .withColumn("rrf_scaled", expr(
+        "CAST(1000000000 AS BIGINT) div (60 + rn_lex)" +
+          " + CAST(1000000000 AS BIGINT) div (60 + rn_quality)"))
+    val wf = Window.partitionBy("term")
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .select(col("term"), col("doc_id"), col("rn_lex"), col("rn_quality"),
+        col("rrf_scaled"), col("fused_rank"))
+      .orderBy("term", "fused_rank")
+  }
 
   /** Corpus-wide top-20 word trigrams by occurrence count — the basic
     * n-gram frequency profile (boilerplate detection, stop-phrase

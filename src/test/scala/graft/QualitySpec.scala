@@ -283,6 +283,35 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("hybrid rank: RRF fusion replayed from the BM25 and quality outputs for one term") {
+    val fused = Quality.qHybridRank(spark, sfDir)
+      .filter(col("term") === "vector").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("rn_lex")), r.getLong(r.fieldIndex("rn_quality")),
+        r.getLong(r.fieldIndex("rrf_scaled")), r.getLong(r.fieldIndex("fused_rank"))))
+    assert(fused.nonEmpty)
+    // replay: lexical ranks from qBm25, quality ranks over those
+    // candidates from qQualityScore, both fused by integer RRF
+    val lex = Quality.qBm25(spark, sfDir).filter(col("term") === "vector")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getInt(r.fieldIndex("rn")).toLong).toMap
+    val q = Quality.qQualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rnQuality = lex.keys.toSeq
+      .sortBy(doc => (-q(doc), doc)).zipWithIndex
+      .map { case (doc, i) => doc -> (i + 1L) }.toMap
+    fused.foreach { case (doc, rl, rq, rrf, _) =>
+      assert(rl == lex(doc), s"lex rank mismatch for $doc")
+      assert(rq == rnQuality(doc), s"quality rank mismatch for $doc")
+      assert(rrf == 1000000000L / (60 + rl) + 1000000000L / (60 + rq))
+    }
+    // fused_rank is the dense order of rrf desc, doc asc
+    val expectOrder = fused.sortBy { case (doc, _, _, rrf, _) => (-rrf, doc) }
+      .map(_._1).toSeq
+    assert(fused.sortBy(_._5).map(_._1).toSeq == expectOrder)
+  }
+
   test("bpe pairs: top-20 equals a from-scratch scalar recount of adjacent char pairs") {
     val got = Quality.qBpePairs(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
