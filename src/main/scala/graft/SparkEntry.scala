@@ -129,6 +129,8 @@ object SparkEntry {
     "q_ngram_counts" -> (Quality.qNgramCounts _),
     "q_bpe_pairs" -> (Quality.qBpePairs _),
     "q_hybrid_rank" -> (Quality.qHybridRank _),
+    "q_gap_fill" -> (TimeWindows.qGapFill _),
+    "q_xml_config" -> (graft.sources.XmlSource.qXmlConfig _),
     "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
     "q_cross_source_leak" -> (Quality.qCrossSourceLeak _),
     "q_contamination" -> (Quality.qContamination _),
@@ -1006,6 +1008,50 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_xml_config" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n
+        |  FROM events GROUP BY event_type, day_us),
+        |b AS (SELECT min(day_us) AS d0, max(day_us) AS d1 FROM daily),
+        |obs AS (
+        |  SELECT event_type, day_us, n FROM daily, b
+        |  WHERE ((day_us - d0) // 86400000000) % 3 = 0),
+        |grid AS (
+        |  SELECT t.event_type, g.day_us, b.d0
+        |  FROM (SELECT DISTINCT event_type FROM daily) t, b,
+        |    (SELECT unnest(range(d0, d1 + 1, 86400000000)) AS day_us FROM b) g),
+        |j AS (
+        |  SELECT g.event_type, g.day_us, o.n, (g.day_us - g.d0) // 86400000000 AS di
+        |  FROM grid g LEFT JOIN obs o USING (event_type, day_us)),
+        |w AS (
+        |  SELECT *,
+        |    last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+        |    last_value(CASE WHEN n IS NOT NULL THEN di END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pdi,
+        |    first_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day_us
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn,
+        |    first_value(CASE WHEN n IS NOT NULL THEN di END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day_us
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ndi
+        |  FROM j)
+        |SELECT event_type, day_us,
+        |  CAST(CASE WHEN n IS NOT NULL THEN n
+        |            WHEN pn IS NULL THEN nn
+        |            WHEN nn IS NULL THEN pn
+        |            ELSE (pn * (ndi - di) + nn * (di - pdi)) // (ndi - pdi)
+        |       END AS BIGINT) AS n_filled,
+        |  CASE WHEN n IS NOT NULL THEN 'obs'
+        |       WHEN pn IS NULL OR nn IS NULL THEN 'edge'
+        |       ELSE 'interp' END AS src
+        |FROM w ORDER BY event_type, day_us""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH changed AS (

@@ -443,6 +443,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("gap fill: scalar interpolation replay for one type; obs cells exact; grid complete") {
+    val out = graft.ops.TimeWindows.qGapFill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val dayUs = 86400000000L
+    // full calendar grid per type
+    val days = out.map(_._2).distinct.sorted
+    assert(days.zip(days.tail).forall { case (a, b) => b - a == dayUs })
+    val types = out.map(_._1).distinct
+    assert(out.length == types.length * days.length)
+    // scalar replay for one event type
+    val t0 = types.min
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === t0)
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("d"))
+      .groupBy("d").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = days.head
+    val obs = daily.filter { case (d, _) => ((d - d0) / dayUs) % 3 == 0 }
+    val expect = days.map { d =>
+      val di = (d - d0) / dayUs
+      if (obs.contains(d)) (d, obs(d), "obs")
+      else {
+        val prev = obs.keys.filter(_ < d)
+        val next = obs.keys.filter(_ > d)
+        if (prev.isEmpty) (d, obs(next.min), "edge")
+        else if (next.isEmpty) (d, obs(prev.max), "edge")
+        else {
+          val (pd, nd) = (prev.max, next.min)
+          val (pdi, ndi) = ((pd - d0) / dayUs, (nd - d0) / dayUs)
+          val v = (obs(pd) * (ndi - di) + obs(nd) * (di - pdi)) / (ndi - pdi)
+          (d, v, "interp")
+        }
+      }
+    }
+    val got = out.filter(_._1 == t0).map(r => (r._2, r._3, r._4)).toSeq
+    assert(got == expect.toSeq, s"got $got\nwant $expect")
+    // every source kind occurs
+    assert(Set("obs", "interp", "edge").subsetOf(out.map(_._4).toSet))
+  }
+
   test("throttle: secondary-sort scan equals the sequential greedy replay per user") {
     val out = graft.ops.TimeWindows.qThrottleEvents(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -51,6 +51,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_upsample_plan",     // same 1-row mixture total broadcast
     "q_vocab_drift",       // 1-row corpus token total broadcast
     "q_freshness",         // 1-row corpus watermark broadcast
+    "q_gap_fill",          // 1-row calendar-bounds broadcast (obs filter + grid)
     "q_skew_profile",      // 1-row key-count total broadcast
     "q_market_basket",     // 1-row basket-universe count broadcast
     "q_impute",            // 1-row global-median fallback broadcast

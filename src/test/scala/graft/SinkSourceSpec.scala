@@ -165,6 +165,17 @@ class SinkSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("xml config round-trip equals the dim it was written from") {
+    val got = graft.sources.XmlSource.qXmlConfig(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        r.getAs[Number](2).longValue))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("sinks run against an explicit file:// FS URI (path-scheme-parameterized, S3-ready shape)") {
     // Same Hadoop FS API the sinks would hit under s3a:// — prove the
     // path handling never assumes the default scheme-less local FS.
