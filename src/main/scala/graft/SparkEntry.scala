@@ -178,6 +178,9 @@ object SparkEntry {
     "q_knn_classify" -> (Similarity.qKnnClassify _),
     "q_embedding_stats" -> (Similarity.qEmbeddingStats _),
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _),
+    "q_rand_project" -> (Similarity.qRandProject _),
+    "q_scalar_quant" -> (Similarity.qScalarQuant _),
+    "q_mmr_rerank" -> (Similarity.qMmrRerank _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -2351,6 +2354,54 @@ object SparkEntry {
         |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
         |  CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS VARCHAR) AS norm_sum
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    // Random projection: signs are a pure function of (out_dim,
+    // in_dim) via md5 first-hex-digit parity; each projection is one
+    // list_sum left-fold ≡ vec_dot — bit-identical doubles.
+    "q_rand_project" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |sg AS (
+        |  SELECT j.out_dim,
+        |    [CASE WHEN substr(md5('rp:' || out_dim || ':' || i), 1, 1)
+        |               IN ('0','2','4','6','8','a','c','e')
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+        |     for i in range(0, 64)] AS s
+        |  FROM range(16) j(out_dim))
+        |SELECT v.vec_id, sg.out_dim,
+        |  round(list_sum([v.e[i] * sg.s[i] for i in range(1, 65)]), 4) AS proj
+        |FROM v CROSS JOIN sg ORDER BY vec_id, out_dim""".stripMargin,
+
+    // Scalar quantization calibration: min/max are selection-only;
+    // the code is one fixed double expression tree with an integer
+    // floor — no reassociation, no HALF_UP edge.
+    "q_scalar_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |xs AS (
+        |  SELECT vec_id, t.i - 1 AS dim, e[t.i] AS x
+        |  FROM v CROSS JOIN range(1, 65) t(i)),
+        |grid AS (
+        |  SELECT dim, min(x) AS mn, max(x) AS mx FROM xs GROUP BY dim),
+        |coded AS (
+        |  SELECT xs.dim, xs.x, grid.mn, grid.mx,
+        |    CAST(CASE WHEN mx = mn THEN 0
+        |         ELSE floor((x - mn) * CAST(255.0 AS DOUBLE) / (mx - mn)) END
+        |      AS INT) AS code
+        |  FROM xs JOIN grid USING (dim))
+        |SELECT dim, count(*) AS n_vals,
+        |  round(min(mn), 4) AS mn_r, round(max(mx), 4) AS mx_r,
+        |  CAST(sum(code) AS BIGINT) AS sum_code,
+        |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM coded GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // MMR greedy diversity re-rank: 4 unrolled selection steps (the
+    // q_pagerank generated-CTE pattern); rel/sim/score are the proven
+    // bit-identical double folds, picks are selection-only.
+    "q_mmr_rerank" -> Similarity.mmrOracleSql,
 
     "q_knn_classify" ->
       """WITH v AS (

@@ -30,8 +30,10 @@ case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+    if (Seq(left, right).forall(_.dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(

@@ -313,15 +313,22 @@ object Mining {
     * graph needs). The oracle is a recursive CTE walking the same
     * edges with hop < 3, min(hop) per node. */
   def qKhopReach(spark: SparkSession, d: String): DataFrame = {
+    // Nodes travel as LONGS through every shuffle (part → 2k,
+    // supplier → 2k+1): the BFS's distinct/anti-join/equi-join all
+    // hash and compare 8-byte keys instead of the display strings —
+    // at 100 TB the frontier/visited shuffles are the whole cost, and
+    // an integer key roughly halves the shuffled bytes besides being
+    // a cheaper hash. The "p123"/"s45" labels are rebuilt in the
+    // final projection only.
     val e = Tables.lineitem(spark, d)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val edges = e.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .union(e.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")))
+    val edges = e.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .union(e.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
       .persist()
     val seeds = Tables.part(spark, d).filter(col("p_partkey") < 5)
-      .select(concat(lit("p"), col("p_partkey")).as("node"))
+      .select((col("p_partkey") * 2).as("node"))
     var frontier = seeds.localCheckpoint()
     // visited is a UNION of the ≤4 checkpointed frontiers — plan depth
     // is bounded by the hop count, so it needs no checkpoint of its
@@ -336,6 +343,9 @@ object Mining {
       visited = visited.union(frontier.withColumn("hop", lit(h.toLong)))
     }
     edges.unpersist(blocking = false)
-    visited.orderBy("node")
+    visited
+      .select(concat(when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+        expr("node div 2")).as("node"), col("hop"))
+      .orderBy("node")
   }
 }

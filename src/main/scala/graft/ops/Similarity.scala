@@ -490,6 +490,209 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
+  /** Random projection (Johnson–Lindenstrauss) dimensionality
+    * reduction: 64-dim embeddings sketched to 16 dims with a
+    * DETERMINISTIC ±1 projection matrix — the cheap pre-pass a 100 TB
+    * embedding pipeline runs before clustering/ANN when the full
+    * dimension is unaffordable (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances in expectation as well as Gaussian ones, and
+    * need no float matrix shipped anywhere — each sign is a pure
+    * function of (out_dim, in_dim)).
+    *
+    * Sign convention shared with the oracle: entry (j, i) is +1 iff
+    * the first hex digit of md5("rp:j:i") is even. The 16 sign rows
+    * are built once and broadcast (16 × 64 doubles); the corpus
+    * streams past them exactly once with a ×16 narrow expansion —
+    * no shuffle anywhere except the final display sort. Parity: each
+    * output coordinate is one vec_dot left-fold over the double-cast
+    * embedding ≡ the oracle's list_sum comprehension, bit-identical
+    * IEEE, rounded to 4 decimals for display. */
+  def qRandProject(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val signs = spark.range(16).toDF("out_dim")
+      .withColumn("s", expr(
+        """transform(sequence(0, 63), i ->
+          |  CASE WHEN substring(md5(concat('rp:', CAST(out_dim AS STRING),
+          |                                 ':', CAST(i AS STRING))), 1, 1)
+          |            IN ('0','2','4','6','8','a','c','e')
+          |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)""".stripMargin))
+    v.select(col("vec_id"), col("e"))
+      .join(broadcast(signs))
+      .select(col("vec_id"), col("out_dim"),
+        round(expr("vec_dot(e, s)"), 4).as("proj"))
+      .orderBy("vec_id", "out_dim")
+  }
+
+  /** Int8 scalar quantization report: per-dimension min/max over the
+    * corpus define a 256-level uniform grid; every coordinate codes to
+    * `floor((x − mn) · 255 / (mx − mn))` — the storage-compression
+    * step (4 B float → 1 B code) a 100 TB embedding store applies
+    * before PQ/ANN indexing. Declared surface = the per-dimension
+    * calibration row (range endpoints, code mass, saturation counts),
+    * which is what an operator actually inspects to validate the
+    * quantizer; the per-vector code tensor is intermediate.
+    *
+    * Plan shape: one narrow explode pass → 64-group min/max hash
+    * aggregate (map-side combined; the 64-row grid broadcasts back);
+    * a second streaming pass codes every coordinate and collapses to
+    * the same 64 groups map-side. Nothing vector-sized shuffles.
+    * Parity: min/max are SELECTION on exactly-cast doubles (no
+    * arithmetic); the code expression is one fixed tree of double
+    * sub/mul/div with an integer floor — no reassociation, no
+    * rounding-mode edge (floor, not HALF_UP round), identical in
+    * both engines. */
+  def qScalarQuant(spark: SparkSession, d: String): DataFrame = {
+    val xs = withNorm(spark, Tables.embeddings(spark, d))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+    val grid = xs.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    xs.join(broadcast(grid), Seq("dim"))
+      .withColumn("code", expr(
+        """CAST(CASE WHEN mx = mn THEN 0
+          |     ELSE floor((x - mn) * CAST(255.0 AS DOUBLE) / (mx - mn)) END AS INT)""".stripMargin))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vals"),
+        round(min("mn"), 4).as("mn_r"), round(max("mx"), 4).as("mx_r"),
+        sum(col("code")).cast("long").as("sum_code"),
+        sum(when(col("code") === 0, 1).otherwise(0)).cast("long").as("n_lo"),
+        sum(when(col("code") === 255, 1).otherwise(0)).cast("long").as("n_hi"))
+      .orderBy("dim")
+  }
+
+  /** MMR (maximal-marginal-relevance) diversity re-ranking: for each
+    * probe, greedily pick 4 of its top-8 cosine candidates maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked` (λ = ½) —
+    * the canonical redundancy-aware selection step retrieval and
+    * training-data curation run AFTER a similarity search (diverse
+    * few-shot examples, diverse RAG context, dedup-aware eval picks).
+    *
+    * Scale shape: the expensive part is candidate generation, which is
+    * the already-bounded top-k path (corpus streams past broadcast
+    * probes, TopKAggregator collapses map-side). Everything after
+    * operates on |probes| × k rows — checkpointed once, then 4 greedy
+    * rounds of trivial joins on that tiny frame; candidate-pair
+    * similarity is k² per probe, computed once. The greedy recurrence
+    * is inherently sequential in its picks (each penalty depends on
+    * the previous pick), so the iteration count is k − fixed and
+    * small — not a scan count: the corpus is touched exactly twice
+    * (top-k scoring + candidate vector fetch).
+    *
+    * Parity: rel and sim are vec_dot left-folds (bit-identical IEEE
+    * doubles in both engines); the score is one fixed tree
+    * `0.5·rel − 0.5·coalesce(mx, 0.0)`; picks are argmax with
+    * vec_id tiebreak — selection-only on identical doubles. Oracle =
+    * the same greedy unrolled as 4 generated CTE steps (the
+    * q_pagerank pattern). */
+  def qMmrRerank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val probes = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na"))
+    val corpus = v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val scored = corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("rel", expr(s"$dot / (na * nb)"))
+    val cands = scored.select(col("probe_id"), col("rel"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Double, Long)](
+        8, r => (r._2, r._3)).toColumn.name("topk"))
+      .toDF("probe_id", "topk")
+      .select(col("probe_id"), explode(col("topk")).as("t"))
+      .select(col("probe_id"), col("t._2").as("vec_id"), col("t._1").as("rel"))
+      .localCheckpoint() // |probes| × 8 rows
+    val ce = cands.join(v.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+    val sims = ce.select(col("probe_id"), col("vec_id").as("va"),
+        col("e").as("ea"), col("nrm").as("na"))
+      .join(ce.select(col("probe_id"), col("vec_id").as("vb"),
+        col("e").as("eb"), col("nrm").as("nb")), Seq("probe_id"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("probe_id"), col("va"), col("vb"),
+        expr("vec_dot(ea, eb) / (na * nb)").as("sim"))
+      .localCheckpoint() // |probes| × 8 × 7 rows
+    var selected = cands
+      .select(col("probe_id"), col("vec_id"), col("rel"),
+        lit(0.0).as("score"), lit(0L).as("rk"))
+      .filter(lit(false)).localCheckpoint()
+    for (step <- 1 to 4) {
+      val remaining = cands
+        .join(selected.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"), "left_anti")
+      val pen = sims
+        .join(selected.select(col("probe_id"), col("vec_id").as("vb")), Seq("probe_id", "vb"))
+        .groupBy(col("probe_id"), col("va").as("vec_id"))
+        .agg(max("sim").as("mx"))
+      val pick = remaining.join(pen, Seq("probe_id", "vec_id"), "left")
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * coalesce(col("mx"), lit(0.0)))
+        .groupBy("probe_id")
+        .agg(max_by(struct(col("vec_id"), col("rel"), col("score")),
+          struct(col("score"), (-col("vec_id")).as("neg"))).as("w"))
+        .select(col("probe_id"), col("w.vec_id"), col("w.rel"),
+          col("w.score"), lit(step.toLong).as("rk"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col("probe_id"), col("rk"), col("vec_id"),
+        round(col("rel"), 4).as("rel_r"), round(col("score"), 4).as("mmr_score"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Generated unrolled-greedy oracle for qMmrRerank (the q_pagerank
+    * generated-CTE pattern): step i selects the argmax of
+    * 0.5·rel − 0.5·coalesce(max-sim-to-picked, 0) among unpicked
+    * candidates, ties to the lower vec_id. */
+  private[graft] def mmrOracleSql: String = {
+    val steps = (1 to 4).map { i =>
+      val pre =
+        if (i == 1) s"pre1 AS (SELECT probe_id, vec_id FROM cand WHERE 1 = 0)"
+        else s"pre$i AS (${(1 until i).map(j => s"SELECT probe_id, vec_id FROM sel$j")
+          .mkString(" UNION ALL ")})"
+      s"""$pre,
+         |pen$i AS (
+         |  SELECT s.probe_id, s.va AS vec_id, max(s.sim) AS mx
+         |  FROM sims s JOIN pre$i p ON s.probe_id = p.probe_id AND s.vb = p.vec_id
+         |  GROUP BY s.probe_id, s.va),
+         |sel$i AS (
+         |  SELECT probe_id, vec_id, rel, score, $i AS rk FROM (
+         |    SELECT c.probe_id, c.vec_id, c.rel,
+         |      0.5 * c.rel - 0.5 * coalesce(p.mx, CAST(0.0 AS DOUBLE)) AS score,
+         |      row_number() OVER (PARTITION BY c.probe_id
+         |        ORDER BY 0.5 * c.rel - 0.5 * coalesce(p.mx, CAST(0.0 AS DOUBLE)) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM cand c
+         |    LEFT JOIN pen$i p ON p.probe_id = c.probe_id AND p.vec_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM pre$i q
+         |      WHERE q.probe_id = c.probe_id AND q.vec_id = c.vec_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+       |sc AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)])
+       |      / (p.nrm * c.nrm) AS rel
+       |  FROM n p JOIN n c ON p.vec_id < 3 AND c.vec_id <> p.vec_id),
+       |cand AS (
+       |  SELECT probe_id, vec_id, rel FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY rel DESC, vec_id) AS rn FROM sc)
+       |  WHERE rn <= 8),
+       |sims AS (
+       |  SELECT a.probe_id, a.vec_id AS va, b.vec_id AS vb,
+       |    list_sum([na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)])
+       |      / (na.nrm * nb.nrm) AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id),
+       |$steps
+       |SELECT probe_id, rk, vec_id, round(rel, 4) AS rel_r,
+       |  round(score, 4) AS mmr_score
+       |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+       |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4)
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

@@ -199,4 +199,87 @@ class SimilaritySpec extends SparkSpec {
     // a centroid's own slice is at distance 0 from itself
     for (c <- 0L until 8L; m <- 0 until 4) assert(rows((c, m)) == c)
   }
+
+  test("random projection: one vector's 16 outputs recomputed from the md5 sign matrix") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def sign(j: Int, i: Int): Double =
+      if ("02468ace".contains(md5hex(s"rp:$j:$i").charAt(0))) 1.0 else -1.0
+    val rows = Similarity.qRandProject(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.length == vecs.size * 16)
+    val id = vecs.keys.min
+    val got = rows.filter(_.getLong(0) == id)
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    for (j <- 0 until 16) {
+      // same left-fold order as vec_dot
+      var acc = 0.0
+      val e = vecs(id)
+      for (i <- e.indices) acc += e(i) * sign(j, i)
+      assert(math.abs(got(j.toLong) - acc) < 5e-5, s"out_dim $j")
+    }
+  }
+
+  test("mmr rerank: one probe's greedy pick sequence replayed from first principles") {
+    val rows = Similarity.qMmrRerank(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = 0L
+    val e0 = vecs(probe)
+    val cand = vecs.toSeq.filter(_._1 != probe)
+      .map { case (id, e) => (id, cos(e0, e)) }
+      .sortBy { case (id, r) => (-r, id) }.take(8)
+    var picked = Vector.empty[Long]
+    for (_ <- 1 to 4) {
+      val pick = cand.filterNot(c => picked.contains(c._1))
+        .map { case (id, rel) =>
+          val mx = picked.map(p => cos(vecs(id), vecs(p)))
+            .foldLeft(0.0)(math.max)
+          (id, 0.5 * rel - 0.5 * mx)
+        }
+        .minBy { case (id, s) => (-s, id) }
+      picked :+= pick._1
+    }
+    val got = rows.filter(_.getLong(0) == probe).sortBy(_.getLong(1))
+      .map(_.getLong(2)).toVector
+    assert(got == picked)
+    // every probe yields exactly 4 distinct picks drawn from its candidates
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to 4L))
+      assert(rs.map(_.getLong(2)).distinct.length == 4)
+    }
+  }
+
+  test("scalar quantization: codes bounded, one dim recomputed, reconstruction error within one step") {
+    val rows = Similarity.qScalarQuant(spark, sfDir).collect()
+    assert(rows.length == 64)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = 7
+    val xs = vecs.map(_(dim))
+    val (mn, mx) = (xs.min, xs.max)
+    val codes = xs.map(x =>
+      if (mx == mn) 0 else math.floor((x - mn) * 255.0 / (mx - mn)).toInt)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    val r = rows.find(_.getInt(0) == dim).get
+    assert(r.getLong(1) == xs.length)
+    assert(r.getLong(4) == codes.map(_.toLong).sum)
+    assert(r.getLong(5) == codes.count(_ == 0))
+    assert(r.getLong(6) == codes.count(_ == 255))
+    // dequantized midpoint reconstruction is within one grid step
+    val step = (mx - mn) / 255.0
+    xs.zip(codes).foreach { case (x, c) =>
+      assert(math.abs((mn + c * step) - x) <= step + 1e-12)
+    }
+  }
 }
