@@ -94,7 +94,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}"""
     println(json)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // The repo record covers the FULL surface only — a targeted
+    // SPARK_GRAFT_QUERIES subset run must not clobber it.
+    if (sys.env.get("SPARK_GRAFT_QUERIES").isEmpty)
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
     // Compact summary as the very last stdout line (post-stop so no
     // shutdown logging can follow it on stdout): fits the driver's

@@ -185,6 +185,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
     "q_frame_sample" -> (Multimodal.qFrameSample _),
+    "q_image_resize" -> (Multimodal.qImageResize _),
     // Pattern mining / entity resolution / CDC / graph centrality
     "q_market_basket" -> (Mining.qMarketBasket _),
     "q_triangles" -> (Mining.qTriangles _),
@@ -2535,6 +2536,28 @@ object SparkEntry {
         |SELECT doc_id, bucket, n_in_bucket, n_bytes,
         |  round(n_in_bucket / CAST(greatest(n_bytes, 1) AS DOUBLE), 4) AS share
         |FROM e ORDER BY doc_id, bucket""".stripMargin,
+
+    // 2x2 block-average resize of the 16-wide fake image; all-integer
+    // arithmetic (div 4 block mean), ord ≡ ascii on the ASCII corpus.
+    "q_image_resize" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, text AS t,
+        |    least(length(text) // 16, 16) // 2 AS h2
+        |  FROM documents
+        |  WHERE least(length(text) // 16, 16) // 2 >= 1),
+        |px AS (
+        |  SELECT doc_id, h2,
+        |    (ord(substr(t, ((k.i // 8) * 2) * 16 + (k.i % 8) * 2 + 1, 1))
+        |     + ord(substr(t, ((k.i // 8) * 2) * 16 + (k.i % 8) * 2 + 2, 1))
+        |     + ord(substr(t, ((k.i // 8) * 2 + 1) * 16 + (k.i % 8) * 2 + 1, 1))
+        |     + ord(substr(t, ((k.i // 8) * 2 + 1) * 16 + (k.i % 8) * 2 + 2, 1)))
+        |      // 4 AS px
+        |  FROM b2 CROSS JOIN range(0, 128) k(i)
+        |  WHERE k.i < h2 * 8)
+        |SELECT doc_id, max(h2) AS out_h, count(*) AS n_px,
+        |  CAST(sum(px) AS BIGINT) AS px_sum,
+        |  min(px) AS px_min, max(px) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_acquisition_plan" ->
       """WITH eod AS (

@@ -94,6 +94,43 @@ object Multimodal {
          |                 i -> substring(content, i, 1))
          |  ELSE CAST(array() AS ARRAY<BINARY>) END""".stripMargin))
 
+  /** STUB decode + RESIZE: the payload's first bytes laid out as a
+    * 16-wide "image" (h = length div 16 rows, capped at 16), then
+    * downsampled 2× per axis by 2×2 block averaging — completing the
+    * decode / feature-extract / RESIZE / frame-sample multimodal
+    * quartet. The decode is the same honest stand-in as
+    * qMultimodalFeatures (ASCII corpus: codepoint = byte, so
+    * `ascii(substring(t, pos, 1))` IS the byte read); a real image
+    * decoder changes the pixel fetch, not the plan.
+    *
+    * Plan shape: one narrow scan, a ≤128-element posexplode per doc
+    * (output pixels, bounded by the 16×16 cap), four codegen'd
+    * substring/ascii reads per output pixel, then one map-side-combined
+    * per-doc aggregate — the only shuffle is 6 scalar columns per doc.
+    * All arithmetic is integer (block mean via `div 4`): hash-stable by
+    * construction. Declared surface = the per-doc resize report
+    * (out dims, pixel count/checksum/range); the spec replays one
+    * doc's full resized raster driver-side. */
+  def qImageResize(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text").as("t"))
+      .withColumn("h2", expr("least(length(t) div 16, 16) div 2"))
+      .filter(col("h2") >= 1)
+      .select(col("doc_id"), col("t"), col("h2"),
+        posexplode(expr("sequence(0, h2 * 8 - 1)")).as(Seq("k", "_i")))
+      .withColumn("r", expr("k div 8"))
+      .withColumn("c", expr("k % 8"))
+      .withColumn("px", expr(
+        """(ascii(substring(t, (r * 2) * 16 + c * 2 + 1, 1))
+          | + ascii(substring(t, (r * 2) * 16 + c * 2 + 2, 1))
+          | + ascii(substring(t, (r * 2 + 1) * 16 + c * 2 + 1, 1))
+          | + ascii(substring(t, (r * 2 + 1) * 16 + c * 2 + 2, 1))) div 4""".stripMargin))
+      .groupBy("doc_id")
+      .agg(max("h2").as("out_h"), count(lit(1)).as("n_px"),
+        sum("px").cast("long").as("px_sum"),
+        min("px").as("px_min"), max("px").as("px_max"))
+      .orderBy("doc_id")
+
   /** Declared frame-sampling query: every 4th byte of each payload
     * (decoded — ASCII corpus, so byte = char) as the sampled "frame"
     * stream, digested per doc. Unlike the lambda API above this is the

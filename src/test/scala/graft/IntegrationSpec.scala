@@ -144,4 +144,24 @@ class IntegrationSpec extends SparkSpec {
     assert(viaFiles.exceptAll(viaTable).count() == 0) // same decode either way in
     assert(viaTable.exceptAll(viaFiles).count() == 0)
   }
+
+  test("image resize: one doc's full 2x2 block-average raster replayed driver-side") {
+    val rows = ops.Multimodal.qImageResize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val doc = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val (id, t) = (doc.getLong(0), doc.getString(1))
+    val h2 = math.min(t.length / 16, 16) / 2
+    assert(h2 >= 1, "first doc too short for the spec replay")
+    val px = for (r <- 0 until h2; c <- 0 until 8) yield
+      (t((r * 2) * 16 + c * 2).toInt + t((r * 2) * 16 + c * 2 + 1).toInt
+        + t((r * 2 + 1) * 16 + c * 2).toInt + t((r * 2 + 1) * 16 + c * 2 + 1).toInt) / 4
+    val got = rows.find(_.getLong(0) == id).get
+    assert(got.getLong(1) == h2)
+    assert(got.getLong(2) == px.length)
+    assert(got.getLong(3) == px.map(_.toLong).sum)
+    assert(got.getLong(4) == px.min && got.getLong(5) == px.max)
+    // every byte read is in-bounds ASCII, so means are in [0, 127]
+    rows.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(5) <= 127))
+  }
 }
