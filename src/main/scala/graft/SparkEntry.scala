@@ -148,6 +148,7 @@ object SparkEntry {
     "q_data_split" -> (Sampling.qDataSplit _),
     "q_mix_weights" -> (Sampling.qMixWeights _),
     "q_upsample_plan" -> (Sampling.qUpsamplePlan _),
+    "q_top_p_select" -> (Sampling.qTopPSelect _),
     "q_boilerplate" -> (Quality.qBoilerplate _),
     "q_quality_gate" -> (Quality.qQualityGate _),
     "q_vocab_drift" -> (Quality.qVocabDrift _),
@@ -1450,6 +1451,54 @@ object SparkEntry {
         |    + 0.3 * (1.0 - symbol_ratio)
         |    + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Budget-capped top-p selection: the q_quality_score CTE feeds a
+    // per-source cumulative-chars window; the 20% cut is the integer
+    // cross-multiply 5*cum <= total (no floats in the decision).
+    "q_top_p_select" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+        |    round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+        |    n_tokens
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, greatest(0.0,
+        |      0.5 * least(n_tokens / 20.0, 1.0)
+        |      + 0.3 * (1.0 - symbol_ratio)
+        |      + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
+        |  FROM r),
+        |sc AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, q.quality_score
+        |  FROM documents d JOIN q USING (doc_id)),
+        |cum AS (
+        |  SELECT *, sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum_chars FROM sc),
+        |tot AS (
+        |  SELECT source, count(*) AS n_total,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |kept AS (
+        |  SELECT c.source, count(*) AS n_kept,
+        |    CAST(sum(c.n_chars) AS BIGINT) AS kept_chars
+        |  FROM cum c JOIN tot t USING (source)
+        |  WHERE c.cum_chars * 5 <= t.total_chars
+        |  GROUP BY c.source)
+        |SELECT t.source, coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.kept_chars, 0) AS kept_chars,
+        |  t.n_total, t.total_chars,
+        |  coalesce(k.kept_chars, 0) * 1000000 // t.total_chars AS kept_ppm
+        |FROM tot t LEFT JOIN kept k USING (source)
+        |ORDER BY t.source""".stripMargin,
 
     "q_eval_overlap" ->
       """WITH tkt AS (

@@ -172,4 +172,50 @@ object Sampling {
       .select("source", "n_docs", "epochs", "frac_scaled", "n_extra", "n_sampled")
       .orderBy("source")
   }
+
+  /** Budget-constrained top-p selection: per source, keep the
+    * highest-quality documents until the kept set reaches 20% of the
+    * source's character budget — the "best docs under a token budget"
+    * curation move, mechanically DIFFERENT from q_quality_gate's
+    * threshold cut: the cut point here is determined by the cumulative
+    * BUDGET, not by a per-doc score bar, so shifting the quality
+    * distribution never over- or under-fills the budget.
+    *
+    * Determinism/parity: ordering is (quality_score DESC, doc_id) on
+    * the already-oracled rounded score; the cumulative sum is exact
+    * integer chars; the 20% cut is the integer cross-multiply
+    * `5·cum ≤ total` (no division, no floats); kept_ppm is integer
+    * `div`. Plan shape: the per-source cumulative window and the kept
+    * aggregate share one hash(source) exchange (the sessionize
+    * pattern); source totals are a second aggregate broadcast back.
+    * The inherent cost is the per-source sort — the documented 100 TB
+    * swap is an approximate quality-quantile threshold (the
+    * q_quality_gate shape) when a whole-source sort is unaffordable. */
+  def qTopPSelect(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val scored = docs.join(
+      Quality.qQualityScore(spark, d).select("doc_id", "quality_score"), "doc_id")
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum("n_chars").cast("long").as("total_chars"))
+    val kept = scored.withColumn("cum_chars", sum("n_chars").over(w))
+      .join(broadcast(totals.select("source", "total_chars")), "source")
+      .filter(col("cum_chars") * 5 <= col("total_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").cast("long").as("kept_chars"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        col("n_total"), col("total_chars"),
+        expr("coalesce(kept_chars, CAST(0 AS BIGINT)) * 1000000 div total_chars")
+          .as("kept_ppm"))
+      .orderBy("source")
+  }
 }

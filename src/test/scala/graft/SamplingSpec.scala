@@ -102,4 +102,32 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.qUpsamplePlan(spark, sf01).collect().map(_.toString)
       .sameElements(plan.map(_.toString)))
   }
+
+  test("top-p select: one source's greedy budget fill replayed; kept never exceeds 20%") {
+    val rows = Sampling.qTopPSelect(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // budget invariant: kept_chars * 5 <= total_chars, and adding the
+      // next-best doc would have to cross the budget (checked below for
+      // one source); ppm consistent
+      assert(r.getLong(2) * 5 <= r.getLong(4))
+      assert(r.getLong(5) == r.getLong(2) * 1000000 / r.getLong(4))
+    }
+    val src = rows.head.getString(0)
+    val members = graft.ops.Quality.qQualityScore(spark, sf01)
+      .select("doc_id", "quality_score")
+      .join(Tables.documents(spark, sf01)
+        .filter(col("source") === src).select("doc_id", "n_chars"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    val total = members.map(_._3).sum
+    var cum = 0L
+    var kept = Vector.empty[(Long, Double, Long)]
+    for (m <- members) { cum += m._3; if (cum * 5 <= total) kept :+= m }
+    val got = rows.find(_.getString(0) == src).get
+    assert(got.getLong(1) == kept.length)
+    assert(got.getLong(2) == kept.map(_._3).sum)
+    assert(got.getLong(4) == total)
+  }
 }
