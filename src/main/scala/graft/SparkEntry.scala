@@ -182,6 +182,7 @@ object SparkEntry {
     "q_rand_project" -> (Similarity.qRandProject _),
     "q_scalar_quant" -> (Similarity.qScalarQuant _),
     "q_mmr_rerank" -> (Similarity.qMmrRerank _),
+    "q_hard_negatives" -> (Similarity.qHardNegatives _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -2447,6 +2448,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
         |  CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
         |FROM coded GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Hard negatives: cosine top-5 restricted to label-mismatched
+    // candidates; same vec_dot fold parity as q_cosine_topk.
+    "q_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e,
+        |    sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id, b.label AS neg_label,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b
+        |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND b.label <> a.label),
+        |r AS (
+        |  SELECT probe_id, vec_id, neg_label, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |  FROM p)
+        |SELECT probe_id, rn, vec_id, neg_label, round(c, 4) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     // MMR greedy diversity re-rank: 4 unrolled selection steps (the
     // q_pagerank generated-CTE pattern); rel/sim/score are the proven

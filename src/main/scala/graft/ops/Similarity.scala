@@ -490,6 +490,33 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
+  /** Hard-negative mining for contrastive training: for each probe
+    * (vec_id < 5), the 5 most-similar vectors with a DIFFERENT label —
+    * the highest-value negatives a contrastive/embedding-training
+    * pipeline pairs with each anchor (easy negatives teach nothing;
+    * the near-miss wrong-label neighbors define the decision
+    * boundary). Same bounded plan as qCosineTopk — probes broadcast,
+    * corpus streams once, TopKAggregator collapses map-side — with the
+    * label-inequality predicate applied BEFORE any scoring ships, and
+    * the negative's label joined back onto the k-bounded result, never
+    * the scored stream. */
+  def qHardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val probes = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("e").as("ea"), col("nrm").as("na"))
+    val corpus = v.select(col("vec_id"), col("label"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    val scored = corpus.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id") && col("label") =!= col("probe_label"))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+    probeTopK(spark, scored, 5)
+      .join(v.select(col("vec_id"), col("label").as("neg_label")), "vec_id")
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("neg_label"),
+        col("cos_sim"))
+      .orderBy("probe_id", "rn")
+  }
+
   /** Random projection (Johnson–Lindenstrauss) dimensionality
     * reduction: 64-dim embeddings sketched to 16 dims with a
     * DETERMINISTIC ±1 projection matrix — the cheap pre-pass a 100 TB

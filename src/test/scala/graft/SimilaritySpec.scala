@@ -200,6 +200,30 @@ class SimilaritySpec extends SparkSpec {
     for (c <- 0L until 8L; m <- 0 until 4) assert(rows((c, m)) == c)
   }
 
+  test("hard negatives: labels always differ; one probe's list replayed brute-force") {
+    val rows = Similarity.qHardNegatives(spark, sfDir).collect()
+    val meta = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2).toArray)).toMap
+    rows.foreach { r =>
+      assert(meta(r.getLong(2))._1 == r.getInt(3)) // reported neg_label is real
+      assert(meta(r.getLong(0))._1 != r.getInt(3)) // and differs from the probe's
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = 2L
+    val (pl, pe) = meta(probe)
+    val want = meta.toSeq
+      .filter { case (id, (l, _)) => id != probe && l != pl }
+      .map { case (id, (_, e)) => (id, cos(pe, e)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = rows.filter(_.getLong(0) == probe).sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(got.toSeq == want)
+  }
+
   test("random projection: one vector's 16 outputs recomputed from the md5 sign matrix") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
