@@ -183,6 +183,7 @@ object SparkEntry {
     "q_scalar_quant" -> (Similarity.qScalarQuant _),
     "q_mmr_rerank" -> (Similarity.qMmrRerank _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
+    "q_ann_recall" -> (Similarity.qAnnRecall _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -2448,6 +2449,54 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
         |  CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
         |FROM coded GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // ANN recall@3: IVF top-3 (cluster-restricted) overlapped with the
+    // brute-force top-3 per probe — composes the q_ann_ivf and
+    // q_cosine_topk CTEs; metric is exact integer ppm.
+    "q_ann_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster, eb, nb FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster, b.e AS eb, b.nrm AS nb,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT vec_id AS probe_id, cluster, eb AS ea, nb AS na
+        |  FROM asg WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT pr.probe_id, asg.vec_id,
+        |    list_sum([pr.ea[i] * asg.eb[i] for i in range(1, len(pr.ea) + 1)])
+        |      / (pr.na * asg.nb) AS c
+        |  FROM pr JOIN asg ON pr.cluster = asg.cluster AND asg.vec_id <> pr.probe_id),
+        |ivf AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= 3),
+        |bp AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |bt AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |    FROM bp) WHERE rn <= 3)
+        |SELECT bt.probe_id, count(*) AS k,
+        |  CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS recall_ppm
+        |FROM bt LEFT JOIN ivf
+        |  ON bt.probe_id = ivf.probe_id AND bt.vec_id = ivf.vec_id
+        |GROUP BY bt.probe_id ORDER BY bt.probe_id""".stripMargin,
 
     // Hard negatives: cosine top-5 restricted to label-mismatched
     // candidates; same vec_dot fold parity as q_cosine_topk.

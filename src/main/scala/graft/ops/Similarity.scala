@@ -517,6 +517,30 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
+  /** ANN index-quality monitoring: recall@3 of the IVF index against
+    * the brute-force ground truth, per probe — the metric a vector
+    * platform alerts on when a centroid re-train or data drift
+    * degrades the index (IVF restricts search to one cluster, so its
+    * recall is exactly the fraction of true neighbors that share the
+    * probe's cluster). Both sides are the already-oracled building
+    * blocks (qAnnIvf, qCosineTopk); this query is their composition,
+    * the overlap an equi-join of two k-bounded frames, and the metric
+    * an exact integer ppm — so the oracle composes the same CTEs.
+    * Nothing here touches the corpus beyond what the two blocks
+    * already stream. */
+  def qAnnRecall(spark: SparkSession, d: String): DataFrame = {
+    val ivf = qAnnIvf(spark, d).select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1))
+    val brute = qCosineTopk(spark, d).filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"))
+    brute.join(ivf, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div k"))
+      .orderBy("probe_id")
+  }
+
   /** Random projection (Johnson–Lindenstrauss) dimensionality
     * reduction: 64-dim embeddings sketched to 16 dims with a
     * DETERMINISTIC ±1 projection matrix — the cheap pre-pass a 100 TB

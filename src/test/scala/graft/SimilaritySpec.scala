@@ -200,6 +200,23 @@ class SimilaritySpec extends SparkSpec {
     for (c <- 0L until 8L; m <- 0 until 4) assert(rows((c, m)) == c)
   }
 
+  test("ann recall: equals the direct overlap of the two building-block outputs") {
+    val rows = Similarity.qAnnRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ivf = Similarity.qAnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.qCosineTopk(spark, sfDir).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.keySet == brute.map(_._1).toSet)
+    for ((probe, picks) <- brute.groupBy(_._1)) {
+      val hits = picks.count(ivf.contains)
+      val (k, nHit, ppm) = rows(probe)
+      assert(k == picks.length)
+      assert(nHit == hits)
+      assert(ppm == nHit * 1000000L / k)
+    }
+  }
+
   test("hard negatives: labels always differ; one probe's list replayed brute-force") {
     val rows = Similarity.qHardNegatives(spark, sfDir).collect()
     val meta = Tables.embeddings(spark, sfDir)
