@@ -129,6 +129,7 @@ object SparkEntry {
     "q_ngram_counts" -> (Quality.qNgramCounts _),
     "q_bpe_pairs" -> (Quality.qBpePairs _),
     "q_hybrid_rank" -> (Quality.qHybridRank _),
+    "q_rbo_overlap" -> (Quality.qRboOverlap _),
     "q_gap_fill" -> (TimeWindows.qGapFill _),
     "q_xml_config" -> (graft.sources.XmlSource.qXmlConfig _),
     "q_dup_rate_by_source" -> (Quality.qDupRateBySource _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_triangles" -> (Mining.qTriangles _),
     "q_fuzzy_join" -> (Mining.qFuzzyJoin _),
     "q_cdc_apply" -> (Mining.qCdcApply _),
+    "q_ivm_merge" -> (Mining.qIvmMerge _),
     "q_ewma" -> (Mining.qEwma _),
     "q_pagerank" -> (Mining.qPagerank _),
     "q_khop_reach" -> (Mining.qKhopReach _),
@@ -1911,6 +1913,64 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY term
         |    ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank
         |FROM f ORDER BY term, fused_rank""".stripMargin,
+
+    "q_rbo_overlap" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+        |       / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+        |     * (CAST(tf AS DOUBLE) * 2.2e0)
+        |     / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
+        |          * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |lex AS (
+        |  SELECT term, doc_id, CAST(rn AS BIGINT) AS rn_a FROM (
+        |    SELECT term, doc_id,
+        |      row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+        |    FROM s)
+        |  WHERE rn <= 10),
+        |raw AS (
+        |  SELECT term, doc_id, CAST(rn AS BIGINT) AS rn_b FROM (
+        |    SELECT term, doc_id,
+        |      row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |    FROM tf)
+        |  WHERE rn <= 10),
+        |m AS (
+        |  SELECT l.term, greatest(l.rn_a, r.rn_b) AS mx
+        |  FROM lex l JOIN raw r USING (term, doc_id)),
+        |mdep AS (SELECT term, unnest(range(mx, 11)) AS depth FROM m),
+        |ov AS (SELECT term, depth, count(*) AS ov FROM mdep GROUP BY term, depth),
+        |terms AS (SELECT DISTINCT term FROM lex)
+        |SELECT terms.term,
+        |  CAST(coalesce(max(CASE WHEN depth = 10 THEN ov END), 0) AS BIGINT)
+        |    AS overlap10,
+        |  CAST(coalesce(sum(
+        |    CAST(1000000000000 AS BIGINT) * ov
+        |      // (CAST(1 AS BIGINT) << depth) // depth), 0) AS BIGINT)
+        |    AS rbo_scaled
+        |FROM terms LEFT JOIN ov ON terms.term = ov.term
+        |GROUP BY terms.term ORDER BY terms.term""".stripMargin,
+
+    "q_ivm_merge" ->
+      """SELECT o_custkey,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_orderdate < TIMESTAMP '2001-01-01')
+        |    AS n_base,
+        |  count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |    AS n_delta,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_spend
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (

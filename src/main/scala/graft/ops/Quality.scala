@@ -270,6 +270,62 @@ object Quality {
       .orderBy("term", "fused_rank")
   }
 
+  /** Rank-biased overlap (Webber et al., TOIS 2010) between the BM25
+    * ranking and the raw term-frequency ranking, per query term — the
+    * ranker-agreement metric an offline retrieval eval runs before
+    * swapping scorers ("how much does the cheap ranker agree with the
+    * good one at the top?"). Top-weightedness matters: plain set
+    * overlap@k treats rank 1 and rank 10 alike; RBO discounts depth d
+    * by p^(d-1).
+    *
+    * Determinism across engines: p = 1/2 makes every depth weight a
+    * power of two, so the truncated-RBO sum
+    * Σ_{d=1..10} ov_d / (2^d · d) is computed as
+    * `(10^12 · ov_d) div 2^d div d` — nested floor division on
+    * non-negative BIGINTs, bit-identical to the oracle's `//` (the
+    * nested-floor identity ⌊⌊x/a⌋/b⌋ = ⌊x/(ab)⌋ holds for positive
+    * integers, so the two-step form is exact). No floats anywhere in
+    * the checked surface; the BM25 ordering itself reuses the
+    * already-IEEE-pinned expression tree from qBm25.
+    *
+    * Plan shape for 100 TB: both rankings are k-bounded (≤ 10 rows per
+    * term) BEFORE anything joins — the overlap equi-join, the 10-row
+    * depth expansion, and the final fold all run on |terms| × k rows
+    * regardless of corpus size. The corpus is touched exactly once,
+    * inside the shared tf aggregate. */
+  def qRboOverlap(spark: SparkSession, d: String): DataFrame = {
+    val lex = qBm25(spark, d)
+      .select(col("term"), col("doc_id"), col("rn").cast("long").as("rn_a"))
+      .persist() // feeds the term dim AND the overlap join
+    // Ranker B: raw tf desc (doc_id tiebreak) over the same tf frame.
+    val docs = Tables.documents(spark, d)
+    val tf = docs
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+      .filter(col("term").isin("vector", "join", "scan"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wB = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val raw = tf.withColumn("rn_b", row_number().over(wB).cast("long"))
+      .filter(col("rn_b") <= 10).select("term", "doc_id", "rn_b")
+    // A matched pair counts toward every depth d ≥ max(rn_a, rn_b);
+    // the depth expansion is a ≤10-wide explode per matched pair (no
+    // join, no nested loop — the frame is already k-bounded anyway).
+    val matched = lex.join(raw, Seq("term", "doc_id"))
+      .select(col("term"), greatest(col("rn_a"), col("rn_b")).as("mx"))
+    val ov = matched
+      .select(col("term"), explode(expr("sequence(CAST(mx AS INT), 10)")).as("depth"))
+      .groupBy("term", "depth").agg(count(lit(1)).as("ov"))
+    val terms = lex.select("term").distinct()
+    terms.join(ov, Seq("term"), "left")
+      .groupBy("term")
+      .agg(
+        coalesce(max(when(col("depth") === 10, col("ov"))), lit(0L))
+          .as("overlap10"),
+        coalesce(sum(expr(
+          "CAST(1000000000000 AS BIGINT) * ov div shiftleft(CAST(1 AS BIGINT), CAST(depth AS INT)) div depth")),
+          lit(0L)).as("rbo_scaled"))
+      .orderBy("term")
+  }
+
   /** Corpus-wide top-20 word trigrams by occurrence count — the basic
     * n-gram frequency profile (boilerplate detection, stop-phrase
     * lists, decontamination allowlists all start here). One hash

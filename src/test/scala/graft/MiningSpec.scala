@@ -207,4 +207,29 @@ class MiningSpec extends SparkSpec {
     // 10 suppliers are one hop from the seed parts)
     assert(Seq(0L, 1L, 2L).forall(h => dist.values.exists(_ == h)))
   }
+
+  test("ivm merge: base+delta equals the from-scratch aggregate, split accounted") {
+    val rows = Mining.qIvmMerge(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // From-scratch recompute in one pass over the raw feed: the IVM
+    // claim is exactly that the merged view is indistinguishable.
+    val cut = java.time.LocalDateTime.of(2001, 1, 1, 0, 0)
+    val raw = Tables.orders(spark, sf01)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getDouble(2)))
+    val byCust = raw.groupBy(_._1)
+    assert(rows.length == byCust.size)
+    rows.foreach { r =>
+      val (ck, n, nb, nd, total) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val g = byCust(ck)
+      assert(n == g.length && n == nb + nd, s"count split broken for $ck")
+      assert(nb == g.count(_._2.isBefore(cut)), s"base count wrong for $ck")
+      // exact-decimal merge: compare against a BigDecimal fold, which
+      // is what the DECIMAL(18,6) partial sums compute on both sides
+      val exact = g.map(x => BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(total == exact, s"decimal merge not exact for $ck: $total vs $exact")
+    }
+  }
 }

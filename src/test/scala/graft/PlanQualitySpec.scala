@@ -36,6 +36,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_knn_classify",      // probes (10 rows) broadcast against the corpus
     "q_bm25",              // 1-row corpus stats (N, Σdl) broadcast
     "q_hybrid_rank",       // composes q_bm25 — same 1-row stats broadcast
+    "q_rbo_overlap",       // composes q_bm25 — same 1-row stats broadcast
     "q_bloom_dedup",       // 1-row bloom filter broadcast to the arrival scan
     "q_daily_anomaly",     // 1-row day-volume moment stats broadcast
     "q_ann_ivf",           // centroids (8) broadcast for assignment

@@ -600,4 +600,42 @@ class QualitySpec extends SparkSpec {
     assert(got.getLong(1) == expected._2)
     assert(math.abs(got.getDouble(2) - expected._1) < 1e-3)
   }
+
+  test("rbo: replayed from the two rankings; identity ranker scores the full-mass bound") {
+    val out = Quality.qRboOverlap(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    // Replay: ranker A = qBm25 positions; ranker B = tf desc / doc_id.
+    val lex = Quality.qBm25(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3).toLong))
+    val tf = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split("\\s+")
+        .filter(Set("vector", "join", "scan"))
+        .map(t => (t, r.getLong(0))))
+      .groupBy(identity).map { case ((t, id), hits) => (t, id, hits.length.toLong) }
+    val scale = 1000000000000L
+    out.keys.foreach { term =>
+      val a = lex.filter(_._1 == term).map(r => r._2 -> r._3).toMap
+      val b = tf.filter(_._1 == term).toSeq
+        .sortBy { case (_, id, n) => (-n, id) }.take(10)
+        .zipWithIndex.map { case ((_, id, _), i) => id -> (i + 1).toLong }.toMap
+      val mx = a.keySet.intersect(b.keySet).toSeq
+        .map(id => math.max(a(id), b(id)))
+      val expectedOv10 = mx.count(_ <= 10).toLong
+      val expectedRbo = (1 to 10).map { d =>
+        scale * mx.count(_ <= d) / (1L << d) / d
+      }.sum
+      assert(out(term) == ((expectedOv10, expectedRbo)),
+        s"rbo mismatch for '$term': got ${out(term)}, expected ($expectedOv10, $expectedRbo)")
+    }
+    // Bound check: a ranker compared with itself at these weights gets
+    // exactly sum_d scale/2^d (ov_d = d cancels the 1/d) — the metric's
+    // full-agreement mass. Every reported score must sit strictly below
+    // is-equal-to-itself unless the two rankers agree on every prefix.
+    val fullMass = (1 to 10).map(d => scale / (1L << d)).sum
+    out.values.foreach { case (_, rbo) =>
+      assert(rbo >= 0L && rbo <= fullMass)
+    }
+  }
 }
