@@ -208,6 +208,10 @@ object SparkEntry {
     "q_attribution" -> (Analytics.qAttribution _),
     "q_seasonal_profile" -> (Analytics.qSeasonalProfile _),
     "q_order_latency" -> (Relational.qOrderLatency _),
+    "q_tpch_discount" -> (Relational.qTpchDiscount _),
+    "q_tpch_returned" -> (Relational.qTpchReturned _),
+    "q_recommend" -> (Mining.qRecommend _),
+    "q_interleave" -> (Packing.qInterleave _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -3138,6 +3142,74 @@ object SparkEntry {
         |    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat_days
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_discount" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS lost_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_returned" ->
+      """SELECT c_custkey, c_name, n_name, count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS lost_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY lost_revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_recommend" ->
+      """WITH owned AS (
+        |  SELECT DISTINCT o_custkey AS custkey, p_brand AS brand
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |co AS (
+        |  SELECT a.brand AS b1, b.brand AS b2, count(*) AS co
+        |  FROM owned a JOIN owned b
+        |    ON a.custkey = b.custkey AND a.brand <> b.brand
+        |  GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT o.custkey, co.b2 AS brand, CAST(sum(co.co) AS BIGINT) AS score
+        |  FROM owned o JOIN co ON o.brand = co.b1
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT s.custkey, s.brand, s.score FROM scores s
+        |  WHERE NOT EXISTS (SELECT 1 FROM owned w
+        |    WHERE w.custkey = s.custkey AND w.brand = s.brand)),
+        |ranked AS (
+        |  SELECT custkey, brand, score,
+        |    row_number() OVER (PARTITION BY custkey
+        |      ORDER BY score DESC, brand) AS rn
+        |  FROM cand)
+        |SELECT custkey, brand, score, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY custkey, rn""".stripMargin,
+
+    "q_interleave" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    md5('ilv:' || CAST(doc_id AS VARCHAR)) AS okey
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY shard, okey, doc_id) AS ordinal
+        |  FROM k),
+        |s AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS n_sources FROM s)
+        |SELECT o.doc_id, o.source, o.ordinal,
+        |  (o.ordinal - 1) * n.n_sources + s.sidx AS global_pos
+        |FROM o JOIN s ON o.source = s.source CROSS JOIN n
+        |ORDER BY global_pos""".stripMargin,
   )
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the

@@ -395,4 +395,48 @@ object Mining {
         expr("node div 2")).as("node"), col("hop"))
       .orderBy("node")
   }
+
+  /** Item-based collaborative filtering: for every customer, the top-3
+    * brands they have NOT bought, scored by co-ownership with the
+    * brands they have — the classic "customers who bought X also
+    * bought Y" recommender, which is [[qMarketBasket]]'s co-occurrence
+    * matrix put to work as a per-user ranking.
+    *
+    * Plan shape for 100 TB: the ownership matrix collapses to DISTINCT
+    * (customer, brand) before anything else — bounded by customers ×
+    * |brand dim|, far below the fact table. The co-ownership counts
+    * are built map-side by double-exploding per-customer brand sets
+    * (expansion ≤ |brands|² per customer, a constant) and the result
+    * is itself ≤ |brands|² rows — broadcast back against the ownership
+    * stream, so scoring never shuffles more than |ownership| ×
+    * avg-neighbors rows. The per-customer top-3 is a row_number window
+    * partitioned by CUSTOMER — millions of partitions, the scalable
+    * window orientation (unlike a per-probe window over 5 probes). */
+  def qRecommend(spark: SparkSession, d: String): DataFrame = {
+    val owned = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
+      .distinct()
+      .persist() // 3 consumers: co-counts, scoring stream, owned-filter
+    val co = owned.groupBy("custkey").agg(collect_set("brand").as("basket"))
+      .select(explode(col("basket")).as("b1"), col("basket"))
+      .select(col("b1"), explode(col("basket")).as("b2"))
+      .filter(col("b1") =!= col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("co"))
+    val scores = owned
+      .join(broadcast(co), col("brand") === col("b1"))
+      .groupBy(col("custkey"), col("b2"))
+      .agg(sum("co").as("score"))
+      .select(col("custkey"), col("b2").as("brand"), col("score"))
+      .join(owned, Seq("custkey", "brand"), "left_anti")
+    val w = Window.partitionBy("custkey").orderBy(col("score").desc, col("brand"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("custkey", "brand", "score", "rn")
+      .orderBy("custkey", "rn")
+  }
 }

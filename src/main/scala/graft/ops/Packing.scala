@@ -287,4 +287,48 @@ object Packing {
         size(col("win")).as("n_tokens"),
         concat_ws(" ", col("win")).as("chunk"))
       .orderBy("doc_id", "win_id")
+
+  /** Deterministic source-interleaved training order: documents from
+    * every source alternate round-robin — position k·n_sources + i
+    * belongs to source i's k-th document — so a sequential reader sees
+    * the mixture ratio at every prefix (the "don't train on one domain
+    * for an hour" layout). Order within a source is a content-stable
+    * md5 key, so re-ingesting the corpus never reorders it
+    * (q_data_split determinism contract).
+    *
+    * Scale shape: the per-source ordinal is NOT one window per source
+    * (20 single-task sorts of 1/20th of 100 TB each). It is the
+    * two-phase numbering from [[qPackGreedy]]: a row_number within
+    * (source, md5-shard) — parallelism = sources × shards, raise the
+    * shard count at scale — plus a broadcast running-sum offset over
+    * the tiny (source, shard) count grid. The per-source order that
+    * results, (shard, okey, doc_id), is exactly the single-window
+    * order the oracle computes. */
+  def qInterleave(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 1).as("shard"),
+        md5(concat(lit("ilv:"), col("doc_id"))).as("okey"))
+    val wLocal = Window.partitionBy("source", "shard").orderBy("okey", "doc_id")
+    val local = docs.withColumn("rn_local", row_number().over(wLocal).cast("long"))
+      .persist() // consumers: offset grid + final assembly
+    val wOff = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("source", "shard").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("source", "shard", "offset")
+    // source index + count: a dim-sized aggregate; the unpartitioned
+    // window runs over |sources| rows, not data
+    val srcDim = Tables.documents(spark, d).select("source").distinct()
+      .withColumn("sidx", row_number().over(Window.orderBy("source")).cast("long") - 1)
+    val nSrc = srcDim.agg(count(lit(1)).as("n_sources"))
+    local
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("ordinal", col("offset") + col("rn_local"))
+      .join(broadcast(srcDim), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("global_pos", (col("ordinal") - 1) * col("n_sources") + col("sidx"))
+      .select("doc_id", "source", "ordinal", "global_pos")
+      .orderBy("global_pos")
+  }
 }

@@ -142,6 +142,49 @@ object Relational {
         max("lat_days").as("max_days"))
       .orderBy("o_orderpriority")
 
+  /** Forecast-revenue-change probe (TPC-H Q6 shape): how much revenue
+    * a discount-band change would move — a single filtered scan with
+    * ALL THREE predicates (ship-date range, discount band, quantity
+    * cap) pushed into the parquet reader, then a global aggregate.
+    * This is the purest 100 TB shape in the suite: zero joins, zero
+    * group keys, the map-side combine collapses every partition to one
+    * partial row, and the only shuffle is |partitions| rows wide. The
+    * discount-band compares run on the SAME stored doubles in both
+    * engines (no arithmetic before the compare), so the predicate is
+    * parity-exact; the revenue product goes through DECIMAL as
+    * everywhere else. */
+  def qTpchDiscount(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double")
+          .as("lost_revenue"))
+
+  /** Returned-item report (TPC-H Q10 shape): the 20 customers who
+    * returned the most revenue — the fact filtered to return-flagged
+    * lines BEFORE any join (the scan ships only the ~25% 'R' slice),
+    * then orders → customer → broadcast nation, and a distributed
+    * top-20 via TakeOrderedAndProject. The revenue tie-break is
+    * c_custkey so the limit boundary is a total order in both
+    * engines. */
+  def qTpchReturned(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(count(lit(1)).as("n_lines"), revenue.as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+
   def qBrandSales(spark: SparkSession, d: String): DataFrame =
     Tables.spread(spark,
         Tables.lineitem(spark, d)

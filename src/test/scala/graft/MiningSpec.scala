@@ -232,4 +232,35 @@ class MiningSpec extends SparkSpec {
       assert(total == exact, s"decimal merge not exact for $ck: $total vs $exact")
     }
   }
+
+  test("recommend: one customer's top-3 replays from a brute-force CF score") {
+    val rows = Mining.qRecommend(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
+    // ownership matrix, driver-side
+    val owned = Tables.lineitem(spark, sf01)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, sf01).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf01).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val baskets = owned.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // co-ownership counts over all customers
+    val co = scala.collection.mutable.Map.empty[(String, String), Long]
+    baskets.values.foreach { b =>
+      for (x <- b; y <- b if x != y) co((x, y)) = co.getOrElse((x, y), 0L) + 1
+    }
+    // no recommendation is an owned brand
+    rows.foreach(r => assert(!baskets(r.getLong(0)).contains(r.getString(1))))
+    // replay the first customer's full ranking
+    val ck = rows.head.getLong(0)
+    val mine = baskets(ck)
+    val scores = co.keys.map(_._2).toSet.diff(mine).map { cand =>
+      cand -> mine.toSeq.map(b => co.getOrElse((b, cand), 0L)).sum
+    }.filter(_._2 > 0).toSeq.sortBy { case (b, s) => (-s, b) }.take(3)
+    val got = rows.filter(_.getLong(0) == ck).sortBy(_.getInt(3))
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == scores, s"CF replay mismatch for $ck: $got vs $scores")
+  }
 }

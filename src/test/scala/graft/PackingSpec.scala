@@ -161,4 +161,28 @@ class PackingSpec extends SparkSpec {
       .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
     assert(back.exceptAll(dim).count() == 0 && dim.exceptAll(back).count() == 0)
   }
+
+  test("interleave: round-robin positions, dense per-source ordinals, deterministic") {
+    val rows = Packing.qInterleave(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == n) // every document placed exactly once
+    assert(rows.map(_._4).distinct.length == rows.length) // positions unique
+    val bySource = rows.groupBy(_._2)
+    val nSrc = bySource.size.toLong
+    bySource.values.foreach { g =>
+      // ordinals dense 1..|source|
+      assert(g.map(_._3).sorted.sameElements(1L to g.length.toLong))
+      // a source's k-th doc sits exactly n_sources after its (k-1)-th:
+      // every prefix of the global order carries the mixture ratio
+      val pos = g.sortBy(_._3).map(_._4)
+      assert(pos.zip(pos.drop(1)).forall { case (a, b) => b - a == nSrc })
+      // round-robin residue is the same for the whole source
+      assert(pos.map(_ % nSrc).distinct.length == 1)
+    }
+    // content-stable: a rerun reproduces the exact layout
+    val again = Packing.qInterleave(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sameElements(again))
+  }
 }

