@@ -212,6 +212,9 @@ object SparkEntry {
     "q_tpch_returned" -> (Relational.qTpchReturned _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
+    "q_readability" -> (Quality.qReadability _),
+    "q_bigram_lm" -> (Quality.qBigramLm _),
+    "q_ab_test" -> (Analytics.qAbTest _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -3210,6 +3213,62 @@ object SparkEntry {
         |  (o.ordinal - 1) * n.n_sources + s.sidx AS global_pos
         |FROM o JOIN s ON o.source = s.source CROSS JOIN n
         |ORDER BY global_pos""".stripMargin,
+
+    "q_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206835 - (1015 * n_words) // n_sentences
+        |         - (84600 * n_syllables) // n_words AS flesch_milli
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |WHERE n_words >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+        |    FROM toks WHERE len(t) >= 2)),
+        |big AS (SELECT w1, w2, count(*) AS n_big FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS n_ctx FROM bi GROUP BY 1),
+        |v AS (SELECT count(*) AS v_size FROM (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT w1 AS tok FROM bi UNION ALL SELECT w2 FROM bi))),
+        |terms AS (
+        |  SELECT bi.doc_id,
+        |    -ln(CAST(big.n_big + 1 AS DOUBLE) / CAST(ctx.n_ctx + v.v_size AS DOUBLE)) AS term
+        |  FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+        |  JOIN ctx ON bi.w1 = ctx.w1 CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(CAST(sum(CAST(term AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*), 4) AS avg_surprisal
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS converted,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  (conv_a * 1000000) // n_a AS rate_a_ppm,
+        |  (conv_b * 1000000) // n_b AS rate_b_ppm,
+        |  (conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b AS diff_ppm
+        |FROM m""".stripMargin,
   )
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the

@@ -731,4 +731,35 @@ object Analytics {
       .select(col("p_brand"), col("p_partkey"), col("p_size"), col("p_retailprice"))
       .orderBy("p_brand", "p_partkey")
   }
+
+  /** A/B experiment readout: users split into two arms by a stable
+    * key hash (user_id parity — the deterministic assignment an
+    * experimentation system derives from the user key, never from
+    * traffic order), conversion = at least one purchase event. One
+    * row with the EXACT integer moments of the two-proportion test —
+    * arm sizes, converter counts, floored ppm rates, and the rate
+    * difference — the q_autocorr discipline: the checked surface is
+    * the moments, the z statistic is one consumer step (its
+    * numerator/denominator would overflow BIGINT at corpus scale and
+    * carries no extra information).
+    *
+    * Shape at scale: the raw event stream collapses to one row per
+    * USER in the first aggregate (map-side combined), and the second
+    * aggregate folds users into 1 row — no join, no window, two
+    * shuffles of strictly shrinking width. */
+  def qAbTest(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+      .groupBy() // 1-row readout
+      .agg(
+        count(when(col("arm") === 0, lit(1))).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        count(when(col("arm") === 1, lit(1))).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a_ppm", expr("(conv_a * 1000000) div n_a"))
+      .withColumn("rate_b_ppm", expr("(conv_b * 1000000) div n_b"))
+      .withColumn("diff_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
 }

@@ -1218,4 +1218,68 @@ object Quality {
         (-sum(((col("c") / col("n_chars")) * log(col("c") / col("n_chars")))
           .cast("decimal(18,12)")).cast("double")).as("entropy"))
       .orderBy("doc_id")
+
+  /** Per-document readability: word / sentence-run / vowel-group
+    * counts and a milli-scaled Flesch-style score computed entirely in
+    * BIGINT floor division — the quality gate CCNet-style pipelines
+    * run next to stopword ratios ("too hard to read" ≈ "not prose").
+    * The syllable proxy is the standard vowel-group count; sentence
+    * terminators count as RUNS ('...' is one boundary). Shuffle-free
+    * codegen'd projections over one scan; the regex subset (\S, class
+    * literals, +) is Java∩RE2, the qRedact portability rule.
+    *
+    * score_milli = 206835 − (1015·W) div S − (84600·Y) div W, i.e. the
+    * Flesch reading-ease formula with every ratio floored — defined as
+    * the same integer expression on both engines, so no float-rounding
+    * boundary exists anywhere in the checked surface. */
+  def qReadability(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        size(expr("regexp_extract_all(text, '[aeiouAEIOU]+', 0)")).cast("long")
+          .as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * n_words) div n_sentences - (84600 * n_syllables) div n_words"))
+      .orderBy("doc_id")
+
+  /** Per-document bigram-LM surprisal with add-one smoothing — the
+    * second-order upgrade of [[qPerplexityProxy]]'s unigram gate:
+    * text whose word PAIRS are corpus-typical scores low, so shuffled
+    * or boilerplate-stitched documents stand out even when their
+    * unigram profile is normal.
+    *
+    * Shape at scale: the bigram stream is built MAP-SIDE from the
+    * token array (transform over positions — no window, no shuffle to
+    * form pairs), persisted, and read three ways: bigram counts,
+    * context counts, and the per-doc scoring join. The context table
+    * and the 1-row vocabulary size broadcast; only the bigram-count
+    * join shuffles, keyed on the pair. Per-term doubles are
+    * bit-identical on both engines (one division, one ln); the sum
+    * routes through DECIMAL(18,12) — the qEntropy order-independence
+    * discipline. */
+  def qBigramLm(spark: SparkSession, d: String): DataFrame = {
+    val bi = docTokens(spark, d)
+      .filter(size(col("t")) >= 2) // 2-arg sequence flips descending on size-1 docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(t)), i -> struct(t[i-2] AS w1, t[i-1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist() // consumers: bigram counts, context counts, vocab, scoring
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_big"))
+    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("n_ctx"))
+    val vocab = bi.select(col("w1").as("tok")).union(bi.select(col("w2").as("tok")))
+      .distinct().agg(count(lit(1)).as("v_size"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", expr(
+        "-ln(CAST(n_big + 1 AS DOUBLE) / CAST(n_ctx + v_size AS DOUBLE))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term").cast("decimal(18,12)")).cast("double") / count(lit(1)), 4)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
 }

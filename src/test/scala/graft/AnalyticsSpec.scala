@@ -503,4 +503,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length < evs.length)
     assert(out.map(_._1).distinct.length == evs.map(_._1).distinct.length)
   }
+
+  test("ab test: arm moments replay from a per-user scan; arms partition the users") {
+    val r = Analytics.qAbTest(spark, sfDir).collect().head
+    val evs = Tables.events(spark, sfDir).select("user_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.exists(_._2 == "purchase")).toMap
+    val (a, b) = byUser.partition(_._1 % 2 == 0)
+    assert(r.getLong(0) == a.size.toLong && r.getLong(2) == b.size.toLong)
+    assert(r.getLong(1) == a.count(_._2).toLong && r.getLong(3) == b.count(_._2).toLong)
+    assert(r.getLong(0) + r.getLong(2) == byUser.size.toLong)
+    assert(r.getLong(4) == 1000000L * r.getLong(1) / r.getLong(0))
+    assert(r.getLong(5) == 1000000L * r.getLong(3) / r.getLong(2))
+    assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
+  }
 }

@@ -638,4 +638,46 @@ class QualitySpec extends SparkSpec {
       assert(rbo >= 0L && rbo <= fullMass)
     }
   }
+
+  test("readability: one document's counts and score replay from first principles") {
+    val rows = Quality.qReadability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docId = rows.head.getLong(0)
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === docId).select("text").collect().head.getString(0)
+    def count(pat: String): Long = pat.r.findAllIn(text).length.toLong
+    val w = count("""\S+""")
+    val s = math.max(count("""[.!?]+"""), 1L)
+    val y = count("[aeiouAEIOU]+")
+    val r = rows.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((w, s, y)))
+    assert(r.getLong(4) == 206835L - (1015L * w) / s - (84600L * y) / w)
+    // a score exists for every document with at least one word
+    assert(rows.length.toLong == Tables.documents(spark, sfDir).count())
+  }
+
+  test("bigram LM: one document's smoothed surprisal replays exactly") {
+    val df = Quality.qBigramLm(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // corpus model, driver-side
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val allBi = texts.toSeq.flatMap { case (_, t) => t.zip(t.drop(1)) }
+    val big = allBi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = allBi.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = allBi.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+    val docId = rows.head.getLong(0)
+    val pairs = texts(docId).zip(texts(docId).drop(1))
+    assert(rows.head.getLong(1) == pairs.length.toLong)
+    val sumDec = pairs.map { p =>
+      val term = -math.log((big(p) + 1).toDouble / (ctx(p._1) + v).toDouble)
+      BigDecimal(term).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val expected = BigDecimal(sumDec.toDouble / pairs.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(2) == expected)
+    // every multi-token document is scored
+    assert(rows.length == texts.count(_._2.length >= 2))
+  }
 }
