@@ -174,6 +174,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
+    "q_kmeans_train" -> (Similarity.qKmeansTrain _),
     "q_pq_codes" -> (Similarity.qPqCodes _),
     "q_pq_search" -> (Similarity.qPqSearch _),
     "q_ann_ivfpq" -> (Similarity.qAnnIvfPq _),
@@ -3269,7 +3270,59 @@ object SparkEntry {
         |  (conv_b * 1000000) // n_b AS rate_b_ppm,
         |  (conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b AS diff_ppm
         |FROM m""".stripMargin,
+
+    "q_kmeans_train" -> kmeansTrainOracle,
   )
+
+  /** Two unrolled Lloyd rounds + final assignment (see
+    * Similarity.qKmeansTrain) — the q_pagerank pattern: the iteration
+    * CTE trio (assign / explode / re-center) is mechanical, so it is
+    * generated, not typed. */
+  private def kmeansTrainOracle: String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, eb, cluster FROM (
+         |    SELECT b.vec_id, b.e AS eb, c.cid AS cluster,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum([c.ce[i] * b.e[i] for i in range(1, len(c.ce) + 1)])
+         |          / (c.cn * b.nrm) DESC, c.cid) AS rn
+         |    FROM n b CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def explode(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT cluster, s.dim AS dim, s.x AS x FROM (
+         |    SELECT cluster,
+         |      unnest([{'dim': i, 'x': eb[i + 1]} for i in range(0, len(eb))]) AS s
+         |    FROM $asg))""".stripMargin
+    def center(mName: String, cName: String, xName: String) =
+      s"""$mName AS (
+         |  SELECT cluster, dim,
+         |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         |      / count(*) AS c
+         |  FROM $xName GROUP BY cluster, dim),
+         |$cName AS (
+         |  SELECT cid, ce, sqrt(list_sum([y * y for y in ce])) AS cn FROM (
+         |    SELECT cluster AS cid, list(c ORDER BY dim) AS ce
+         |    FROM $mName GROUP BY cluster))""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid, e AS ce, nrm AS cn
+       |  FROM n WHERE vec_id < 8),
+       |${assign("a1", "c0")},
+       |${explode("x1", "a1")},
+       |${center("m1", "c1", "x1")},
+       |${assign("a2", "c1")},
+       |${explode("x2", "a2")},
+       |${center("m2", "c2", "x2")},
+       |${assign("a3", "c2")},
+       |${explode("x3", "a3")}
+       |SELECT cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
+       |  CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS centroid_sum
+       |FROM x3 GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin
+  }
 
   /** Ten unrolled fixed-point iterations (see Mining.qPagerank): the
     * recursive form would need grouped recursion, which portable SQL

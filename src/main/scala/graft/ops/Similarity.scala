@@ -261,6 +261,64 @@ object Similarity {
         sum(col("x").cast("decimal(18,6)")).cast("string").as("centroid_sum"))
       .orderBy("cluster", "dim")
 
+  /** Full Lloyd TRAINING of the IVF codebook — [[qKmeansStep]] closed
+    * into the loop: seed centroids (vec_id < 8) → assign → re-center →
+    * assign → re-center → final assignment, declared as the third
+    * round's per-(cluster, dim) member counts and exact decimal
+    * centroid sums.
+    *
+    * Cross-engine float discipline (every step a proven pattern):
+    * assignment is the max_by hash-agg (no window over the ×k-expanded
+    * corpus); the re-centered component is an exact DECIMAL(18,6) sum
+    * round-tripped through its string form and divided by the member
+    * count — the string parse pins the decimal→double conversion to
+    * the same correctly-rounded IEEE value in both engines
+    * (q_embed_outliers precedent), and a double/long division is
+    * deterministic IEEE on both. So the round-2 centroids are
+    * bit-identical doubles, and the round-3 assignment stays exact.
+    *
+    * Scale shape: the corpus persists once and is scanned once per
+    * round; each round shuffles clusters × dims decimal partials
+    * (map-side combined), never vectors. The 8-row centroid frame is
+    * localCheckpoint'ed per round — fresh stats for the broadcast and
+    * a lineage cut, the iterative-algorithm discipline of
+    * DedupClusters. An empty cluster drops out of the codebook
+    * (standard Lloyd behavior), identically on both sides. */
+  def qKmeansTrain(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val corpus = v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+      .persist() // one scan per Lloyd round
+    def assign(c: DataFrame): DataFrame = corpus.join(broadcast(c), lit(true))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("eb")),
+        struct(col("cos"), (-col("centroid_id")).as("neg_centroid"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("cluster"),
+        col("best.eb").as("eb"))
+    var cents = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("centroid_id"),
+        col("e").as("ea"), col("nrm").as("na"))
+      .localCheckpoint()
+    for (_ <- 1 to 2) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("eb")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(18,6)")).as("s"))
+        .withColumn("c", expr("CAST(CAST(s AS STRING) AS DOUBLE) / n"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)").as("ea"))
+        .select(col("cluster").as("centroid_id"), col("ea"),
+          expr("sqrt(vec_dot(ea, ea))").as("na"))
+        .localCheckpoint()
+    }
+    assign(cents)
+      .select(col("cluster"), posexplode(col("eb")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("x").cast("decimal(18,6)")).cast("string").as("centroid_sum"))
+      .orderBy("cluster", "dim")
+  }
+
   /** k-NN label classification — the embedding-space quality/domain
     * tagger of a training-data pipeline (label propagation from a
     * curated seed set onto unlabeled documents): probes (vec_id < 10)

@@ -44,6 +44,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_ann_lsh",           // hyperplanes (16) broadcast for signatures
     "q_embed_neardup",     // multi-probe assignment, same centroid broadcast
     "q_kmeans_step",       // assignment step, same centroid broadcast
+    "q_kmeans_train",      // Lloyd rounds, same centroid broadcast per round
     "q_tfidf",             // 1-row corpus count N broadcast
     "q_perplexity_proxy",  // 1-row total-token count broadcast
     "q_vocab_coverage",    // 1-row total-token count broadcast

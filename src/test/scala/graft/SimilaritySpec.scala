@@ -323,4 +323,30 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs((mn + c * step) - x) <= step + 1e-12)
     }
   }
+
+  test("kmeans training: conservation each round, codebook ids stable, deterministic") {
+    val rows = graft.ops.Similarity.qKmeansTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val dims = rows.map(_._2).distinct.sorted
+    assert(dims.head == 0 && dims.length == 64)
+    // every dim row of a cluster reports the same member count, and
+    // counts over clusters sum to the corpus (every vector assigned)
+    val byCluster = rows.groupBy(_._1)
+    byCluster.values.foreach(g => assert(g.map(_._3).distinct.length == 1))
+    assert(byCluster.map(_._2.head._3).sum == nVec)
+    // cluster ids come from the seed codebook
+    assert(byCluster.keySet.subsetOf((0L to 7L).toSet) && byCluster.nonEmpty)
+    // training actually moved the codebook: the trained assignment
+    // differs from the seed assignment for at least one cluster size
+    val seed = graft.ops.Similarity.qKmeansStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map(_._2.head._2)
+    assert(byCluster.map(_._2.head._3).toSeq.sorted != seed.toSeq.sorted ||
+      rows.map(_._4).toSet != graft.ops.Similarity.qKmeansStep(spark, sfDir)
+        .collect().map(_.getString(3)).toSet)
+    // deterministic rerun
+    val again = graft.ops.Similarity.qKmeansTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.sameElements(again))
+  }
 }
