@@ -141,6 +141,8 @@ object SparkEntry {
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
     "q_cluster_stats" -> (DedupClusters.qClusterStats _),
     "q_dedup_keep_best" -> (DedupClusters.qDedupKeepBest _),
+    "q_dedup_weight" -> (DedupClusters.qDedupWeight _),
+    "q_audio_energy" -> (Multimodal.qAudioEnergy _),
     "q_training_pipeline" -> (Pipeline.qTrainingPipeline _),
     "q_simhash_neardup" -> (Quality.qSimhashNeardup _),
     "q_stratified_sample" -> (Sampling.qStratifiedSample _),
@@ -3272,6 +3274,66 @@ object SparkEntry {
         |FROM m""".stripMargin,
 
     "q_kmeans_train" -> kmeansTrainOracle,
+
+    // Same pair + recursive-reachability CTEs as q_dedup_clusters,
+    // left-joined onto the full corpus: weight = 1e6 div cluster size,
+    // unclustered docs weigh exactly 1e6.
+    "q_dedup_weight" ->
+      """WITH RECURSIVE tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS doc_id, min(r) AS canonical_id FROM reach GROUP BY d),
+        |sized AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        |  FROM lab)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(s.cluster_size, 1) AS cluster_size,
+        |  1000000 // COALESCE(s.cluster_size, 1) AS weight_ppm
+        |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_audio_energy" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    unnest([{'fr': k // 16, 's': ascii(substr(text, k + 1, 1)) - 96}
+        |            for k in range(0, (least(length(text), 128) // 16) * 16)]) AS u
+        |  FROM documents
+        |  WHERE least(length(text), 128) // 16 >= 1)
+        |SELECT doc_id, u.fr AS fr, count(*) AS n_samples,
+        |  CAST(sum(u.s * u.s) AS BIGINT) AS energy,
+        |  CAST(max(abs(u.s)) AS BIGINT) AS peak,
+        |  CAST(sum(u.s * u.s) AS BIGINT) < 64 AS is_silent
+        |FROM px GROUP BY doc_id, u.fr ORDER BY doc_id, fr""".stripMargin,
   )
 
   /** Two unrolled Lloyd rounds + final assignment (see

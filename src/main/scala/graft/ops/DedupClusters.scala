@@ -119,6 +119,26 @@ object DedupClusters {
         (count(lit(1)) - count(lit(1)) / col("cluster_size")).cast("long").as("n_dropped"))
       .orderBy("cluster_size")
 
+  /** SOFT dedup — duplicate-aware sampling weights: every document
+    * survives, but a member of a k-document near-dup cluster trains
+    * with weight 1/k (floored ppm), so the cluster contributes one
+    * document's worth of gradient in expectation. The alternative to
+    * keep-one-canonical when dedup confidence is low or duplicates
+    * carry provenance signal (the standard soft-dedup option in LLM
+    * data curation). Unclustered docs weigh 1.
+    *
+    * Scale shape: the cluster table is ≤ |near-dup docs| rows —
+    * broadcast; the corpus streams once through a left join and a
+    * codegen'd projection. The expensive part (LSH pairs + CC) is
+    * shared with q_dedup_clusters and measured there. */
+  def qDedupWeight(spark: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(spark, d).select(col("doc_id"), col("source"))
+      .join(broadcast(qDedupClusters(spark, d).select("doc_id", "cluster_size")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .orderBy("doc_id")
+
   /** Quality-aware canonicalization: per near-dup cluster keep the
     * HIGHEST-QUALITY member, not the smallest id — what a production
     * dedup actually does (of five scrapes of one page, keep the

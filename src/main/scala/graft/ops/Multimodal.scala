@@ -131,6 +131,35 @@ object Multimodal {
         min("px").as("px_min"), max("px").as("px_max"))
       .orderBy("doc_id")
 
+  /** STUB decode + AUDIO feature extraction: the payload's first 128
+    * bytes read as 8-bit PCM samples centered on 96 (the ASCII-corpus
+    * midrange), cut into 16-sample frames, per-frame energy Σ(s−96)²
+    * and peak |s−96| — the windowed-RMS shape an audio quality gate
+    * computes (silence/clipping detection before transcription). The
+    * decode is the same honest stand-in as qImageResize (`ascii
+    * (substring(...))` IS the byte read on this corpus); a real PCM
+    * decoder changes the sample fetch, not the plan.
+    *
+    * Plan shape: one narrow scan, a ≤128-element posexplode per doc,
+    * one codegen'd byte read per sample, then a map-side-combined
+    * (doc, frame) aggregate — all-integer output, hash-stable by
+    * construction. */
+  def qAudioEnergy(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text").as("t"))
+      .withColumn("nfr", expr("least(length(t), 128) div 16"))
+      .filter(col("nfr") >= 1)
+      .select(col("doc_id"), col("t"),
+        posexplode(expr("sequence(0, nfr * 16 - 1)")).as(Seq("k", "_i")))
+      .withColumn("fr", expr("k div 16"))
+      .withColumn("s", expr("ascii(substring(t, k + 1, 1)) - 96"))
+      .groupBy("doc_id", "fr")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("s * s")).cast("long").as("energy"),
+        max(abs(col("s"))).cast("long").as("peak"))
+      .withColumn("is_silent", col("energy") < 64)
+      .orderBy("doc_id", "fr")
+
   /** Declared frame-sampling query: every 4th byte of each payload
     * (decoded — ASCII corpus, so byte = char) as the sampled "frame"
     * stream, digested per doc. Unlike the lambda API above this is the

@@ -97,4 +97,28 @@ class DedupClustersSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("soft-dedup weights: every doc weighted, clusters sum to ~1e6, singletons exact") {
+    val d = "/root/testdata/sf0.01"
+    val w = DedupClusters.qDedupWeight(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(w.length.toLong == Tables.documents(spark, d).count())
+    val clusters = DedupClusters.qDedupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inCluster = clusters.map(_._1).toSet
+    // unclustered docs weigh exactly 1
+    w.filterNot(x => inCluster(x._1)).foreach { case (_, size, ppm) =>
+      assert(size == 1L && ppm == 1000000L)
+    }
+    // each cluster's members carry 1e6 div k each: the cluster's total
+    // mass is one doc's worth up to the floor loss (< k ppm)
+    clusters.groupBy(_._2).foreach { case (_, ms) =>
+      val k = ms.head._3
+      val mass = ms.map(m => w.find(_._1 == m._1).get._3).sum
+      assert(mass == (1000000L / k) * k)
+      assert(1000000L - mass < k)
+    }
+    // at least one real cluster got down-weighted
+    assert(w.exists(_._3 < 1000000L))
+  }
 }

@@ -164,4 +164,26 @@ class IntegrationSpec extends SparkSpec {
     // every byte read is in-bounds ASCII, so means are in [0, 127]
     rows.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(5) <= 127))
   }
+
+  test("audio energy: one doc's PCM frame energies replayed driver-side") {
+    val rows = ops.Multimodal.qAudioEnergy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val doc = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val (id, t) = (doc.getLong(0), doc.getString(1))
+    val nfr = math.min(t.length, 128) / 16
+    assert(nfr >= 1, "first doc too short for the spec replay")
+    val mine = rows.filter(_.getLong(0) == id)
+    assert(mine.length == nfr)
+    for (fr <- 0 until nfr) {
+      val samples = (0 until 16).map(j => t(fr * 16 + j).toInt - 96)
+      val r = mine.find(_.getLong(1) == fr.toLong).get
+      assert(r.getLong(2) == 16L)
+      assert(r.getLong(3) == samples.map(s => (s * s).toLong).sum)
+      assert(r.getLong(4) == samples.map(math.abs).max.toLong)
+      assert(r.getBoolean(5) == (r.getLong(3) < 64L))
+    }
+    // frames are complete 16-sample windows everywhere
+    assert(rows.forall(_.getLong(2) == 16L))
+  }
 }
