@@ -213,6 +213,15 @@ object SparkEntry {
     "q_order_latency" -> (Relational.qOrderLatency _),
     "q_tpch_discount" -> (Relational.qTpchDiscount _),
     "q_tpch_returned" -> (Relational.qTpchReturned _),
+    "q_tpch_promo" -> (Relational.qTpchPromo _),
+    "q_tpch_small_qty" -> (Relational.qTpchSmallQty _),
+    "q_tpch_large_orders" -> (Relational.qTpchLargeOrders _),
+    "q_tpch_top_supplier" -> (Relational.qTpchTopSupplier _),
+    "q_tpch_disjunct" -> (Relational.qTpchDisjunct _),
+    "q_tpch_custdist" -> (Relational.qTpchCustdist _),
+    "q_tpch_dormant" -> (Relational.qTpchDormant _),
+    "q_tpch_mktshare" -> (Relational.qTpchMktshare _),
+    "q_tpch_profit" -> (Relational.qTpchProfit _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3169,6 +3178,133 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY lost_revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_promo" ->
+      """SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS TIMESTAMP)
+        |    AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_promo_lines,
+        |  count(*) AS n_lines,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |    AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+
+    "q_tpch_small_qty" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, count(*) AS n_part,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    AS small_revenue
+        |FROM lineitem
+        |JOIN pp ON lineitem.l_partkey = pp.l_partkey
+        |JOIN part ON lineitem.l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n_part < sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_tpch_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    > 260.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch_top_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM ps)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_disjunct" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_dormant" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_tpch_mktshare" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(sum(CASE WHEN s_nationkey = 2
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS nation_rev,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |    AS total_rev,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_tpch_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |           - CAST(p_retailprice AS DECIMAL(18,6))
+        |             * CAST(l_quantity * 0.5 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_margin,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
 
     "q_recommend" ->
       """WITH owned AS (

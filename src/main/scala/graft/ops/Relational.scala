@@ -185,6 +185,104 @@ object Relational {
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Promotion-effect report (TPC-H Q14 shape), widened from Q14's
+    * single month to a per-month 1997 series: for each ship month,
+    * the revenue carried by PROMO-type parts next to the total. The
+    * classic conditional-aggregation pattern — ONE scan computes both
+    * sums via sum(CASE...), instead of two filtered scans or a
+    * self-join. part joins before the aggregate (the p_type predicate
+    * is needed per line); at 100 TB that join is the co-partitioned /
+    * runtime-bloom-pruned kind, and the aggregate collapses to 12
+    * rows map-side. The promo/total RATIO never ships — both operands
+    * do (the q_kmeans_step derived-double lesson). */
+  def qTpchPromo(spark: SparkSession, d: String): DataFrame =
+    Tables.spread(spark,
+        Tables.lineitem(spark, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount"),
+        "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("MONTH", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", lit(1)).otherwise(lit(0))).as("n_promo_lines"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double").as("promo_revenue"),
+        revenue.as("total_revenue"))
+      .orderBy("ship_month")
+
+  /** Small-quantity revenue leak (TPC-H Q17 shape), per brand: lines
+    * ordering less than 20% of their part's average quantity — the
+    * correlated-subquery classic, decorrelated into a per-part
+    * aggregate JOINED back to the fact. The predicate is the exact
+    * integer-scaled cross-multiply `qty·5·n_part < Σqty` on
+    * DECIMAL(18,6) operands — no division, no double compare, so the
+    * filter boundary is bit-identical cross-engine. At 100 TB the
+    * per-part aggregate and the fact share the l_partkey hash
+    * partitioning (the join adds no exchange beyond the aggregate's
+    * own), and the final rollup is 25 brand rows. */
+  def qTpchSmallQty(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_part"), sum(dec(col("l_quantity"))).as("sum_qty"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("n_part") < col("sum_qty"))
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small_lines"),
+        decSum(col("l_extendedprice")).as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): customers whose single
+    * orders total > 260 units. The HAVING-on-a-join-key pattern:
+    * lineitem aggregates to ONE row per order BEFORE any join (the
+    * 100 TB fact collapses first — the filter then keeps ~1% of
+    * orders, and only those rows ever meet orders/customer), then the
+    * distributed top-20 via TakeOrderedAndProject with the o_orderkey
+    * tie-break making the limit boundary a total order. */
+  def qTpchLargeOrders(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 260.0)
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the
+    * max-of-an-aggregate selection. Per-supplier revenue stays an
+    * exact DECIMAL(38,12) — the 1-row max broadcasts back and the
+    * winners fall out of an exact decimal EQUALITY (Q15's defining
+    * subtlety: selecting the max by float equality is flaky; decimal
+    * equality is not). Revenue goes to double only in the projected
+    * output, after selection. */
+  def qTpchTopSupplier(spark: SparkSession, d: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))).as("rev"))
+    perSupp
+      .join(broadcast(perSupp.agg(max(col("rev")).as("max_rev"))),
+        col("rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
   def qBrandSales(spark: SparkSession, d: String): DataFrame =
     Tables.spread(spark,
         Tables.lineitem(spark, d)
@@ -197,4 +295,146 @@ object Relational {
         decSum(col("l_quantity")).as("sum_qty"),
         revenue.as("revenue"))
       .orderBy("p_brand")
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three
+    * brand-specific (size, quantity) windows OR'd together across the
+    * lineitem⋈part boundary. A mixed OR-of-ANDs referencing both join
+    * sides cannot be pushed through the join by Catalyst — so the
+    * derivable single-side relaxations ARE pushed by hand, the classic
+    * Q19 rewrite: `p_brand IN (…)` prunes part before the join and
+    * `l_quantity BETWEEN global-min AND global-max` reaches the
+    * lineitem parquet scan as a min/max row-group filter. At 100 TB
+    * that turns a full-fact join into a join of two pre-filtered
+    * slivers; the exact disjunction then runs residually on the
+    * surviving rows. Output is a single (n_lines, revenue) row —
+    * partial-agg collapses everything map-side. */
+  def qTpchDisjunct(spark: SparkSession, d: String): DataFrame = {
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .filter(col("l_quantity").between(1, 30)) // pushed relaxation (lineitem side)
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand", "p_size")
+        .filter(col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")), // pushed relaxation (part side)
+        col("l_partkey") === col("p_partkey"))
+      .filter(branches)
+      .agg(count(lit(1)).as("n_lines"), revenue.as("revenue"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k (non-urgent) orders, INCLUDING k = 0.
+    * The defining subtlety is the LEFT outer join with the extra
+    * `o_orderpriority <> '1-URGENT'` predicate INSIDE the join
+    * condition (a WHERE would silently drop the zero-order customers),
+    * then `count(o_orderkey)` counting only matched rows. Double
+    * aggregation: the first collapses the fact to one row per
+    * customer (shuffle ∝ customers), the second to ~20 histogram rows
+    * — at 100 TB the second agg is free and the first is the
+    * unavoidable per-entity rollup. */
+  def qTpchCustdist(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d).select("o_custkey", "o_orderkey", "o_orderpriority")
+    Tables.customer(spark, d).select("c_custkey")
+      .join(orders,
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Dormant high-balance customers (TPC-H Q22 shape): customers whose
+    * balance exceeds the global positive-balance mean AND who placed
+    * no order since 2000-01-01, rolled up per market segment. Two
+    * classic decorrelations in one plan: the scalar subquery becomes a
+    * broadcast 1-row cross join, and the NOT EXISTS becomes a LEFT
+    * ANTI join against the date-filtered orders (filter pushed BELOW
+    * the anti join — only recent orders ever shuffle). The mean
+    * comparison is the exact integer-scaled cross-multiply
+    * `bal·n > Σbal` on DECIMAL operands — no decimal division, whose
+    * result scale differs between engines, ever happens. */
+  def qTpchDormant(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val posStats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(posStats))
+      .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Regional market share (TPC-H Q8 shape): NATION_2's share of ASIA
+    * customer revenue per order year. Star join of the fact against
+    * four broadcast dims (orders→customer is the one fact-sized join;
+    * nation/region are config-sized), then ONE conditional aggregate
+    * computes the focal nation's revenue next to the total — never two
+    * scans, never a self-join. The share RATIO itself is not in the
+    * declared output (nation_rev / total_rev is a double division the
+    * consumer applies); both exact-decimal operands are. The supplier
+    * side tags each line's selling nation via `l_suppkey % nations` —
+    * this testdata has no partsupp, so supplier nationality is the
+    * join through the supplier dim, which broadcasts. */
+  def qTpchMktshare(spark: SparkSession, d: String): DataFrame = {
+    val asiaCust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, d)
+        .join(Tables.region(spark, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === 2, rev).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("double").as("nation_rev"),
+        sum(rev).cast("double").as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  /** Margin by selling nation and year (TPC-H Q9 shape, retail-cost
+    * variant: this testdata has no partsupp.ps_supplycost, so cost is
+    * half the part's retail price per unit — the join topology, not
+    * the cost model, is what Q9 stress-tests). Margin stays exact
+    * decimal end-to-end: price×(1−disc) − 0.5×retail×qty with every
+    * factor at DECIMAL(18,6) and ≤ one decimal×decimal product per
+    * term, so both engines sum bit-identical values in any partial-agg
+    * order. The fact joins part (co-partitionable on partkey at
+    * 100 TB) and broadcast supplier→nation. */
+  def qTpchProfit(spark: SparkSession, d: String): DataFrame = {
+    val margin =
+      dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity") * 0.5)
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+      .join(Tables.part(spark, d).select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(margin).cast("double").as("sum_margin"), count(lit(1)).as("n_lines"))
+      .orderBy("nation", "o_year")
+  }
 }

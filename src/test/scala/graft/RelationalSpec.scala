@@ -180,4 +180,160 @@ class RelationalSpec extends SparkSpec {
     // every reported line count is against 'R' lines only
     assert(top.map(_.getLong(3)).sum > 0 && top.forall(_.getLong(3) > 0))
   }
+
+  test("promo report: conditional sums partition the month totals; line counts conserve") {
+    val df = Relational.qTpchPromo(spark, sfDir).cache()
+    assert(df.count() == 12) // every 1997 ship month present
+    assert(df.filter(col("n_promo_lines") > col("n_lines")).count() == 0)
+    assert(df.filter(col("promo_revenue") > col("total_revenue")).count() == 0)
+    val total = df.agg(sum("n_lines")).as[Long].head()
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp")).count()
+    assert(total == expected)
+    // promo line count replays from a direct filtered join
+    val promo = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(df.agg(sum("n_promo_lines")).as[Long].head() == promo)
+    df.unpersist()
+  }
+
+  test("small-quantity leak: counted lines replay the exact cross-multiplied predicate") {
+    val df = Relational.qTpchSmallQty(spark, sfDir)
+    val got = df.select("p_brand", "n_small_lines").as[(String, Long)].collect().toMap
+    // independent replay: per-part stats driver-side in exact BigDecimal
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity").as[(Long, Double)].collect()
+    val stats = li.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.length, rs.map(r => BigDecimal(r._2).setScale(6)).sum) }
+    val brandOf = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val expected = li.filter { case (pk, q) =>
+        val (n, sq) = stats(pk)
+        BigDecimal(q).setScale(6) * 5 * n < sq }
+      .groupBy(r => brandOf(r._1)).map { case (b, rs) => b -> rs.length.toLong }
+    assert(got == expected)
+  }
+
+  test("large orders: distributed top-20; each total replays from its order's lines") {
+    val df = Relational.qTpchLargeOrders(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = df.select("o_orderkey", "total_qty").as[(Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    val actual = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey").isin(rows.map(_._1): _*))
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows.forall { case (k, q) => q > 260.0 && actual(k) == q })
+  }
+
+  test("disjunct revenue: single-side relaxations reach both scans; residual OR replays") {
+    val df = Relational.qTpchDisjunct(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // part side: brand IN-list pushed; lineitem side: quantity bounds pushed
+    assert(plan.contains("PushedFilters") && plan.contains("p_brand") &&
+      plan.contains("l_quantity"))
+    val Array((n, rev)) = df.as[(Long, Double)].collect()
+    // replay the exact disjunction without the manual relaxations
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(20, 30)))
+      .count()
+    assert(n == expected && (n == 0 || rev > 0))
+  }
+
+  test("custdist: zero-order customers survive the outer join; masses conserve") {
+    val df = Relational.qTpchCustdist(spark, sfDir).cache()
+    val nCust = Tables.customer(spark, sfDir).count()
+    val nOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    // Σ custdist = all customers (outer join kept everyone)
+    assert(df.agg(sum("custdist")).as[Long].head() == nCust)
+    // Σ k·custdist = all counted orders
+    assert(df.agg(sum(col("c_count") * col("custdist"))).as[Long].head() == nOrders)
+    df.unpersist()
+  }
+
+  test("dormant customers: every kept row beats the exact mean and has no recent order") {
+    val kept = Relational.qTpchDormant(spark, sfDir)
+    // replay the exact decimal cross-multiply predicate driver-side
+    val bals = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .as[(Long, Double, String)].collect()
+    val pos = bals.filter(_._2 > 0).map(r => BigDecimal(r._2).setScale(6))
+    val (s, n) = (pos.sum, pos.length)
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").as[Long].collect().toSet
+    val expect = bals
+      .filter(r => BigDecimal(r._2).setScale(6) * n > s && !recent.contains(r._1))
+      .groupBy(_._3).map { case (seg, rs) => seg -> rs.length.toLong }
+    val got = kept.select("c_mktsegment", "n_cust").as[(String, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("market share: focal revenue is a partition of the total; dims broadcast") {
+    val df = Relational.qTpchMktshare(spark, sfDir).cache()
+    assert(df.filter(col("nation_rev") > col("total_rev")).count() == 0)
+    assert(df.count() > 0)
+    val plan = Relational.qTpchMktshare(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin")) // supplier/nation/region never shuffle
+    // line counts conserve vs a direct ASIA-filtered join
+    val expected = Tables.lineitem(spark, sfDir).select("l_orderkey")
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .count()
+    assert(df.agg(sum("n_lines")).as[Long].head() == expected)
+    df.unpersist()
+  }
+
+  test("profit: one nation-year margin replays exactly in driver-side BigDecimal") {
+    val df = Relational.qTpchProfit(spark, sfDir)
+    val row = df.filter(col("n_lines") > 0).head()
+    val (nat, yr) = (row.getString(0), row.getLong(1))
+    val lines = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nat && year(col("l_shipdate")) === yr)
+      .select("l_extendedprice", "l_discount", "p_retailprice", "l_quantity")
+      .as[(Double, Double, Double, Double)].collect()
+    def d6(x: Double) = BigDecimal(x).setScale(6)
+    val expect = lines.map { case (ep, di, rp, q) =>
+      d6(ep) * (BigDecimal(1).setScale(6) - d6(di)) - d6(rp) * d6(q * 0.5) }.sum
+    assert(math.abs(row.getDouble(2) - expect.toDouble) < 1e-9)
+    assert(row.getLong(3) == lines.length)
+  }
+
+  test("top supplier: exact-decimal max selection returns precisely the argmax set") {
+    val winners = Relational.qTpchTopSupplier(spark, sfDir)
+      .select("s_suppkey").as[Long].collect().toSet
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+        .as("rev"))
+      .select(col("l_suppkey"), col("rev").cast("string")).as[(Long, String)].collect()
+    val maxRev = perSupp.map(r => BigDecimal(r._2)).max
+    assert(winners == perSupp.filter(r => BigDecimal(r._2) == maxRev).map(_._1).toSet)
+    assert(winners.nonEmpty)
+  }
 }
