@@ -69,7 +69,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_hard_negatives",    // probes (5 rows) broadcast against the corpus
     "q_ann_recall",        // composes q_ann_ivf + q_cosine_topk — same constant broadcasts
     "q_interleave",        // 1-row source-count broadcast
-    "q_bigram_lm")         // 1-row vocabulary-size broadcast
+    "q_bigram_lm",         // 1-row vocabulary-size broadcast
+    "q_tpch_dormant")      // 1-row positive-balance (Σbal, n) broadcast (Q22 scalar subquery)
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
