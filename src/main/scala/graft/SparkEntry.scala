@@ -222,6 +222,13 @@ object SparkEntry {
     "q_tpch_dormant" -> (Relational.qTpchDormant _),
     "q_tpch_mktshare" -> (Relational.qTpchMktshare _),
     "q_tpch_profit" -> (Relational.qTpchProfit _),
+    // Feature preparation for model training
+    "q_feature_hash" -> (FeaturePrep.qFeatureHash _),
+    "q_onehot" -> (FeaturePrep.qOnehot _),
+    "q_minmax_norm" -> (FeaturePrep.qMinmaxNorm _),
+    "q_target_encode" -> (FeaturePrep.qTargetEncode _),
+    "q_kfold" -> (FeaturePrep.qKfold _),
+    "q_class_weights" -> (FeaturePrep.qClassWeights _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3305,6 +3312,68 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_feature_hash" ->
+      """SELECT doc_id, substr(md5('fh:' || w), 1, 2) AS bucket, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> ''
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_onehot" ->
+      """SELECT c_custkey,
+        |  CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seg_automobile,
+        |  CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seg_building,
+        |  CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seg_furniture,
+        |  CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seg_household,
+        |  CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seg_machinery
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_minmax_norm" ->
+      """WITH ex AS (
+        |  SELECT event_type, min(value) AS v_min, max(value) AS v_max
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN v_max = v_min THEN 0.0
+        |       ELSE (value - v_min) / (v_max - v_min) END AS norm_value
+        |FROM events e JOIN ex USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH ps AS (
+        |  SELECT c_mktsegment, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |g AS (SELECT CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS gs,
+        |        sum(n_orders) AS gn FROM ps)
+        |SELECT c_mktsegment, n_orders,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_total,
+        |  (CAST(CAST(s AS VARCHAR) AS DOUBLE) + 10.0 * (gs / gn))
+        |    / (n_orders + 10.0) AS enc
+        |FROM ps, g ORDER BY c_mktsegment""".stripMargin,
+
+    "q_kfold" ->
+      """WITH f AS (
+        |  SELECT CAST(list_sum([(strpos('0123456789abcdef',
+        |             substr(md5('fold:' || doc_id), i, 1)) - 1) * pow(16.0, 4 - i)
+        |           for i in range(1, 5)]) AS BIGINT) % 5 AS fold,
+        |    lang, n_chars
+        |  FROM documents)
+        |SELECT fold, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
+
+    "q_class_weights" ->
+      """WITH pc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, count(*) AS k FROM pc)
+        |SELECT CAST(label AS BIGINT) AS label, n,
+        |  CAST(total AS DOUBLE) / (k * n) AS weight
+        |FROM pc, t ORDER BY label""".stripMargin,
 
     "q_recommend" ->
       """WITH owned AS (
