@@ -229,6 +229,8 @@ object SparkEntry {
     "q_target_encode" -> (FeaturePrep.qTargetEncode _),
     "q_kfold" -> (FeaturePrep.qKfold _),
     "q_class_weights" -> (FeaturePrep.qClassWeights _),
+    "q_grid_neighbors" -> (Similarity.qGridNeighbors _),
+    "q_cross_corr" -> (Analytics.qCrossCorr _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3312,6 +3314,36 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_grid_neighbors" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+        |      * (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+        |    + (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+        |      * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+        |  < 0.0016
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT l.lag_days, x.n AS x, y.n AS y
+        |  FROM (SELECT * FROM daily WHERE event_type = 'click') x
+        |  CROSS JOIN (SELECT * FROM
+        |    (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS t(lag_days)) l
+        |  JOIN (SELECT * FROM daily WHERE event_type = 'purchase') y
+        |    ON y.day_us = x.day_us + l.lag_days * 86400000000)
+        |SELECT CAST(lag_days AS BIGINT) AS lag_days, count(*) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        |FROM pairs GROUP BY 1 ORDER BY lag_days""".stripMargin,
 
     "q_feature_hash" ->
       """SELECT doc_id, substr(md5('fh:' || w), 1, 2) AS bucket, count(*) AS tf

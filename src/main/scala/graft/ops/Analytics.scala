@@ -762,4 +762,37 @@ object Analytics {
       .withColumn("rate_a_ppm", expr("(conv_a * 1000000) div n_a"))
       .withColumn("rate_b_ppm", expr("(conv_b * 1000000) div n_b"))
       .withColumn("diff_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
+
+  /** Lagged cross-correlation between the click and purchase daily
+    * series: for each lag in −3..3 days, the co-moment sums over days
+    * where both series exist (click on day d, purchase on day d+lag)
+    * — does engagement LEAD conversion, and by how many days? The
+    * fact collapses to |days|×2 rows in one filtered aggregate before
+    * anything joins (the 100 TB scan happens exactly once); the lag
+    * expansion (×7) and self-join run on the tiny daily frame,
+    * broadcast. Declared output is exact integer moment sums — the
+    * Pearson normalization is one double expression the consumer (or
+    * the spec) applies; shipping sums keeps the surface hash-stable
+    * and mergeable across re-runs (same contract as qAutocorr). */
+  def qCrossCorr(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("day_us"), col("n").as("x"))
+      .withColumn("lag_days", explode(array((-3L to 3L).map(lit): _*)))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("day_us").as("y_day"), col("n").as("y"))
+    x.join(broadcast(y),
+        col("y_day") === col("day_us") + col("lag_days") * lit(86400000000L))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+      .orderBy("lag_days")
+  }
 }

@@ -806,6 +806,45 @@ object Similarity {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** Spatial grid-neighbor join over the first two embedding
+    * dimensions: all point pairs within L2 radius r = 0.04, found by
+    * bucketing the plane into h = 0.05 cells (h ≥ r guarantees every
+    * qualifying pair shares a cell or touches adjacent cells). Each
+    * point is replicated to its 3×3 cell neighborhood on the PROBE
+    * side only and equi-joined against points keyed by home cell —
+    * a pair (a,b) matches exactly once (b's home cell is unique), so
+    * no distinct pass is needed. This is the canonical way a spatial
+    * self-join scales: shuffle is hash(cell), candidate count is
+    * bounded by local density × 9, and the O(n²) cross join never
+    * exists in the plan (PlanQualitySpec sweeps it). The exact
+    * distance check runs residually on candidates, in double — both
+    * engines evaluate the identical IEEE expression, so the r²
+    * boundary is bit-stable. */
+  def qGridNeighbors(spark: SparkSession, d: String): DataFrame = {
+    val r2 = 0.04 * 0.04
+    val pts = Tables.embeddings(spark, d).select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / 0.05))
+      .withColumn("cy", floor(col("y") / 0.05))
+      .persist()
+    val probes = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("vec_id").as("vec_a"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("dx")).as("tcx"), (col("cy") + col("dy")).as("tcy"))
+    probes
+      .join(pts.select(col("vec_id").as("vec_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy")),
+        col("tcx") === col("cx") && col("tcy") === col("cy") &&
+          col("vec_a") < col("vec_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) < r2)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

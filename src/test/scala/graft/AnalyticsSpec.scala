@@ -518,4 +518,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(5) == 1000000L * r.getLong(3) / r.getLong(2))
     assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
   }
+
+  test("cross-correlation: every lag's moment sums replay from the daily series") {
+    val rows = Analytics.qCrossCorr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSet == (-3L to 3L).toSet)
+    // independent daily-count replay
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), expr("unix_micros(date_trunc('day', ts))").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val clicks = daily.collect { case (("click", d), n) => d -> n }
+    val buys = daily.collect { case (("purchase", d), n) => d -> n }
+    rows.foreach { case (lag, nd, sx, sy, sxx, syy, sxy) =>
+      val pairs = clicks.toSeq.flatMap { case (d, x) =>
+        buys.get(d + lag * 86400000000L).map(y => (x, y)) }
+      assert(nd == pairs.length)
+      assert(sx == pairs.map(_._1).sum && sy == pairs.map(_._2).sum)
+      assert(sxx == pairs.map(p => p._1 * p._1).sum &&
+        syy == pairs.map(p => p._2 * p._2).sum &&
+        sxy == pairs.map(p => p._1 * p._2).sum)
+    }
+    spark.catalog.clearCache()
+  }
 }

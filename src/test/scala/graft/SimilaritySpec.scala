@@ -349,4 +349,24 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
     assert(rows.sameElements(again))
   }
+
+  test("grid neighbors: cell join finds EXACTLY the brute-force pair set, without a cartesian") {
+    import org.apache.spark.sql.functions._
+    val grid = graft.ops.Similarity.qGridNeighbors(spark, sfDir)
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated to all-pairs:\n$plan")
+    val got = grid.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth (test-only O(n²))
+    val pts = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double"),
+        element_at(col("embedding"), 2).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expect = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib && (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) < 0.0016
+    } yield (ia, ib)).toSet
+    assert(got == expect && expect.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
