@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming transforms (SURVEY.md §2.3 E16-E19, reference
   * ops R19/R14/R11). Each takes a (possibly streaming) DataFrame with
@@ -374,5 +375,60 @@ object Streams {
             closed.iterator.map(s => (user, s.startUs, s.lastUs, s.n))
           }
       }
+  }
+
+  /** Streaming admission throttle — the stream-time form of
+    * `TimeWindows.qThrottleEvents` (keep an event iff ≥ `gapUs` since
+    * the last KEPT event of the same user), built on Spark 4's
+    * `transformWithState` API. The processor keeps ONE ValueState[Long]
+    * per user (the last kept µs) — constant state per key, no event
+    * buffering, so the state store holds |users| longs no matter the
+    * throughput. Rows inside a micro-batch are sorted on (us, id)
+    * before the greedy scan (handleInputRows makes no ordering
+    * promise); ACROSS batches the operator assumes batch boundaries
+    * respect event order per user (the source-ordering contract a log
+    * compactor or per-key Kafka partition provides) — with that
+    * contract, N micro-batches emit exactly the batch query's kept
+    * set, which is what StreamingSpec proves.
+    *
+    * transformWithState requires the RocksDB state store provider;
+    * the caller's session must set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider (StreamingSpec shows the wiring). */
+  class ThrottleProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+    @transient private var lastKept: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastKept = getHandle.getValueState[Long](
+        "lastKept", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val ordered = rows.toArray.sortBy(r => (r._3, r._2))
+      var last = if (lastKept.exists()) lastKept.get() else Long.MinValue
+      var any = last != Long.MinValue
+      val kept = ordered.filter { case (_, _, us) =>
+        if (!any || us >= last + gapUs) { last = us; any = true; true }
+        else false
+      }
+      if (kept.nonEmpty) lastKept.update(last)
+      kept.iterator
+    }
+  }
+
+  /** Binds [[ThrottleProcessor]] to a (user_id, event_id, us) stream.
+    * TimeMode.None: admission depends only on the per-key recurrence,
+    * not on timers, so no watermark is required. */
+  def throttleRunning(
+      events: Dataset[(Long, Long, Long)],
+      gapUs: Long = 3600L * 1000000L): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new ThrottleProcessor(gapUs),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -372,4 +372,45 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} pairs vs batch ${batchPairs.size}")
     assert(batchPairs.nonEmpty) // the corpus plants cross-watermark dups
   }
+
+  test("transformWithState throttle: N ordered micro-batches emit exactly the batch kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store — set for
+    // this query only, restore the session default afterwards.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = Streams.throttleRunning(input.toDS())
+        .writeStream.format("memory").queryName("throttle_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // event-time-ordered batches: the source-ordering contract
+        val third = events.length / 3
+        input.addData(events.take(third).toSeq); q.processAllAvailable()
+        input.addData(events.slice(third, 2 * third).toSeq); q.processAllAvailable()
+        input.addData(events.drop(2 * third).toSeq); q.processAllAvailable()
+        // per-key state survived across batches in the state store
+        assert(q.lastProgress.stateOperators.nonEmpty)
+      } finally q.stop()
+      val streamed = spark.table("throttle_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.TimeWindows.qThrottleEvents(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream kept ${streamed.size} vs batch ${batch.size}")
+      assert(batch.nonEmpty && streamed.size < events.length) // throttle actually dropped rows
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
