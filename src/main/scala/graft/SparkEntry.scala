@@ -231,6 +231,8 @@ object SparkEntry {
     "q_class_weights" -> (FeaturePrep.qClassWeights _),
     "q_grid_neighbors" -> (Similarity.qGridNeighbors _),
     "q_cross_corr" -> (Analytics.qCrossCorr _),
+    "q_embed_clusters" -> (DedupClusters.qEmbedClusters _),
+    "q_dedup_recall" -> (DedupClusters.qDedupRecall _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3314,6 +3316,96 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_embed_clusters" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT vec_a, vec_b
+        |  FROM (SELECT vec_a, vec_b,
+        |      list_sum([na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)])
+        |        / (na.nrm * nb.nrm) AS c
+        |    FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+        |  WHERE c >= 0.45),
+        |edges AS (
+        |  SELECT vec_a AS s, vec_b AS t FROM p
+        |  UNION ALL SELECT vec_b, vec_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS vec_id, min(r) AS canonical_id FROM reach GROUP BY d)
+        |SELECT vec_id, canonical_id,
+        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+        |  vec_id = canonical_id AS is_canonical
+        |FROM lab ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_recall" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |lsh AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      round(len(list_intersect(sa, sb))
+        |        / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4)
+        |        AS jac
+        |    FROM cand)
+        |  WHERE jac >= 0.5),
+        |lshl AS (
+        |  SELECT l.doc_a, l.doc_b, (la.lang = lb.lang) AS same_block,
+        |    TRUE AS in_lsh
+        |  FROM lsh l
+        |  JOIN documents la ON la.doc_id = l.doc_a
+        |  JOIN documents lb ON lb.doc_id = l.doc_b),
+        |ex AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, TRUE AS in_exact
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))
+        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4)
+        |    >= 0.5),
+        |f AS (
+        |  SELECT l.same_block, l.in_lsh, e.in_exact
+        |  FROM lshl l FULL JOIN ex e
+        |    ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+        |SELECT
+        |  count(*) FILTER (in_exact) AS n_exact,
+        |  count(*) FILTER (in_exact AND in_lsh) AS n_found,
+        |  count(*) FILTER (in_lsh AND NOT coalesce(in_exact, FALSE)
+        |    AND same_block) AS n_extra_in_block,
+        |  count(*) FILTER (in_lsh AND NOT same_block) AS n_cross_block,
+        |  (count(*) FILTER (in_exact AND in_lsh)) * 1000000
+        |    // (count(*) FILTER (in_exact)) AS recall_ppm
+        |FROM f""".stripMargin,
 
     "q_grid_neighbors" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -169,4 +169,50 @@ object DedupClusters {
     * cluster identically through either pair source. */
   private[graft] def clustersFromExactPairs(spark: SparkSession, d: String): DataFrame =
     connectedComponents(Quality.qNgramJaccard(spark, d).select("doc_a", "doc_b"))
+
+  /** Embedding-space near-dup clusters: the same min-label-propagation
+    * components, fed by the SEMANTIC pair stream (multi-probe IVF
+    * candidates + exact cosine ≥ 0.45 verify, Similarity.qEmbedNeardup)
+    * instead of the lexical LSH stream — the dedup a corpus needs when
+    * paraphrases and translations must collapse, not just re-crawls.
+    * Pair generation stays cluster-bucketed (never all-pairs); the
+    * component loop runs on the near-dup vec set only. */
+  def qEmbedClusters(spark: SparkSession, d: String): DataFrame =
+    connectedComponents(Similarity.qEmbedNeardup(spark, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"),
+        col("cluster_size"), col("is_canonical"))
+
+  /** Dedup blocking audit — the 1-row report that decides whether a
+    * blocking strategy is safe at 100 TB: the exact similarity join
+    * blocks on language (qNgramJaccard: only same-lang pairs compared,
+    * the classic cost cut), the LSH stream is unblocked. The audit
+    * full-outer-joins the two pair sets and counts: in-block truth
+    * pairs, how many of them LSH recovered (recall_ppm — LSH's
+    * banding miss rate), LSH-only pairs INSIDE a block (verified real
+    * near-dups the exact path also sees ⇒ expected 0 since exact
+    * truth is lossless in-block), and LSH pairs STRADDLING blocks —
+    * exactly the pairs blocking silently throws away (the
+    * qCrossSourceLeak failure mode, measured instead of assumed).
+    * Both pair frames are k-bounded products of already-declared
+    * plans; the audit itself is one full-outer join + one 1-row
+    * aggregate. */
+  def qDedupRecall(spark: SparkSession, d: String): DataFrame = {
+    val lang = graft.Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    val lsh = Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b")
+      .join(lang.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), Seq("doc_a"))
+      .join(lang.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("lang_a") === col("lang_b")).as("same_block"), lit(true).as("in_lsh"))
+    val exact = Quality.qNgramJaccard(spark, d)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_exact"))
+    lsh.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(when(col("in_exact"), lit(1))).as("n_exact"),
+        count(when(col("in_exact") && col("in_lsh"), lit(1))).as("n_found"),
+        count(when(col("in_lsh") && !coalesce(col("in_exact"), lit(false)) &&
+          col("same_block"), lit(1))).as("n_extra_in_block"),
+        count(when(col("in_lsh") && !col("same_block"), lit(1))).as("n_cross_block"))
+      .withColumn("recall_ppm", expr("(n_found * 1000000) div n_exact"))
+  }
 }

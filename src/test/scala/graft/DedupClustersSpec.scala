@@ -121,4 +121,49 @@ class DedupClustersSpec extends SparkSpec {
     // at least one real cluster got down-weighted
     assert(w.exists(_._3 < 1000000L))
   }
+
+  test("embed clusters: components equal a driver-side union-find over the semantic pairs") {
+    val pairs = graft.ops.Similarity.qEmbedNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    val got = graft.ops.DedupClusters.qEmbedClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    spark.catalog.clearCache()
+    assert(got.map(r => r._1 -> r._2).toMap == truth && truth.nonEmpty)
+    // size + canonical flags consistent
+    val sizes = truth.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (v, c, sz, canon) =>
+      assert(sz == sizes(c) && canon == (v == c)) }
+  }
+
+  test("dedup recall audit: counts replay from the two pair frames; exact truth fully recovered") {
+    val lsh = graft.ops.Quality.qMinhashNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val exact = graft.ops.Quality.qNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (lang, doc_a, doc_b, j)
+    spark.catalog.clearCache()
+    val lang = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r = graft.ops.DedupClusters.qDedupRecall(spark, sfDir).head()
+    spark.catalog.clearCache()
+    val sameBlock = lsh.filter { case (a, b) => lang(a) == lang(b) }
+    assert(r.getLong(0) == exact.size)
+    assert(r.getLong(1) == (exact & lsh).size)
+    assert(r.getLong(2) == (sameBlock -- exact).size)
+    assert(r.getLong(3) == (lsh -- sameBlock).size)
+    assert(r.getLong(4) == (exact & lsh).size.toLong * 1000000L / exact.size)
+    // LSH banding recovered every in-block truth pair on this corpus
+    assert((exact -- lsh).isEmpty && exact.nonEmpty)
+  }
 }
