@@ -233,6 +233,8 @@ object SparkEntry {
     "q_cross_corr" -> (Analytics.qCrossCorr _),
     "q_embed_clusters" -> (DedupClusters.qEmbedClusters _),
     "q_dedup_recall" -> (DedupClusters.qDedupRecall _),
+    "q_span_corrupt" -> (Packing.qSpanCorrupt _),
+    "q_window_suite" -> (Inventory.qWindowSuite _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3316,6 +3318,46 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_span_corrupt" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, n_tokens, unnest(range(1, n_tokens + 1)) AS i FROM base),
+        |starts AS (
+        |  SELECT doc_id, n_tokens, i FROM pos
+        |  WHERE CAST(list_sum([(strpos('0123456789abcdef',
+        |          substr(md5(doc_id || ':sp:' || i), h, 1)) - 1) * pow(16.0, 4 - h)
+        |        for h in range(1, 5)]) AS BIGINT) % 20 = 0),
+        |masked AS (
+        |  SELECT doc_id, count(DISTINCT m) AS n_masked FROM (
+        |    SELECT doc_id, unnest(range(i, least(i + 2, n_tokens) + 1)) AS m
+        |    FROM starts)
+        |  GROUP BY doc_id),
+        |sc AS (SELECT doc_id, count(*) AS n_spans FROM starts GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(sc.n_spans, 0) AS n_spans,
+        |  coalesce(masked.n_masked, 0) AS n_masked,
+        |  coalesce(masked.n_masked, 0) * 1000000 // b.n_tokens AS mask_ppm
+        |FROM base b
+        |LEFT JOIN sc ON sc.doc_id = b.doc_id
+        |LEFT JOIN masked ON masked.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS seq,
+        |  first_value(us) OVER w AS first_us,
+        |  nth_value(us, 3) OVER w AS third_us,
+        |  us - lag(us, 1) OVER w AS prev_gap_us,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  rank() OVER wt AS type_rank,
+        |  dense_rank() OVER wt AS type_dense_rank
+        |FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+        |  wt AS (PARTITION BY user_id ORDER BY event_type)
+        |ORDER BY user_id, seq""".stripMargin,
 
     "q_embed_clusters" ->
       """WITH RECURSIVE v AS (

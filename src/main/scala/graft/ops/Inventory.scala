@@ -620,4 +620,33 @@ object Inventory {
       .withColumn("ok", col("n_bad") === 0)
       .orderBy("check_name")
   }
+
+  /** Window-function coverage suite: the analytic functions a
+    * warehouse user expects, exercised together over the per-user
+    * event sequence — row_number, first_value and nth_value over the
+    * running frame, lag-delta and lead, and rank vs dense_rank on a
+    * TIE-RICH ordering (event_type) where the two visibly diverge
+    * (rank skips after ties, dense_rank does not). Ordering keys
+    * include event_id so every running-frame function is
+    * deterministic; rank/dense_rank are tie-order-independent by
+    * definition. One shuffle on user_id serves BOTH window specs —
+    * the second (order by event_type) re-sorts within partitions but
+    * never re-exchanges, the standard shared-partitioning win. */
+  def qWindowSuite(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wType = Window.partitionBy("user_id").orderBy("event_type")
+    ev.select(col("user_id"), col("event_id"),
+        row_number().over(wSeq).as("seq"),
+        first(col("us")).over(wSeq).as("first_us"),
+        nth_value(col("us"), 3).over(wSeq).as("third_us"),
+        (col("us") - lag("us", 1).over(wSeq)).as("prev_gap_us"),
+        lead("event_id", 1).over(wSeq).as("next_event"),
+        rank().over(wType).as("type_rank"),
+        dense_rank().over(wType).as("type_dense_rank"))
+      .orderBy("user_id", "seq")
+  }
 }

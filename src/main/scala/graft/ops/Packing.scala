@@ -331,4 +331,47 @@ object Packing {
       .select("doc_id", "source", "ordinal", "global_pos")
       .orderBy("global_pos")
   }
+
+  /** Span-corruption plan (T5/UL2-style pretraining transform): for
+    * each document, deterministic mask spans — a span of 3 tokens
+    * starts at every position whose content hash lands in 1/20 of the
+    * hash space (≈5% start rate ⇒ ≈14% expected token mask rate before
+    * overlap merging). Declared output is the per-doc plan summary
+    * (token count, span starts, DISTINCT masked tokens — overlapping
+    * spans merge — and the realized mask ratio in ppm), which is what
+    * a data job materializes and ships to the trainer.
+    *
+    * Determinism contract: span starts derive from md5(doc_id, pos) —
+    * reproducible across runs, engines, partitionings, and retries
+    * (the Sampling-module hash contract; RNG-seeded masking is
+    * neither cross-engine nor retry-stable). Scale shape: one
+    * posexplode of token POSITIONS (integers, not strings), the
+    * start-set stays inside the same explode pass, the span expansion
+    * is a ≤3-wide sequence per start, and everything re-collapses to
+    * one row per doc via map-side-combined aggregates — shuffle is
+    * |docs| rows of 5 longs. */
+  def qSpanCorrupt(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), size(tokens).as("n_tokens"))
+    val pos = base
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(1, n_tokens)")).as("i"))
+    val starts = pos.filter(
+      conv(substring(md5(concat(col("doc_id"), lit(":sp:"), col("i"))), 1, 4), 16, 10)
+        .cast("long") % 20 === 0)
+    val masked = starts
+      .select(col("doc_id"),
+        explode(expr("sequence(i, least(i + 2, n_tokens))")).as("m"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    val spanCounts = starts.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    base
+      .join(spanCounts, Seq("doc_id"), "left")
+      .join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("mask_ppm", expr("(n_masked * 1000000) div n_tokens"))
+      .orderBy("doc_id")
+  }
 }

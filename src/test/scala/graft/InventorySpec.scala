@@ -258,4 +258,31 @@ class InventorySpec extends SparkSpec {
       assert(r.getBoolean(3), s"est outside band for user ${r.getLong(0)}")
     }
   }
+
+  test("window suite: running-frame functions replay per user; rank vs dense_rank diverge on ties") {
+    val df = Inventory.qWindowSuite(spark, sfDir)
+    // both window specs share ONE hash exchange on user_id (the second
+    // spec re-sorts in place); the only other exchange is the output orderBy
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).length == 1,
+      s"window specs did not share the user_id exchange:\n$plan")
+    def L(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val byUser = df.collect()
+      .map(r => (L(r, 0), L(r, 2), if (r.isNullAt(4)) -1L else L(r, 4),
+        L(r, 7), L(r, 8)))
+      .groupBy(_._1)
+    byUser.values.foreach { rs =>
+      val seqs = rs.map(_._2).sorted
+      assert(seqs.sameElements(1L to rs.length)) // contiguous sequence per user
+      // nth_value(3) is null before row 3, then constant
+      val thirds = rs.sortBy(_._2).map(_._3)
+      assert(thirds.take(2).forall(_ == -1L))
+      if (rs.length >= 3) assert(thirds.drop(2).toSet.size == 1 && thirds(2) != -1L)
+      // dense_rank never exceeds rank; both start at 1
+      assert(rs.forall(r => r._5 <= r._4) && rs.exists(r => r._4 == 1L && r._5 == 1L))
+    }
+    // ties exist somewhere, so the two rankings measurably diverge
+    assert(byUser.values.exists(rs => rs.exists(r => r._5 < r._4)))
+  }
 }

@@ -185,4 +185,27 @@ class PackingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.sameElements(again))
   }
+
+  test("span corruption: one doc's plan replays scalar-side; overlap merging bounds hold") {
+    def L(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val rows = Packing.qSpanCorrupt(spark, sfDir).collect()
+      .map(r => (L(r, 0), L(r, 1), L(r, 2), L(r, 3), L(r, 4)))
+    assert(rows.nonEmpty && rows.exists(_._3 > 0)) // some spans planned
+    rows.foreach { case (_, n, spans, masked, ppm) =>
+      assert(masked <= 3 * spans && masked >= spans) // merge bounds
+      assert(masked <= n && ppm == masked * 1000000L / n)
+    }
+    // exact replay of the densest doc
+    val (docId, n, spans, masked, _) = rows.maxBy(_._3)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash4(i: Long): Long = {
+      val hex = md.digest(s"$docId:sp:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val starts = (1L to n).filter(i => hash4(i) % 20 == 0)
+    val maskedSet = starts.flatMap(i => i to math.min(i + 2, n)).toSet
+    assert(spans == starts.length && masked == maskedSet.size)
+  }
 }
