@@ -235,6 +235,8 @@ object SparkEntry {
     "q_dedup_recall" -> (DedupClusters.qDedupRecall _),
     "q_span_corrupt" -> (Packing.qSpanCorrupt _),
     "q_window_suite" -> (Inventory.qWindowSuite _),
+    "q_null_semantics" -> (Inventory.qNullSemantics _),
+    "q_benford" -> (Analytics.qBenford _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3318,6 +3320,37 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et,
+        |    user_id
+        |  FROM events),
+        |dim AS (SELECT * FROM (VALUES ('click', TRUE), ('purchase', TRUE),
+        |  (NULL, TRUE)) AS t(k, present)),
+        |g AS (
+        |  SELECT et, count(*) AS n_rows, count(et) AS n_nonnull_key,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM base GROUP BY et)
+        |SELECT g.et, g.n_rows, g.n_nonnull_key, g.n_users,
+        |  coalesce(ns.present, FALSE) AS in_dim_nullsafe,
+        |  coalesce(eq.present, FALSE) AS in_dim_equijoin
+        |FROM g
+        |LEFT JOIN dim ns ON g.et IS NOT DISTINCT FROM ns.k
+        |LEFT JOIN dim eq ON g.et = eq.k
+        |ORDER BY g.et NULLS FIRST""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |h AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS total FROM h)
+        |SELECT digit, n, (n * 1000000) // total AS share_ppm,
+        |  [301030, 176091, 124939, 96910, 79181,
+        |   66947, 57992, 51153, 45757][CAST(digit AS INT)] AS benford_ppm
+        |FROM h, t ORDER BY digit""".stripMargin,
 
     "q_span_corrupt" ->
       """WITH base AS (

@@ -763,6 +763,33 @@ object Analytics {
       .withColumn("rate_b_ppm", expr("(conv_b * 1000000) div n_b"))
       .withColumn("diff_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
 
+  /** First-digit (Benford) audit of order totals — the forensic
+    * profile that flags fabricated or re-scaled monetary data: natural
+    * multi-scale amounts lead with 1 ~30% of the time (log10(1+1/d));
+    * synthetic uniform data flattens to ~11% per digit. Declared
+    * output is the observed digit histogram with ppm shares plus the
+    * Benford expectation in ppm — the consumer (or the spec) judges
+    * the distance; both columns are exact integers. The digit
+    * extraction is string-of-integer-part (identical cross-engine,
+    * no log10/pow in the row path); one map-side-combined 9-row
+    * aggregate of the fact. */
+  def qBenford(spark: SparkSession, d: String): DataFrame = {
+    // log10(1 + 1/d) in ppm, d = 1..9 — fixed constants of the law
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expCol = element_at(array(expected.map(lit): _*), col("digit").cast("int"))
+    val digits = Tables.orders(spark, d)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum("n").as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("share_ppm"),
+        expCol.as("benford_ppm"))
+      .orderBy("digit")
+  }
+
   /** Lagged cross-correlation between the click and purchase daily
     * series: for each lag in −3..3 days, the co-moment sums over days
     * where both series exist (click on day d, purchase on day d+lag)

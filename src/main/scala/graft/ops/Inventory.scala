@@ -621,6 +621,43 @@ object Inventory {
       .orderBy("check_name")
   }
 
+  /** ANSI null-semantics coverage: the three places NULL keys change
+    * query results and silently corrupt pipelines that assume
+    * not-null — (1) GROUP BY collects all NULL keys into ONE group
+    * (they are "not distinct" for grouping even though `NULL = NULL`
+    * is unknown); (2) `count(col)` skips NULLs while `count(*)` does
+    * not — the pair is the standard null-rate probe; (3) an equi-join
+    * DROPS null keys but a null-safe join (`<=>` / IS NOT DISTINCT
+    * FROM) matches them — the dim here carries an explicit NULL member
+    * so both behaviors are observable side by side. The error-typed
+    * events stand in for the reference's placeholder records
+    * (app.py:315-334): a dead-letter key that is semantically "no
+    * value", exactly where naive equi-join enrichment silently loses
+    * the failure rows. Broadcast 3-row dim; one aggregate of the
+    * fact. */
+  def qNullSemantics(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, d)
+      .select(when(col("event_type") === "error", lit(null))
+        .otherwise(col("event_type")).as("et"),
+        col("user_id"))
+    val dim = Seq(Option("click"), Option("purchase"), Option.empty[String])
+      .toDF("k").withColumn("present", lit(true))
+    base.groupBy("et")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("et")).as("n_nonnull_key"),
+        countDistinct("user_id").as("n_users"))
+      .join(broadcast(dim), col("et") <=> col("k"), "left")
+      .withColumn("in_dim_nullsafe", coalesce(col("present"), lit(false)))
+      .drop("k", "present")
+      .join(broadcast(dim.withColumnRenamed("k", "k2")),
+        col("et") === col("k2"), "left")
+      .withColumn("in_dim_equijoin", coalesce(col("present"), lit(false)))
+      .select("et", "n_rows", "n_nonnull_key", "n_users",
+        "in_dim_nullsafe", "in_dim_equijoin")
+      .orderBy(col("et").asc_nulls_first)
+  }
+
   /** Window-function coverage suite: the analytic functions a
     * warehouse user expects, exercised together over the per-user
     * event sequence — row_number, first_value and nth_value over the

@@ -259,6 +259,32 @@ class InventorySpec extends SparkSpec {
     }
   }
 
+  test("null semantics: one NULL group; count(col) skips it; null-safe join finds it, equi-join drops it") {
+    val rows = Inventory.qNullSemantics(spark, sfDir).collect()
+    val (nullRows, rest) = rows.partition(_.isNullAt(0))
+    assert(nullRows.length == 1) // all NULL keys collapse into ONE group
+    val ng = nullRows.head
+    assert(ng.getLong(2) == 0L)      // count(et) skips nulls entirely
+    assert(ng.getLong(1) > 0L)       // count(*) does not
+    assert(ng.getBoolean(4))         // <=> matches the dim's NULL member
+    assert(!ng.getBoolean(5))        // = never matches NULL
+    // non-null groups: both join flavors agree
+    rest.foreach(r => assert(r.getBoolean(4) == r.getBoolean(5)))
+    // group masses conserve to the full fact
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sfDir).count())
+  }
+
+  test("benford: digit histogram partitions the orders; shares sum to 1e6 minus floor loss") {
+    val rows = graft.ops.Analytics.qBenford(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9))
+    assert(rows.map(_._2).sum == Tables.orders(spark, sfDir).count())
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && 1000000L - shareSum < rows.length)
+    // the law's constants are wired correctly (digit 1 ⇒ 301030 ppm)
+    assert(rows.find(_._1 == 1L).forall(_._4 == 301030L))
+  }
+
   test("window suite: running-frame functions replay per user; rank vs dense_rank diverge on ties") {
     val df = Inventory.qWindowSuite(spark, sfDir)
     // both window specs share ONE hash exchange on user_id (the second
