@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming transforms (SURVEY.md §2.3 E16-E19, reference
   * ops R19/R14/R11). Each takes a (possibly streaming) DataFrame with
@@ -417,6 +417,64 @@ object Streams {
       if (kept.nonEmpty) lastKept.update(last)
       kept.iterator
     }
+  }
+
+  /** Sensor-silence alerting via EVENT-TIME TIMERS — the streaming
+    * form of the reference dashboard's stale-station warning (a
+    * station that stops reporting should page someone; app.py's status
+    * panel exposes last-run state for exactly this): when a key goes
+    * `gapMs` without an event, emit ONE alert row (key, last_seen_ms,
+    * alert_at_ms). Built on `transformWithState` with
+    * TimeMode.EventTime: each batch advances the key's last-seen high
+    * water, re-arms a single timer at last_seen + gap (the previous
+    * timer is deleted — timers do not overwrite on re-register), and
+    * the alert fires from `handleExpiredTimer` once the WATERMARK
+    * passes the deadline — so "silent" is judged in event time,
+    * immune to ingestion lag, and a late flurry re-arms before firing.
+    * State per key: one Long + one timer — constant, watermark-driven,
+    * no event buffering. */
+  class SilenceProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val batchMax = rows.map(_._2.getTime).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (batchMax > prev) {
+        lastSeen.update(batchMax)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(batchMax + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val seen = lastSeen.get()
+      Iterator((key, seen, expiredTimerInfo.getExpiryTimeInMs))
+    }
+  }
+
+  /** Binds [[SilenceProcessor]] to a watermarked (user_id, ts) stream.
+    * The input MUST carry `withWatermark("ts", …)` — event-time timers
+    * fire off the watermark. */
+  def silenceAlerts(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 2L * 3600 * 1000): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new SilenceProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Binds [[ThrottleProcessor]] to a (user_id, event_id, us) stream.

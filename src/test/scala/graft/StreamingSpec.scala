@@ -373,6 +373,47 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairs.nonEmpty) // the corpus plants cross-watermark dups
   }
 
+  test("event-time timers: a silent station alerts once after the watermark passes its deadline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp)]
+      val watermarked = input.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds").as[(Long, Timestamp)]
+      val q = Streams.silenceAlerts(watermarked, gapMs = 2L * 3600 * 1000)
+        .writeStream.format("memory").queryName("silence_test")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // both stations report at 10:00 → deadlines armed at 12:00
+        input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // station 2 keeps reporting; station 1 goes silent
+        input.addData((2L, ts("2024-01-01 11:30:00"))) // re-arms 2 → 13:30
+        q.processAllAvailable()
+        input.addData((2L, ts("2024-01-01 12:30:00"))) // wm → 11:30; re-arms 2 → 14:30
+        q.processAllAvailable()
+        input.addData((2L, ts("2024-01-01 13:00:00"))) // wm 12:30 ≥ 12:00 → fire station 1
+        q.processAllAvailable()
+        val alerts = spark.table("silence_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // exactly one alert: station 1, last seen 10:00, due 12:00 —
+        // station 2's timer kept re-arming ahead of the watermark
+        assert(alerts.toSeq == Seq((1L,
+          ts("2024-01-01 10:00:00").getTime,
+          ts("2024-01-01 10:00:00").getTime + 2L * 3600 * 1000)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState throttle: N ordered micro-batches emit exactly the batch kept set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
