@@ -237,6 +237,8 @@ object SparkEntry {
     "q_window_suite" -> (Inventory.qWindowSuite _),
     "q_null_semantics" -> (Inventory.qNullSemantics _),
     "q_benford" -> (Analytics.qBenford _),
+    "q_movers" -> (Analytics.qMovers _),
+    "q_cumulative_users" -> (Analytics.qCumulativeUsers _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3320,6 +3322,40 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_movers" ->
+      """WITH r AS (
+        |  SELECT p_brand,
+        |    sum(CASE WHEN year(l_shipdate) = 2000
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_a,
+        |    sum(CASE WHEN year(l_shipdate) = 2001
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2002-01-01'
+        |  GROUP BY p_brand)
+        |SELECT p_brand,
+        |  CAST(CAST(rev_a AS VARCHAR) AS DOUBLE) AS rev_2000,
+        |  CAST(CAST(rev_b AS VARCHAR) AS DOUBLE) AS rev_2001,
+        |  CAST(CAST(rev_b - rev_a AS VARCHAR) AS DOUBLE) AS delta
+        |FROM r
+        |ORDER BY abs(rev_b - rev_a) DESC, p_brand
+        |LIMIT 10""".stripMargin,
+
+    "q_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_us(date_trunc('day', ts))) AS day_us
+        |  FROM events GROUP BY user_id),
+        |daily AS (SELECT day_us, count(*) AS n_new FROM fd GROUP BY day_us)
+        |SELECT day_us, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_cumulative
+        |FROM daily ORDER BY day_us""".stripMargin,
 
     "q_null_semantics" ->
       """WITH base AS (

@@ -763,6 +763,59 @@ object Analytics {
       .withColumn("rate_b_ppm", expr("(conv_b * 1000000) div n_b"))
       .withColumn("diff_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
 
+  /** Period-over-period movers: each brand's revenue in 2000 vs 2001
+    * and the top-10 absolute swings — the "what changed since last
+    * period" report every BI deployment runs. ONE scan computes both
+    * periods as conditional exact-decimal sums (never two filtered
+    * scans self-joined on brand); the delta stays decimal until the
+    * final projection, and the top-10 is a TakeOrderedAndProject on
+    * (|delta| DESC, brand) — tie-broken total order, distributed
+    * merge, no global sort. */
+  def qMovers(spark: SparkSession, d: String): DataFrame = {
+    val dec6 = (c: Column) => c.cast("decimal(18,6)")
+    val rev = dec6(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))
+    val inYear = (y: Int) =>
+      sum(when(year(col("l_shipdate")) === y, rev).otherwise(lit(0).cast("decimal(18,6)")))
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01").cast("timestamp"))
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(inYear(2000).as("rev_a"), inYear(2001).as("rev_b"))
+      .select(col("p_brand"), col("rev_a").cast("double").as("rev_2000"),
+        col("rev_b").cast("double").as("rev_2001"),
+        (col("rev_b") - col("rev_a")).cast("double").as("delta"),
+        abs(col("rev_b") - col("rev_a")).as("abs_delta"))
+      .orderBy(col("abs_delta").desc, col("p_brand"))
+      .limit(10)
+      .drop("abs_delta")
+  }
+
+  /** Cumulative distinct users by day — the growth curve. COUNT
+    * (DISTINCT) over a running window is unsupported (and would buffer
+    * every key per frame anyway); the scalable identity is
+    * first-occurrence attribution: each user contributes to exactly
+    * the day they FIRST appeared (one row per user after the min-day
+    * aggregate), daily new-user counts roll up from that, and the
+    * running total is a window over ≤ |days| rows. 100 TB shape: one
+    * per-user aggregate (map-side combined), then day-grain
+    * everything. */
+  def qCumulativeUsers(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(date_trunc('day', ts))")).as("day_us"))
+    firstDay.groupBy("day_us")
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cumulative",
+        sum("n_new").over(Window.orderBy("day_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day_us")
+  }
+
   /** First-digit (Benford) audit of order totals — the forensic
     * profile that flags fabricated or re-scaled monetary data: natural
     * multi-scale amounts lead with 1 ~30% of the time (log10(1+1/d));

@@ -519,6 +519,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
   }
 
+  test("movers: top-10 absolute swings match a full-ranking replay; deltas reconcile") {
+    val rows = Analytics.qMovers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (_, a, b, d) => assert(math.abs(d - (b - a)) < 1e-9) }
+    // the |delta| ordering is non-increasing with brand tie-break
+    val keys = rows.map { case (br, _, _, d) => (-math.abs(d), br) }
+    assert(keys.sameElements(keys.sorted))
+    // boundary check vs the unlimited ranking
+    val all = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(when(year(col("l_shipdate")) === 2000,
+          col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("a"),
+        sum(when(year(col("l_shipdate")) === 2001,
+          col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("b"))
+      .select(col("p_brand"), (col("b") - col("a")).cast("double").as("d"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expectTop = all.sortBy { case (br, d) => (-math.abs(d), br) }.take(10).map(_._1)
+    assert(rows.map(_._1).sameElements(expectTop))
+  }
+
+  test("cumulative users: running total is monotone and ends at the distinct-user count") {
+    val rows = Analytics.qCumulativeUsers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    // cumulative = prefix sum of new
+    rows.foldLeft(0L) { case (acc, (_, n, cum)) =>
+      assert(cum == acc + n); cum }
+    assert(rows.last._3 ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
   test("cross-correlation: every lag's moment sums replay from the daily series") {
     val rows = Analytics.qCrossCorr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
