@@ -239,6 +239,7 @@ object SparkEntry {
     "q_benford" -> (Analytics.qBenford _),
     "q_movers" -> (Analytics.qMovers _),
     "q_cumulative_users" -> (Analytics.qCumulativeUsers _),
+    "q_epoch_shuffle" -> (Packing.qEpochShuffle _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3322,6 +3323,15 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT e.epoch, doc_id,
+        |    md5(e.epoch || ':shuf:' || doc_id) AS k
+        |  FROM documents CROSS JOIN (VALUES (0), (1)) e(epoch))
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+        |FROM keyed ORDER BY epoch, pos""".stripMargin,
 
     "q_movers" ->
       """WITH r AS (

@@ -332,6 +332,37 @@ object Packing {
       .orderBy("global_pos")
   }
 
+  /** Seeded epoch shuffle — THE canonical training-data op: a
+    * deterministic uniform permutation of the corpus per epoch, keyed
+    * by md5(epoch, doc_id), so every epoch trains in a different but
+    * perfectly reproducible order (resume-from-step safe, identical
+    * on every engine and cluster size). The global position is NOT a
+    * global window (single-task sort of the corpus): the md5 key's
+    * 2-hex-char prefix shards the permutation into 256 ranges whose
+    * sizes aggregate to a broadcast offset table, and position =
+    * shard offset + rank within shard — the terasort range-partition
+    * pattern as a declarative plan. Because the shard is a PREFIX of
+    * the sort key, (shard, k) order ≡ k order, so the sharded
+    * computation equals a direct global ranking (the oracle computes
+    * it that way; the spec proves the identity). */
+  def qEpochShuffle(spark: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(spark, d).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+      .withColumn("k", md5(concat(col("epoch"), lit(":shuf:"), col("doc_id"))))
+      .withColumn("shard", substring(col("k"), 1, 2))
+    val offsets = keyed.groupBy("epoch", "shard").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum("n").over(Window.partitionBy("epoch").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "shard", "offset")
+    keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")))
+      .join(broadcast(offsets), Seq("epoch", "shard"))
+      .select(col("epoch"), col("doc_id"), (col("offset") + col("rn")).as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
   /** Span-corruption plan (T5/UL2-style pretraining transform): for
     * each document, deterministic mask spans — a span of 3 tokens
     * starts at every position whose content hash lands in 1/20 of the

@@ -186,6 +186,36 @@ class PackingSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("epoch shuffle: sharded positions equal the direct global ranking; epochs permute differently") {
+    val rows = Packing.qEpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, sfDir).count()
+    // each epoch is a complete permutation of 1..n
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.values.foreach { es =>
+      assert(es.map(_._3).sorted.sameElements(1L to n))
+      assert(es.map(_._2).distinct.length == n.toInt)
+    }
+    // sharded computation ≡ direct global rank by (md5 key, doc_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(e: Long, id: Long): String =
+      md.digest(s"$e:shuf:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    byEpoch.foreach { case (e, es) =>
+      val direct = es.map(_._2).sortBy(id => (key(e, id), id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      es.foreach { case (_, id, pos) => assert(direct(id) == pos) }
+    }
+    // the two epochs are genuinely different orders
+    val p0 = byEpoch(0L).sortBy(_._3).map(_._2)
+    val p1 = byEpoch(1L).sortBy(_._3).map(_._2)
+    assert(!p0.sameElements(p1))
+    // the corpus never pays a single-task global sort for positions:
+    // the only unpartitioned window runs on the 256-row offset table
+    val plan = Packing.qEpochShuffle(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"))
+  }
+
   test("span corruption: one doc's plan replays scalar-side; overlap merging bounds hold") {
     def L(r: org.apache.spark.sql.Row, i: Int): Long =
       r.get(i).asInstanceOf[Number].longValue
