@@ -240,6 +240,7 @@ object SparkEntry {
     "q_movers" -> (Analytics.qMovers _),
     "q_cumulative_users" -> (Analytics.qCumulativeUsers _),
     "q_epoch_shuffle" -> (Packing.qEpochShuffle _),
+    "q_pit_features" -> (Acquisition.qPitFeatures _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3323,6 +3324,22 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_pit_features" ->
+      """SELECT label_id, user_id, ts, feat_event, feat_value FROM (
+        |  SELECT l.event_id AS label_id, l.user_id,
+        |    CAST(l.ts AS TIMESTAMP) AS ts,
+        |    f.event_id AS feat_event, f.value AS feat_value,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM events l JOIN events f
+        |    ON f.user_id = l.user_id
+        |    AND CAST(f.ts AS TIMESTAMP)
+        |        <= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |    AND CAST(f.ts AS TIMESTAMP)
+        |        >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR - INTERVAL 7 DAY
+        |  WHERE l.event_type = 'purchase')
+        |WHERE rn = 1 ORDER BY label_id""".stripMargin,
 
     "q_epoch_shuffle" ->
       """WITH keyed AS (

@@ -428,4 +428,32 @@ object Acquisition {
         "query_end", "sensor_ip", "url", "filename")
       .orderBy("network", "station", "chunk_start")
   }
+
+  /** Feature-store point-in-time join: for every training label (a
+    * purchase), the user's most recent feature observation as of the
+    * label time MINUS a 1-hour blind window, floored at 7 days of
+    * staleness — the leakage-safe feature lookup every ML feature
+    * store performs (the blind window models feature-pipeline
+    * latency: a feature computed 5 minutes before the label could not
+    * have been served in production). Planned through the custom
+    * AsOfJoin operator: the cutoff is a projected column on the label
+    * side, so the blind window costs one projection, not a second
+    * join predicate, and the staleness floor is the operator's
+    * emit-time tolerance — plan shape identical to plain as-of. */
+  def qPitFeatures(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"), col("ts"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("cutoff"))
+    val feats = ev.select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+      col("event_id").as("feat_event"), col("value").as("feat_value"))
+    graft.plans.AsOf.joinLatest(
+        labels, feats, Seq("user_id"), Seq("f_user"), "cutoff", "f_ts",
+        rightTiebreaks = Seq("feat_event"),
+        minTime = Some("cutoff - INTERVAL 7 DAYS"))
+      .filter(col("feat_event").isNotNull)
+      .select(col("label_id"), col("user_id"), col("ts"),
+        col("feat_event"), col("feat_value"))
+      .orderBy("label_id")
+  }
 }

@@ -147,4 +147,35 @@ class AcquisitionSpec extends SparkSpec {
       && e._2 == first.getTimestamp(1)).map(_._3).distinct.length
     assert(first.getLong(2) == expected.toLong)
   }
+
+  test("PIT features: blind window and staleness floor hold; one user replays greedily") {
+    import org.apache.spark.sql.functions.col
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getString(3), r.getDouble(4)))
+    val byEvent = evs.map(e => e._2 -> e).toMap
+    val rows = graft.ops.Acquisition.qPitFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val hourMs = 3600L * 1000; val weekMs = 7L * 24 * hourMs
+    rows.foreach { case (labelId, user, labelTs, featEvent, featValue) =>
+      val f = byEvent(featEvent)
+      assert(f._1 == user && f._5 == featValue)
+      // leakage-safe: the feature predates the label by ≥ the blind hour
+      assert(f._3 <= labelTs - hourMs && f._3 >= labelTs - hourMs - weekMs)
+      // it is THE latest admissible one (ties to larger event_id)
+      val better = evs.filter(e => e._1 == user &&
+        e._3 <= labelTs - hourMs && e._3 >= labelTs - hourMs - weekMs &&
+        (e._3 > f._3 || (e._3 == f._3 && e._2 > featEvent)))
+      assert(better.isEmpty, s"label $labelId skipped fresher feature")
+    }
+    // every purchase with an admissible feature appears exactly once
+    val expectedLabels = evs.filter(_._4 == "purchase").filter { l =>
+      evs.exists(e => e._1 == l._1 &&
+        e._3 <= l._3 - hourMs && e._3 >= l._3 - hourMs - weekMs) }
+      .map(_._2).toSet
+    assert(rows.map(_._1).toSet == expectedLabels)
+  }
 }
