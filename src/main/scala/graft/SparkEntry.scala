@@ -3260,8 +3260,9 @@ object SparkEntry {
 
     "q_tpch_disjunct" ->
       """SELECT count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 1 AND 11)
