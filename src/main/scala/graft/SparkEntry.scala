@@ -241,6 +241,8 @@ object SparkEntry {
     "q_cumulative_users" -> (Analytics.qCumulativeUsers _),
     "q_epoch_shuffle" -> (Packing.qEpochShuffle _),
     "q_pit_features" -> (Acquisition.qPitFeatures _),
+    "q_lateness_audit" -> (TimeWindows.qLatenessAudit _),
+    "q_tpch_priority" -> (Relational.qTpchPriority _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3325,6 +3327,41 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_lateness_audit" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    epoch_us(date_trunc('day', ts)) AS day_us,
+        |    (CAST(list_sum([(strpos('0123456789abcdef',
+        |         substr(md5('lat:' || event_id), h, 1)) - 1) * pow(16.0, 4 - h)
+        |       for h in range(1, 5)]) AS BIGINT) % 600) * 1000000 AS delay_us
+        |  FROM events),
+        |a AS (SELECT event_id, us, day_us, us + delay_us AS arrival_us FROM ev),
+        |m AS (
+        |  SELECT us,
+        |    max(us) OVER (PARTITION BY day_us ORDER BY arrival_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw_us
+        |  FROM a),
+        |x AS (
+        |  SELECT b.budget_s, m.us, m.hw_us
+        |  FROM m CROSS JOIN (VALUES (60), (300), (600)) b(budget_s))
+        |SELECT CAST(budget_s AS BIGINT) AS budget_s, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN hw_us IS NOT NULL
+        |    AND us < hw_us - budget_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  (CAST(sum(CASE WHEN hw_us IS NOT NULL
+        |    AND us < hw_us - budget_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS late_ppm
+        |FROM x GROUP BY 1 ORDER BY budget_s""".stripMargin,
+
+    "q_tpch_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_pit_features" ->
       """SELECT label_id, user_id, ts, feat_event, feat_value FROM (

@@ -296,6 +296,26 @@ object Relational {
         revenue.as("revenue"))
       .orderBy("p_brand")
 
+  /** Order-priority check (TPC-H Q4 shape): orders in one quarter
+    * with AT LEAST ONE return-flagged line, counted per priority —
+    * the canonical decorrelated-EXISTS: a LEFT SEMI join against the
+    * pre-filtered fact (the 'R' slice), never a join-then-distinct
+    * (which would materialize every matching line before collapsing).
+    * Both sides prune before the join: orders by the date range
+    * (pushed to the scan), lineitem by the return flag. At 100 TB the
+    * semi join ships only order keys from the fact side. */
+  def qTpchPriority(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(spark, d)
+          .filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** Disjunctive-predicate revenue (TPC-H Q19 shape): three
     * brand-specific (size, quantity) windows OR'd together across the
     * lineitem⋈part boundary. A mixed OR-of-ANDs referencing both join

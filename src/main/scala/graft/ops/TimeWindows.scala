@@ -130,6 +130,43 @@ object TimeWindows {
     * groupByKey+flatMapGroups), so a 100 TB user's stream spills in
     * the sort and streams through the scan. Time compares are µs
     * integers on both engines — no timestamp-arithmetic parity edge. */
+  /** Watermark-budget audit — the design query behind every
+    * `withWatermark` number: for each candidate lateness budget,
+    * REPLAY ingestion and count the events a watermark would drop.
+    * Arrival time is simulated as event time + a deterministic
+    * content-hashed ingest jitter (0–600 s — md5, reproducible across
+    * engines; a random jitter would be neither). Within each DAY,
+    * events are replayed in arrival order and an event is late iff
+    * its event time trails the running event-time high-water by more
+    * than the budget — the exact append-mode drop rule. The
+    * simulation partitions by day (watermark replay resets daily), so
+    * the running-max window is per-day, never a global single-task
+    * sort; at 100 TB each day replays independently, which is also
+    * how an ops team audits lateness in practice. Output: per budget,
+    * events/late/late_ppm — the table you pick the production
+    * `withWatermark` value from. */
+  def qLatenessAudit(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+      .withColumn("delay_us",
+        (conv(substring(md5(concat(lit("lat:"), col("event_id"))), 1, 4), 16, 10)
+          .cast("long") % 600) * 1000000L)
+      .withColumn("arrival_us", col("us") + col("delay_us"))
+    val w = Window.partitionBy("day_us").orderBy("arrival_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = ev.withColumn("hw_us", max("us").over(w))
+      .withColumn("budget_s", explode(array(lit(60L), lit(300L), lit(600L))))
+      .withColumn("late",
+        col("hw_us").isNotNull && col("us") < col("hw_us") - col("budget_s") * 1000000L)
+    marked.groupBy("budget_s")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .withColumn("late_ppm", expr("(n_late * 1000000) div n_events"))
+      .orderBy("budget_s")
+  }
+
   def qThrottleEvents(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val gapUs = 3600L * 1000000L

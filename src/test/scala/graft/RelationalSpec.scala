@@ -336,4 +336,56 @@ class RelationalSpec extends SparkSpec {
     assert(winners == perSupp.filter(r => BigDecimal(r._2) == maxRev).map(_._1).toSet)
     assert(winners.nonEmpty)
   }
+
+  test("priority check: semi-join counts orders once regardless of matching-line multiplicity") {
+    val got = Relational.qTpchPriority(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    // replay: count DISTINCT qualifying orders, not matching lines
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey").distinct().as[Long].collect().toSet
+    val expect = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority").as[(Long, String)].collect()
+      .filter(o => returned.contains(o._1))
+      .groupBy(_._2).map { case (p, os) => p -> os.length.toLong }
+    assert(got == expect && got.values.sum > 0)
+    // the plan is a semi join — matching lines never materialize
+    val plan = Relational.qTpchPriority(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"not a semi join:\n$plan")
+  }
+
+  test("lateness audit: drop counts replay the per-day watermark simulation; budgets monotone") {
+    val rows = graft.ops.TimeWindows.qLatenessAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(60L, 300L, 600L))
+    // a larger budget never drops more
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 <= a._3; case _ => true })
+    // exact replay of one budget (300 s) driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def delayUs(id: Long): Long = {
+      val hex = md.digest(s"lat:$id".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(4)
+      (java.lang.Long.parseLong(hex, 16) % 600) * 1000000L
+    }
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), expr("unix_micros(ts)"),
+        expr("unix_micros(date_trunc('day', ts))"))
+      .as[(Long, Long, Long)].collect()
+    var late = 0L
+    evs.groupBy(_._3).values.foreach { day =>
+      var hw = Long.MinValue
+      day.map(e => (e._1, e._2, e._2 + delayUs(e._1)))
+        .sortBy(e => (e._3, e._1))
+        .foreach { case (_, us, _) =>
+          if (hw != Long.MinValue && us < hw - 300L * 1000000L) late += 1
+          hw = math.max(hw, us)
+        }
+    }
+    val b300 = rows.find(_._1 == 300L).get
+    assert(b300._3 == late && b300._2 == evs.length)
+    assert(b300._4 == late * 1000000L / evs.length)
+  }
 }
