@@ -243,6 +243,8 @@ object SparkEntry {
     "q_pit_features" -> (Acquisition.qPitFeatures _),
     "q_lateness_audit" -> (TimeWindows.qLatenessAudit _),
     "q_tpch_priority" -> (Relational.qTpchPriority _),
+    "q_label_audit" -> (Similarity.qLabelAudit _),
+    "q_gnn_aggregate" -> (Similarity.qGnnAggregate _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3327,6 +3329,72 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_label_audit" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id <> a.vec_id),
+        |sc AS (
+        |  SELECT probe_id, c.vec_id,
+        |    list_sum([na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)])
+        |      / (na.nrm * nb.nrm) AS cs
+        |  FROM cand c
+        |  JOIN n na ON na.vec_id = c.probe_id
+        |  JOIN n nb ON nb.vec_id = c.vec_id),
+        |top5 AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rn
+        |    FROM sc)
+        |  WHERE rn <= 5),
+        |pred AS (
+        |  SELECT probe_id, label AS pred_label FROM (
+        |    SELECT t.probe_id, e.label, count(*) AS votes,
+        |      row_number() OVER (PARTITION BY t.probe_id
+        |        ORDER BY count(*) DESC, e.label) AS rn
+        |    FROM top5 t JOIN embeddings e ON e.vec_id = t.vec_id
+        |    GROUP BY t.probe_id, e.label)
+        |  WHERE rn = 1)
+        |SELECT CAST(t.label AS BIGINT) AS true_label,
+        |  CAST(p.pred_label AS BIGINT) AS pred_label, count(*) AS n
+        |FROM pred p JOIN embeddings t ON t.vec_id = p.probe_id
+        |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
+
+    "q_gnn_aggregate" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+        |        * (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+        |      + (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+        |        * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+        |    < 0.0016),
+        |edges AS (
+        |  SELECT vec_a AS dst, vec_b AS src FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |feats AS (
+        |  SELECT vec_id AS src,
+        |    unnest([{'dim': i, 'x': CAST(embedding[i + 1] AS DOUBLE)}
+        |      for i in range(0, len(embedding))]) AS s
+        |  FROM embeddings)
+        |SELECT e.dst AS vec_id, CAST(f.s.dim AS BIGINT) AS dim,
+        |  count(*) AS n_neighbors,
+        |  CAST(sum(CAST(f.s.x AS DECIMAL(18,6))) AS VARCHAR) AS msg_sum
+        |FROM edges e JOIN feats f ON f.src = e.src
+        |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin,
 
     "q_lateness_audit" ->
       """WITH ev AS (

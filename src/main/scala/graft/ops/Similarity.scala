@@ -806,6 +806,73 @@ object Similarity {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** Label-noise audit (Confident-Learning shape): every vector is
+    * re-classified by the majority label of its 5 nearest neighbors
+    * WITH ITSELF LEFT OUT, and the (true, predicted) confusion matrix
+    * is the declared output — off-diagonal mass is the mislabeled-
+    * example candidate pool a data-cleaning pass reviews. Candidates
+    * come from the multi-probe IVF buckets (nprobe = 2, the
+    * qEmbedNeardup path) so the all-pairs kNN never exists; the
+    * per-vector top-5 is the bounded TopKAggregator keyed by VECTOR
+    * (corpus-many keys — the scalable window orientation); the
+    * majority vote is a hash aggregate with ties to the smaller
+    * label. At 100 TB this is exactly an IVF-accelerated kNN
+    * self-audit: shuffle ∝ candidates within buckets, output ∝
+    * |labels|². */
+  def qLabelAudit(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("e"), col("nrm"), col("label")).persist()
+    val asg = ivfAssignedK(spark, d, nprobe = 2).persist()
+    val cand = asg.select(col("cluster"), col("vec_id").as("probe_id"))
+      .join(asg.select(col("cluster"), col("vec_id")), Seq("cluster"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id").distinct()
+    val scored = cand
+      .join(v.select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na")),
+        "probe_id")
+      .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb")), "vec_id")
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+    val top5 = probeTopK(spark, scored, 5).select("probe_id", "vec_id")
+    val pred = v.select(col("vec_id"), col("label"))
+      .join(top5, Seq("vec_id"))
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("probe_id")
+      .agg(max_by(col("label"),
+        struct(col("votes"), (-col("label")).as("neg_label"))).as("pred_label"))
+    pred
+      .join(v.select(col("vec_id").as("probe_id"), col("label").as("true_label")),
+        Seq("probe_id"))
+      .groupBy(col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** One message-passing round (GraphSAGE mean-aggregation layer) over
+    * the spatial neighbor graph: each node's aggregated message is the
+    * per-dimension sum of its neighbors' embeddings plus the neighbor
+    * count — the consumer divides (the q_kmeans_step lesson: no
+    * derived double enters the checked surface; sums ship as exact
+    * decimal STRINGS). The layer is a join + hash aggregate: edges ×
+    * dims explode map-side and collapse by (node, dim) before the
+    * shuffle, so bytes moved ∝ nodes × dims, not edges × dims — the
+    * same partial-aggregation geometry that makes distributed GNN
+    * feature propagation feasible. Graph = qGridNeighbors pairs,
+    * symmetrized. */
+  def qGnnAggregate(spark: SparkSession, d: String): DataFrame = {
+    val pairs = qGridNeighbors(spark, d)
+    val edges = pairs.select(col("vec_a").as("dst"), col("vec_b").as("src"))
+      .union(pairs.select(col("vec_b").as("dst"), col("vec_a").as("src")))
+    val feats = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("src"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+    edges.join(feats, Seq("src"))
+      .groupBy(col("dst").as("vec_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("x").cast("double").cast("decimal(18,6)")).cast("string").as("msg_sum"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Spatial grid-neighbor join over the first two embedding
     * dimensions: all point pairs within L2 radius r = 0.04, found by
     * bucketing the plane into h = 0.05 cells (h ≥ r guarantees every

@@ -350,6 +350,57 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("label audit: confusion mass covers every candidate-bearing vector; one probe replays") {
+    import org.apache.spark.sql.functions._
+    val conf = graft.ops.Similarity.qLabelAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(conf.nonEmpty && conf.forall { case (t, p, _) =>
+      t >= 0 && t <= 9 && p >= 0 && p <= 9 })
+    // every vector with at least one same-bucket candidate is classified
+    val asg = graft.ops.Similarity.ivfAssignedK(spark, sfDir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val byCluster = asg.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val withCand = asg.map(_._1).distinct.filter { v =>
+      asg.filter(_._1 == v).exists(a => (byCluster(a._2) - v).nonEmpty) }
+    assert(conf.map(_._3).sum == withCand.length)
+    // deterministic rerun (hash aggregates + bounded top-k, no RNG)
+    val again = graft.ops.Similarity.qLabelAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(conf.sameElements(again))
+  }
+
+  test("gnn aggregate: one node's message replays from its brute-force neighborhood") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Similarity.qGnnAggregate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // every present node carries exactly the full dimension grid
+    val dims = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val d0 = dims.values.head
+    assert(dims.values.forall(_ == d0) && d0 == (0L until d0.length).toSeq)
+    // brute-force neighborhood of the highest-degree node
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val xy = pts.map { case (id, e) => (id, e(0).toDouble, e(1).toDouble) }
+    def nbrs(v: Long) = xy.filter { case (u, x, y) =>
+      val me = xy.find(_._1 == v).get
+      u != v && (x - me._2) * (x - me._2) + (y - me._3) * (y - me._3) < 0.0016 }
+    val focus = rows.maxBy(_._3)._1
+    val nb = nbrs(focus)
+    rows.filter(_._1 == focus).foreach { case (_, dim, n, s) =>
+      assert(n == nb.length)
+      val expect = nb.map { case (u, _, _) =>
+        BigDecimal(pts.find(_._1 == u).get._2(dim.toInt).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum
+      assert(BigDecimal(s) == expect, s"node $focus dim $dim")
+    }
+  }
+
   test("grid neighbors: cell join finds EXACTLY the brute-force pair set, without a cartesian") {
     import org.apache.spark.sql.functions._
     val grid = graft.ops.Similarity.qGridNeighbors(spark, sfDir)
