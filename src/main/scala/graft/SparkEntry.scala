@@ -245,6 +245,8 @@ object SparkEntry {
     "q_tpch_priority" -> (Relational.qTpchPriority _),
     "q_label_audit" -> (Similarity.qLabelAudit _),
     "q_gnn_aggregate" -> (Similarity.qGnnAggregate _),
+    "q_dataset_card" -> (Quality.qDatasetCard _),
+    "q_supplier_diversity" -> (Relational.qTpchSupplierDiversity _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3329,6 +3331,25 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_dataset_card" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_texts,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short_docs
+        |FROM documents""".stripMargin,
+
+    "q_supplier_diversity" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12'
+        |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+        |  AND p_size IN (5, 10, 15, 20, 25, 30)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
 
     "q_label_audit" ->
       """WITH v AS (

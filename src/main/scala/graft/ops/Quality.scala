@@ -52,6 +52,26 @@ object Quality {
       .agg(min("event_id").as("keep_event_id"), count(lit(1)).as("n_dups"))
       .orderBy("user_id", "event_type", "value")
 
+  /** Dataset card — the one-row corpus summary published next to a
+    * training set (docs, chars, language/source cardinalities, exact
+    * duplicate mass, short-doc count): every number an exact integer
+    * from ONE scan of the documents table. The three COUNT(DISTINCT)s
+    * share the scan through Spark's Expand (×4 row expansion that
+    * collapses in partial aggregation — the standard multi-distinct
+    * plan); duplicate mass is docs − distinct(md5(text)), the same
+    * content-hash contract as qExactDedup. Means are NOT shipped —
+    * (sum, count) pairs are, and the consumer divides (the
+    * q_kmeans_step lesson). */
+  def qDatasetCard(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_texts"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short_docs"))
+
   /** E23: text-corpus stats per (lang, source). */
   def qTextStats(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

@@ -296,6 +296,26 @@ object Relational {
         revenue.as("revenue"))
       .orderBy("p_brand")
 
+  /** Supplier diversity per part segment (TPC-H Q16 shape): how many
+    * DISTINCT suppliers ship each (brand, type), under the classic
+    * Q16 exclusion predicates (a blocked brand, blocked type values,
+    * a size IN-list) — all three pushed into the part scan before the
+    * join. The COUNT(DISTINCT l_suppkey) runs as partial distinct
+    * aggregation: (brand, type, suppkey) dedups map-side first, so
+    * the shuffle carries distinct triples, not fact rows. Ordering is
+    * the Q16 convention: supplier_cnt DESC, then the group key. */
+  def qTpchSupplierDiversity(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).select("l_partkey", "l_suppkey")
+      .join(Tables.part(spark, d)
+          .filter(col("p_brand") =!= "Brand#12" &&
+            !col("p_type").isin("PROMO", "ECONOMY") &&
+            col("p_size").isin(5, 10, 15, 20, 25, 30))
+          .select("p_partkey", "p_brand", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+
   /** Order-priority check (TPC-H Q4 shape): orders in one quarter
     * with AT LEAST ONE return-flagged line, counted per priority —
     * the canonical decorrelated-EXISTS: a LEFT SEMI join against the

@@ -680,4 +680,17 @@ class QualitySpec extends SparkSpec {
     // every multi-token document is scored
     assert(rows.length == texts.count(_._2.length >= 2))
   }
+
+  test("dataset card: every field replays from a driver-side corpus scan") {
+    val r = Quality.qDatasetCard(spark, sfDir).head()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(r.getLong(0) == docs.length)
+    assert(r.getLong(1) == docs.map(_._5).sum)
+    assert(r.getLong(2) == docs.map(_._3).distinct.length)
+    assert(r.getLong(3) == docs.map(_._4).distinct.length)
+    assert(r.getLong(4) == docs.length - docs.map(_._2).distinct.length)
+    assert(r.getLong(5) == docs.count(_._5 < 100))
+  }
 }

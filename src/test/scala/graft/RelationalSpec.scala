@@ -357,6 +357,25 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"not a semi join:\n$plan")
   }
 
+  test("supplier diversity: exclusion predicates hold; one group's distinct count replays") {
+    val rows = Relational.qTpchSupplierDiversity(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, t, _) =>
+      b != "Brand#12" && t != "PROMO" && t != "ECONOMY" })
+    // counts are non-increasing down the report
+    assert(rows.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // replay the top group driver-side
+    val (brand, ptype, cnt) = rows.head
+    val expect = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+      .join(Tables.part(spark, sfDir)
+          .filter(col("p_brand") === brand && col("p_type") === ptype &&
+            col("p_size").isin(5, 10, 15, 20, 25, 30)),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_suppkey").distinct().count()
+    assert(cnt == expect)
+  }
+
   test("lateness audit: drop counts replay the per-day watermark simulation; budgets monotone") {
     val rows = graft.ops.TimeWindows.qLatenessAudit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
