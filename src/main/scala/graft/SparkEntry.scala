@@ -247,6 +247,7 @@ object SparkEntry {
     "q_gnn_aggregate" -> (Similarity.qGnnAggregate _),
     "q_dataset_card" -> (Quality.qDatasetCard _),
     "q_supplier_diversity" -> (Relational.qTpchSupplierDiversity _),
+    "q_sql_report" -> (Relational.qSqlReport _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3331,6 +3332,20 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_sql_report" ->
+      """SELECT r_name AS region, o_orderpriority AS priority,
+        |  count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderpriority
+        |ORDER BY region, priority""".stripMargin,
 
     "q_dataset_card" ->
       """SELECT count(*) AS n_docs,

@@ -296,6 +296,32 @@ object Relational {
         revenue.as("revenue"))
       .orderBy("p_brand")
 
+  /** The SQL front door, exercised end to end as a DECLARED query:
+    * the report is authored as ANSI SQL against the registered temp
+    * views (`Tables.createViews`) with an explicit `BROADCAST` hint —
+    * proving the library's SQL surface (views + hints + the same
+    * Catalyst planning) is production, not a test-only convenience. A
+    * user of the reference who talks SQL, not Scala, runs exactly
+    * this path. The query itself is a region-by-priority revenue
+    * rollup: fact → orders → customer → broadcast nation/region. */
+  def qSqlReport(spark: SparkSession, d: String): DataFrame = {
+    Tables.createViews(spark, d)
+    spark.sql(
+      """SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        |  r_name AS region, o_orderpriority AS priority,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderpriority
+        |ORDER BY region, priority""".stripMargin)
+  }
+
   /** Supplier diversity per part segment (TPC-H Q16 shape): how many
     * DISTINCT suppliers ship each (brand, type), under the classic
     * Q16 exclusion predicates (a blocked brand, blocked type values,

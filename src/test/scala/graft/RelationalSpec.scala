@@ -357,6 +357,30 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"not a semi join:\n$plan")
   }
 
+  test("SQL front door: the hinted view query equals the DataFrame plan's result") {
+    val sql = Relational.qSqlReport(spark, sfDir)
+    // the BROADCAST hint reached physical planning
+    assert(sql.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val viaSql = sql.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val viaDf = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .cast("double").as("revenue"))
+      .orderBy("region", "priority")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(viaSql.sameElements(viaDf))
+  }
+
   test("supplier diversity: exclusion predicates hold; one group's distinct count replays") {
     val rows = Relational.qTpchSupplierDiversity(spark, sfDir)
       .as[(String, String, Long)].collect()
