@@ -248,6 +248,8 @@ object SparkEntry {
     "q_dataset_card" -> (Quality.qDatasetCard _),
     "q_supplier_diversity" -> (Relational.qTpchSupplierDiversity _),
     "q_sql_report" -> (Relational.qSqlReport _),
+    "q_drift_bins" -> (Analytics.qDriftBins _),
+    "q_tpch_sole_fault" -> (Relational.qTpchSoleFault _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3332,6 +3334,37 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_drift_bins" ->
+      """WITH ev AS (
+        |  SELECT value, (ts >= TIMESTAMP '2024-01-16') AS is_b,
+        |    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin
+        |  FROM events),
+        |bins AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ev GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |        CAST(sum(n_b) AS BIGINT) AS tb FROM bins)
+        |SELECT bin, n_a, n_b,
+        |  CAST((n_a * 1000000) // ta AS BIGINT) AS share_a_ppm,
+        |  CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm
+        |FROM bins, t ORDER BY bin""".stripMargin,
+
+    "q_tpch_sole_fault" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS supp_faulty
+        |  FROM lineitem GROUP BY 1, 2),
+        |o AS (
+        |  SELECT l_orderkey, count(*) AS n_suppliers,
+        |    CAST(sum(supp_faulty) AS BIGINT) AS n_faulty,
+        |    max(CASE WHEN supp_faulty = 1 THEN l_suppkey END) AS sole_supp
+        |  FROM ps GROUP BY 1)
+        |SELECT sole_supp AS s_suppkey, count(*) AS numwait
+        |FROM o WHERE n_suppliers > 1 AND n_faulty = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin,
 
     "q_sql_report" ->
       """SELECT r_name AS region, o_orderpriority AS priority,

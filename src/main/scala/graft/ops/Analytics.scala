@@ -816,6 +816,36 @@ object Analytics {
       .orderBy("day_us")
   }
 
+  /** Distribution-drift bins (PSI shape) — the monitoring table that
+    * catches a feature's distribution moving between two periods: the
+    * event value binned into ten fixed-width buckets, with counts and
+    * floored-ppm shares for the baseline (first half of the calendar)
+    * and the comparison window (second half) side by side. The PSI
+    * Σ(share_b − share_a)·ln(share_b/share_a) is one consumer
+    * expression over the shipped integers — no ln in the checked
+    * surface. ONE scan: the period flag and the bin are projections,
+    * the table collapses to ≤ 10 rows map-side, and the two period
+    * totals re-aggregate the bin frame (never a second corpus scan).
+    * Fixed-width bins (not quantiles) keep the bin EDGES
+    * data-independent, so two clusters computing the audit on
+    * different shards can merge their counts. */
+  def qDriftBins(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("value"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("is_b"))
+      // value ∈ [0, ~500) in the fixtures; clamp into the fixed grid
+      .withColumn("bin", least(greatest(floor(col("value") / 50.0), lit(0L)), lit(9L)))
+    val bins = ev.groupBy("bin")
+      .agg(sum(when(!col("is_b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_b"))
+    val totals = bins.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    bins.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div ta").as("share_a_ppm"),
+        expr("(n_b * 1000000) div tb").as("share_b_ppm"))
+      .orderBy("bin")
+  }
+
   /** First-digit (Benford) audit of order totals — the forensic
     * profile that flags fabricated or re-scaled monetary data: natural
     * multi-scale amounts lead with 1 ~30% of the time (log10(1+1/d));

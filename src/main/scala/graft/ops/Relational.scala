@@ -296,6 +296,33 @@ object Relational {
         revenue.as("revenue"))
       .orderBy("p_brand")
 
+  /** Sole-fault supplier report (TPC-H Q21 shape): in multi-supplier
+    * orders, the suppliers who were the ONLY one with return-flagged
+    * lines — Q21's defining double correlation (EXISTS another
+    * supplier in the order, NOT EXISTS another supplier with a fault)
+    * decorrelated into ONE per-order aggregate: n_suppliers,
+    * n_faulty_suppliers, and the faulty supplier's key via a
+    * conditional max (valid exactly when n_faulty = 1 — the kept
+    * branch). The fact collapses to one row per order before the
+    * supplier rollup; no semi/anti join pair, no self-join, one
+    * shuffle on orderkey then one on suppkey. Top-10 by fault count,
+    * supplier tie-break. */
+  def qTpchSoleFault(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").as("faulty"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("faulty")).as("supp_faulty"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(when(col("supp_faulty"), 1L).otherwise(0L)).as("n_faulty"),
+        max(when(col("supp_faulty"), col("l_suppkey"))).as("sole_supp"))
+      .filter(col("n_suppliers") > 1 && col("n_faulty") === 1)
+      .groupBy(col("sole_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(10)
+
   /** The SQL front door, exercised end to end as a DECLARED query:
     * the report is authored as ANSI SQL against the registered temp
     * views (`Tables.createViews`) with an explicit `BROADCAST` hint —

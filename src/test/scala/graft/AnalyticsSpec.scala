@@ -559,6 +559,43 @@ class AnalyticsSpec extends SparkSpec {
       Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("drift bins: period masses conserve; one bin replays; shares bounded") {
+    val rows = Analytics.qDriftBins(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    val evs = Tables.events(spark, sfDir)
+      .select(col("value"), col("ts").cast("string")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    assert(rows.map(r => r._2 + r._3).sum == evs.length)
+    val shareSumA = rows.map(_._4).sum
+    assert(shareSumA <= 1000000L && 1000000L - shareSumA < rows.length)
+    // one bin replayed
+    val (bin, na, nb, _, _) = rows.head
+    val inBin = evs.filter { case (v, _) =>
+      math.min(math.max(math.floor(v / 50.0).toLong, 0L), 9L) == bin }
+    val after = inBin.count(_._2 >= "2024-01-16")
+    assert(na == inBin.length - after && nb == after)
+  }
+
+  test("sole-fault suppliers: the double correlation replays from a per-order scan") {
+    val rows = graft.ops.Relational.qTpchSoleFault(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val lines = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .as[(Long, Long, String)].collect()
+    val perOrder = lines.groupBy(_._1).view.mapValues { ls =>
+      val bySupp = ls.groupBy(_._2).view
+        .mapValues(_.exists(_._3 == "R")).toMap
+      (bySupp.size, bySupp.count(_._2), bySupp.find(_._2).map(_._1))
+    }.toMap
+    val waits = perOrder.values
+      .collect { case (n, f, Some(s)) if n > 1 && f == 1 => s }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = waits.toSeq.sortBy { case (s, w) => (-w, s) }.take(10)
+    assert(rows.toSeq == expect)
+  }
+
   test("cross-correlation: every lag's moment sums replay from the daily series") {
     val rows = Analytics.qCrossCorr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
