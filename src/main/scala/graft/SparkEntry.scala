@@ -250,6 +250,8 @@ object SparkEntry {
     "q_sql_report" -> (Relational.qSqlReport _),
     "q_drift_bins" -> (Analytics.qDriftBins _),
     "q_tpch_sole_fault" -> (Relational.qTpchSoleFault _),
+    "q_lang_confusion" -> (Quality.qLangConfusion _),
+    "q_tpch_nation_trade" -> (Relational.qTpchNationTrade _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3334,6 +3336,48 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('el','los','es','y','que'))) AS s_es,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('le','la','et','les','des'))) AS s_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang AS true_lang,
+        |    CASE
+        |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |      WHEN s_fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM scored)
+        |SELECT true_lang, pred_lang, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "q_tpch_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_drift_bins" ->
       """WITH ev AS (

@@ -126,6 +126,19 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — [[qLangId]]'s per-doc predictions
+    * rolled up against the labeled language, the table a corpus
+    * curator reads before trusting the classifier as a routing or
+    * filtering gate (which off-diagonal cells are hot decides whether
+    * misroutes leak training data between language buckets). Composes
+    * the declared classifier; one extra 2-key hash aggregate over its
+    * |docs|-row output, nothing new shuffles. */
+  def qLangConfusion(spark: SparkSession, d: String): DataFrame =
+    qLangId(spark, d)
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+
   /** Quality scoring: length, symbol/digit ratios, mean token length,
     * stopword ratio, and a composite [0,1] score — the standard cheap
     * pre-filter for LLM training corpora. */

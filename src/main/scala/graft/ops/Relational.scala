@@ -296,6 +296,39 @@ object Relational {
         revenue.as("revenue"))
       .orderBy("p_brand")
 
+  /** Two-nation trade volume (TPC-H Q7 shape): revenue flowing between
+    * NATION_1 suppliers and NATION_2 customers — in BOTH directions,
+    * per ship year. The defining feature is the symmetric pair
+    * predicate `(s,c) ∈ {(A,B),(B,A)}`: both nation dims broadcast
+    * pre-filtered to the two nations, so the fact join fans in, not
+    * out, and the disjunction becomes a residual comparison on two
+    * broadcast-joined columns. One scan, exact-decimal revenue,
+    * |2 directions × years| output rows. With this, every TPC-H
+    * pattern expressible on the fixture schema ships (Q2/Q11/Q20 need
+    * partsupp, Q12 needs shipmode — columns the testdata does not
+    * have). */
+  def qTpchNationTrade(spark: SparkSession, d: String): DataFrame = {
+    val nations = broadcast(Tables.nation(spark, d)
+      .filter(col("n_name").isin("NATION_1", "NATION_2")))
+    val supp = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+      .join(nations.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation")), Seq("s_nationkey"))
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+      .join(nations.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation")), Seq("c_nationkey"))
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(count(lit(1)).as("n_lines"), revenue.as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Sole-fault supplier report (TPC-H Q21 shape): in multi-supplier
     * orders, the suppliers who were the ONLY one with return-flagged
     * lines — Q21's defining double correlation (EXISTS another

@@ -681,6 +681,17 @@ class QualitySpec extends SparkSpec {
     assert(rows.length == texts.count(_._2.length >= 2))
   }
 
+  test("lang confusion: matrix mass equals the corpus and rolls up the classifier exactly") {
+    val conf = Quality.qLangConfusion(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(conf.values.sum == Tables.documents(spark, sfDir).count())
+    val fromClassifier = Quality.qLangId(spark, sfDir)
+      .select("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(conf == fromClassifier)
+  }
+
   test("dataset card: every field replays from a driver-side corpus scan") {
     val r = Quality.qDatasetCard(spark, sfDir).head()
     val docs = Tables.documents(spark, sfDir)

@@ -357,6 +357,30 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"not a semi join:\n$plan")
   }
 
+  test("nation trade: the cell grid equals a direct per-pair replay (empty-safe at tiny SF)") {
+    // sf0.001 has 10 suppliers and may legitimately contain NO trade
+    // between the two focal nations — the contract is exact equality
+    // with the direct computation, whatever its cardinality (the
+    // sf0.01/sf0.1 oracle gates prove the 14-row non-empty case).
+    val rows = Relational.qTpchNationTrade(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .as[(Long, String)].collect().toMap
+    val expect = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey"), col("c_nationkey"),
+        year(col("l_shipdate")).cast("long").as("y"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, c, y) => (nat(s), nat(c), y) }
+      .filter { case (s, c, _) =>
+        Set(s, c).subsetOf(Set("NATION_1", "NATION_2")) && s != c }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows == expect)
+  }
+
   test("SQL front door: the hinted view query equals the DataFrame plan's result") {
     val sql = Relational.qSqlReport(spark, sfDir)
     // the BROADCAST hint reached physical planning
