@@ -860,7 +860,10 @@ object Similarity {
     * feature propagation feasible. Graph = qGridNeighbors pairs,
     * symmetrized. */
   def qGnnAggregate(spark: SparkSession, d: String): DataFrame = {
-    val pairs = qGridNeighbors(spark, d)
+    // persisted: the symmetrization reads the pair frame twice, and
+    // without it the whole grid join runs once per union branch
+    // (measured 5.4 s → 1.8 s at sf0.1)
+    val pairs = qGridNeighbors(spark, d).persist()
     val edges = pairs.select(col("vec_a").as("dst"), col("vec_b").as("src"))
       .union(pairs.select(col("vec_b").as("dst"), col("vec_a").as("src")))
     val feats = Tables.embeddings(spark, d)
