@@ -196,7 +196,10 @@ object DedupClusters {
     * qCrossSourceLeak failure mode, measured instead of assumed).
     * Both pair frames are k-bounded products of already-declared
     * plans; the audit itself is one full-outer join + one 1-row
-    * aggregate. */
+    * aggregate. (As a standalone query it recomputes both pair
+    * pipelines — in production the audit reads the two pair streams
+    * as materialized artifacts of the dedup runs themselves, so only
+    * the join+aggregate executes.) */
   def qDedupRecall(spark: SparkSession, d: String): DataFrame = {
     val lang = graft.Tables.documents(spark, d).select(col("doc_id"), col("lang"))
     val lsh = Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b")
