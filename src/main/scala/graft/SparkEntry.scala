@@ -252,6 +252,7 @@ object SparkEntry {
     "q_tpch_sole_fault" -> (Relational.qTpchSoleFault _),
     "q_lang_confusion" -> (Quality.qLangConfusion _),
     "q_tpch_nation_trade" -> (Relational.qTpchNationTrade _),
+    "q_twap" -> (Analytics.qTwap _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3336,6 +3337,24 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_twap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    epoch_us(date_trunc('day', ts)) AS day_us
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, day_us, value,
+        |    (coalesce(lead(us, 1) OVER (PARTITION BY user_id, day_us
+        |        ORDER BY us, event_id), day_us + 86400000000) - us)
+        |      // 1000000 AS dur_s
+        |  FROM ev)
+        |SELECT user_id, day_us, count(*) AS n_events,
+        |  CAST(sum(dur_s) AS BIGINT) AS held_s,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)) * dur_s) AS VARCHAR)
+        |    AS weighted_sum
+        |FROM h GROUP BY user_id, day_us
+        |ORDER BY user_id, day_us""".stripMargin,
 
     "q_lang_confusion" ->
       """WITH scored AS (

@@ -816,6 +816,34 @@ object Analytics {
       .orderBy("day_us")
   }
 
+  /** Time-weighted value aggregation (TWAP shape): per user-day, each
+    * observation holds until the next one (last-observation-carried-
+    * forward) and is weighted by how long it held, closing at day end
+    * — the correct average for irregularly-sampled state (a sensor
+    * reading, a price, a queue depth), where the arithmetic mean
+    * over-weights bursts. Durations are integer SECONDS (µs div 1e6 —
+    * truncation identical cross-engine) so value×duration stays an
+    * exact DECIMAL(28,6); the weighted sum ships as a decimal string
+    * plus the total held duration, consumer divides. One window (lead
+    * within user-day — corpus-many partitions) and one aggregate. */
+  def qTwap(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"),
+        expr("unix_micros(date_trunc('day', ts))").as("day_us"))
+    val w = Window.partitionBy("user_id", "day_us").orderBy("us", "event_id")
+    ev.withColumn("next_us",
+        coalesce(lead("us", 1).over(w), col("day_us") + lit(86400000000L)))
+      .withColumn("dur_s", expr("(next_us - us) div 1000000"))
+      .groupBy("user_id", "day_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum("dur_s").as("held_s"),
+        sum(col("value").cast("decimal(18,6)") * col("dur_s")).cast("string")
+          .as("weighted_sum"))
+      .orderBy("user_id", "day_us")
+  }
+
   /** Distribution-drift bins (PSI shape) — the monitoring table that
     * catches a feature's distribution moving between two periods: the
     * event value binned into ten fixed-width buckets, with counts and

@@ -559,6 +559,30 @@ class AnalyticsSpec extends SparkSpec {
       Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("TWAP: one user-day replays in BigDecimal; held time never exceeds the day") {
+    val rows = Analytics.qTwap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, held, _) =>
+      assert(n > 0 && held >= 0 && held <= 86400L) }
+    // replay the densest user-day scalar-side
+    val (user, day, n, held, ws) = rows.maxBy(_._3)
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") === user &&
+        expr("unix_micros(date_trunc('day', ts))") === day)
+      .select(col("event_id"), col("value"), expr("unix_micros(ts)"))
+      .as[(Long, Double, Long)].collect()
+      .sortBy(e => (e._3, e._1))
+    assert(n == evs.length)
+    val durs = evs.zipWithIndex.map { case ((_, _, us), i) =>
+      val next = if (i + 1 < evs.length) evs(i + 1)._3 else day + 86400000000L
+      (next - us) / 1000000L }
+    assert(held == durs.sum)
+    val expect = evs.zip(durs).map { case ((_, v, _), dur) =>
+      BigDecimal(v).setScale(6) * BigDecimal(dur) }.sum
+    assert(BigDecimal(ws) == expect)
+  }
+
   test("drift bins: period masses conserve; one bin replays; shares bounded") {
     val rows = Analytics.qDriftBins(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
