@@ -253,6 +253,7 @@ object SparkEntry {
     "q_lang_confusion" -> (Quality.qLangConfusion _),
     "q_tpch_nation_trade" -> (Relational.qTpchNationTrade _),
     "q_twap" -> (Analytics.qTwap _),
+    "q_interval_audit" -> (Inventory.qIntervalAudit _),
     "q_recommend" -> (Mining.qRecommend _),
     "q_interleave" -> (Packing.qInterleave _),
     "q_readability" -> (Quality.qReadability _),
@@ -3337,6 +3338,43 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q_interval_audit" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS iv_end
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, ts, iv_end,
+        |    CASE WHEN max(iv_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR ts > max(iv_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM iv),
+        |islands AS (
+        |  SELECT user_id, ts, iv_end,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flags),
+        |m AS (
+        |  SELECT user_id, min(ts) AS ms, max(iv_end) AS me
+        |  FROM islands GROUP BY user_id, island),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_merged,
+        |    CAST(sum((epoch_us(me) - epoch_us(ms)) // 1000000) AS BIGINT)
+        |      AS covered_s
+        |  FROM m GROUP BY user_id),
+        |raw AS (
+        |  SELECT user_id, count(*) AS n_raw, count(*) * 300 AS raw_s
+        |  FROM events GROUP BY user_id)
+        |SELECT r.user_id, r.n_raw, CAST(r.raw_s AS BIGINT) AS raw_s,
+        |  a.n_merged, a.covered_s,
+        |  CAST(r.raw_s - a.covered_s AS BIGINT) AS overlap_s,
+        |  CAST((a.covered_s * 1000000) // r.raw_s AS BIGINT) AS coverage_ppm
+        |FROM raw r JOIN agg a ON r.user_id = a.user_id
+        |ORDER BY r.user_id""".stripMargin,
 
     "q_twap" ->
       """WITH ev AS (

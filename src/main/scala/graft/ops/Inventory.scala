@@ -215,6 +215,33 @@ object Inventory {
       .orderBy("user_id", "merged_start")
   }
 
+  /** Coverage audit over the merged request windows — the one-page
+    * answer to "how much of the raw fetch time is double-covered?"
+    * that decides whether overlapping chunk windows (the reference's
+    * ±buffer design, app.py:375-376) are wasting fetch budget: per
+    * user, raw interval seconds vs the union's covered seconds, the
+    * overlap surplus, and the merge compression in ppm. Composes the
+    * declared [[qIntervalMerge]]; the raw side is a count-only
+    * aggregate (every interval is exactly 300 s), so the audit adds
+    * one |users|-row join to the already-oracled merge. All integers
+    * — durations are µs differences div 1e6. */
+  def qIntervalAudit(spark: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(spark, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n_raw"))
+      .withColumn("raw_s", col("n_raw") * 300L)
+    val merged = qIntervalMerge(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_merged"),
+        sum(expr("(unix_micros(merged_end) - unix_micros(merged_start)) div 1000000"))
+          .as("covered_s"))
+    raw.join(merged, Seq("user_id"))
+      .select(col("user_id"), col("n_raw"), col("raw_s"),
+        col("n_merged"), col("covered_s"),
+        (col("raw_s") - col("covered_s")).as("overlap_s"),
+        expr("(covered_s * 1000000) div raw_s").as("coverage_ppm"))
+      .orderBy("user_id")
+  }
+
   /** Percentile profile per key — the latency/size distribution view a
     * completeness dashboard needs next to counts. `percentile` is
     * Spark's exact interpolated quantile (sort-based per group ≙

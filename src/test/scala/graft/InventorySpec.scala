@@ -259,6 +259,27 @@ class InventorySpec extends SparkSpec {
     }
   }
 
+  test("interval audit: coverage identities hold and one user replays against the merged islands") {
+    val rows = Inventory.qIntervalAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nRaw, rawS, nMerged, covered, overlap, ppm) =>
+      assert(rawS == nRaw * 300L && nMerged <= nRaw)
+      assert(covered <= rawS && overlap == rawS - covered && overlap >= 0)
+      assert(ppm == covered * 1000000L / rawS)
+    }
+    // overlap exists somewhere (5-min windows over dense event streams)
+    assert(rows.exists(_._6 > 0))
+    // one user's covered seconds replay from the declared merge output
+    val u = rows.head._1
+    val merged = Inventory.qIntervalMerge(spark, sfDir)
+      .filter(col("user_id") === u)
+      .select(expr("(unix_micros(merged_end) - unix_micros(merged_start)) div 1000000"))
+      .collect().map(_.getLong(0))
+    assert(rows.head._5 == merged.sum && rows.head._4 == merged.length)
+  }
+
   test("null semantics: one NULL group; count(col) skips it; null-safe join finds it, equi-join drops it") {
     val rows = Inventory.qNullSemantics(spark, sfDir).collect()
     val (nullRows, rest) = rows.partition(_.isNullAt(0))
