@@ -345,7 +345,8 @@ object SparkEntry {
     "q_asof_nearest" ->
       """SELECT o_orderkey, ship_order, ship_line, ship_date FROM (
         |  SELECT o.o_orderkey, s.l_orderkey AS ship_order,
-        |    s.l_linenumber AS ship_line, CAST(s.st AS TIMESTAMP) AS ship_date,
+        |    CAST(s.l_linenumber AS BIGINT) AS ship_line,
+        |    CAST(s.st AS TIMESTAMP) AS ship_date,
         |    row_number() OVER (PARTITION BY o.o_orderkey ORDER BY
         |      abs(epoch_us(CAST(s.st AS TIMESTAMP))
         |          - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) ASC,
@@ -544,7 +545,8 @@ object SparkEntry {
         |ORDER BY user_id, merged_start""".stripMargin,
 
     "q_topk_per_group" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, rn FROM (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_orderkey
         |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
@@ -552,7 +554,8 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
 
     "q_topk_agg" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, rn FROM (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_orderkey
         |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
@@ -1066,7 +1069,8 @@ object SparkEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_orc_roundtrip" ->
-      """SELECT n_nationkey, n_name, n_regionkey
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_xml_config" ->
@@ -1315,7 +1319,8 @@ object SparkEntry {
         |  CROSS JOIN (SELECT * FROM (VALUES (1), (7)) AS t(lag_days)) l
         |  JOIN daily y ON y.event_type = x.event_type
         |    AND y.day_us = x.day_us + l.lag_days * 86400000000)
-        |SELECT event_type, lag_days, count(*) AS n_pairs,
+        |SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days,
+        |  count(*) AS n_pairs,
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |  CAST(sum(x * x) AS BIGINT) AS sxx,
         |  CAST(sum(y * y) AS BIGINT) AS syy,
@@ -1358,8 +1363,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts, us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS start_ts, max(ts) AS end_ts,
@@ -2498,7 +2503,8 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY label
         |    ORDER BY cos, vec_id) AS rn
         |  FROM sc)
-        |SELECT rk.label, cnt.n_vecs, rk.vec_id AS outlier_vec,
+        |SELECT CAST(rk.label AS BIGINT) AS label, cnt.n_vecs,
+        |  rk.vec_id AS outlier_vec,
         |  round(rk.cos, 4) AS outlier_cos
         |FROM rk JOIN cnt ON rk.label = cnt.label
         |WHERE rn = 1 ORDER BY rk.label""".stripMargin,
@@ -2511,7 +2517,7 @@ object SparkEntry {
         |n AS (
         |  SELECT label, len(e) AS dim,
         |    sqrt(list_sum([x * x for x in e])) AS nrm FROM v)
-        |SELECT label, count(*) AS n_vecs,
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
         |  min(dim) AS min_dim, max(dim) AS max_dim,
         |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
@@ -2628,7 +2634,8 @@ object SparkEntry {
         |  SELECT probe_id, vec_id, neg_label, c,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
         |  FROM p)
-        |SELECT probe_id, rn, vec_id, neg_label, round(c, 4) AS cos_sim
+        |SELECT probe_id, rn, vec_id, CAST(neg_label AS BIGINT) AS neg_label,
+        |  round(c, 4) AS cos_sim
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     // MMR greedy diversity re-rank: 4 unrolled selection steps (the
@@ -2658,7 +2665,8 @@ object SparkEntry {
         |  SELECT probe_id, label, votes,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rw
         |  FROM votes)
-        |SELECT w.probe_id, t.label AS true_label, w.label AS pred_label, w.votes
+        |SELECT w.probe_id, CAST(t.label AS BIGINT) AS true_label,
+        |  CAST(w.label AS BIGINT) AS pred_label, w.votes
         |FROM w JOIN embeddings t ON t.vec_id = w.probe_id
         |WHERE w.rw = 1 ORDER BY probe_id""".stripMargin,
 
@@ -2788,7 +2796,7 @@ object SparkEntry {
         |  WHERE k.i < h2 * 8)
         |SELECT doc_id, max(h2) AS out_h, count(*) AS n_px,
         |  CAST(sum(px) AS BIGINT) AS px_sum,
-        |  min(px) AS px_min, max(px) AS px_max
+        |  CAST(min(px) AS BIGINT) AS px_min, CAST(max(px) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_acquisition_plan" ->
@@ -2929,7 +2937,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT g.dst AS node, w.hop + 1 AS hop
         |  FROM walk w JOIN edges g ON g.src = w.node WHERE w.hop < 3)
-        |SELECT node, min(hop) AS hop FROM walk GROUP BY node
+        |SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
 
     "q_containment" ->
@@ -2989,7 +2997,8 @@ object SparkEntry {
         |mt AS (SELECT box_id, count(*) AS n_rows_match FROM boxes b JOIN q
         |  ON q.pk BETWEEN b.pk_lo AND b.pk_hi
         |  AND q.day BETWEEN b.day_lo AND b.day_hi GROUP BY box_id)
-        |SELECT b.box_id, coalesce(mt.n_rows_match, 0) AS n_rows_match,
+        |SELECT CAST(b.box_id AS BIGINT) AS box_id,
+        |  coalesce(mt.n_rows_match, 0) AS n_rows_match,
         |  coalesce(zt.z_files_touched, 0) AS z_files_touched,
         |  (SELECT count(*) FROM zst) AS z_files_total,
         |  coalesce(lt.lin_files_touched, 0) AS lin_files_touched,
@@ -3095,7 +3104,8 @@ object SparkEntry {
     // Skyline spec: the O(n²) dominance anti-join IS the semantics;
     // the engine's frontier-walk plan must reproduce it exactly.
     "q_skyline" ->
-      """SELECT p_brand, p_partkey, p_size, p_retailprice FROM part p
+      """SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  p_retailprice FROM part p
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
         |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
@@ -3128,7 +3138,7 @@ object SparkEntry {
         |      + (CASE WHEN rev > t8 THEN 1 ELSE 0 END)
         |      + (CASE WHEN rev > t9 THEN 1 ELSE 0 END) AS decile
         |  FROM cust CROSS JOIN th)
-        |SELECT decile, count(*) AS n_customers,
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
         |  CAST(sum(rev_dec) AS DOUBLE) AS revenue,
         |  CAST(sum(rev_micros) AS BIGINT) // (max(total_micros) // 1000000) AS share_ppm
         |FROM scored GROUP BY decile ORDER BY decile""".stripMargin,
@@ -3308,7 +3318,7 @@ object SparkEntry {
 
     "q_tpch_mktshare" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(CAST(sum(CASE WHEN s_nationkey = 2
+        |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,6))
         |         * (1 - CAST(l_discount AS DECIMAL(18,6)))
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS nation_rev,
@@ -3322,6 +3332,7 @@ object SparkEntry {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |JOIN region ON cn.n_regionkey = r_regionkey
         |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
@@ -3686,9 +3697,9 @@ object SparkEntry {
         |  FROM orders),
         |h AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |t AS (SELECT sum(n) AS total FROM h)
-        |SELECT digit, n, (n * 1000000) // total AS share_ppm,
-        |  [301030, 176091, 124939, 96910, 79181,
-        |   66947, 57992, 51153, 45757][CAST(digit AS INT)] AS benford_ppm
+        |SELECT digit, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST([301030, 176091, 124939, 96910, 79181,
+        |   66947, 57992, 51153, 45757][CAST(digit AS INT)] AS BIGINT) AS benford_ppm
         |FROM h, t ORDER BY digit""".stripMargin,
 
     "q_span_corrupt" ->

@@ -918,6 +918,11 @@ object Analytics {
       .groupBy(col("event_type"),
         expr("unix_micros(date_trunc('day', ts))").as("day_us"))
       .agg(count(lit(1)).as("n"))
+      // No unpersist on purpose (repo-wide pattern): declared queries
+      // are lazy plans, so the cache cannot be dropped before the
+      // caller's action, and both mains clearCache() right after it
+      // (Verify.scala:41, Bench.scala:60) — nothing accumulates
+      // across the 225-query session.
       .persist()
     val x = daily.filter(col("event_type") === "click")
       .select(col("day_us"), col("n").as("x"))

@@ -95,14 +95,15 @@ object DedupClusters {
   }
 
   /** Declared query: clusters over the MinHash-LSH near-dup pair
-    * stream (Quality.qMinhashNeardup) — the 100 TB pair source: LSH
+    * stream (Quality.qMinhashNeardup, read through its landed
+    * artifact — Quality.neardupPairs) — the 100 TB pair source: LSH
     * candidate generation is band-bucketed (never all-pairs, hot
     * bands capped), where the exact inverted-index Jaccard's Σdf²
     * bound depends on the shingle-frequency profile holding at scale.
     * The exact-Jaccard-pair clustering stays available below as the
     * spec's ground truth. */
   def qDedupClusters(spark: SparkSession, d: String): DataFrame =
-    connectedComponents(Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b"))
+    connectedComponents(Quality.neardupPairs(spark, d).select("doc_a", "doc_b"))
 
   /** Dedup audit report: cluster-size histogram plus the corpus-level
     * removal count — the one-page summary a dedup run is judged by
@@ -168,7 +169,7 @@ object DedupClusters {
     * semantics) — DedupClustersSpec asserts the planted near-dup docs
     * cluster identically through either pair source. */
   private[graft] def clustersFromExactPairs(spark: SparkSession, d: String): DataFrame =
-    connectedComponents(Quality.qNgramJaccard(spark, d).select("doc_a", "doc_b"))
+    connectedComponents(Quality.exactJaccardPairs(spark, d).select("doc_a", "doc_b"))
 
   /** Embedding-space near-dup clusters: the same min-label-propagation
     * components, fed by the SEMANTIC pair stream (multi-probe IVF
@@ -178,7 +179,7 @@ object DedupClusters {
     * Pair generation stays cluster-bucketed (never all-pairs); the
     * component loop runs on the near-dup vec set only. */
   def qEmbedClusters(spark: SparkSession, d: String): DataFrame =
-    connectedComponents(Similarity.qEmbedNeardup(spark, d)
+    connectedComponents(Similarity.embedNeardupPairs(spark, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("canonical_id"),
         col("cluster_size"), col("is_canonical"))
@@ -196,18 +197,17 @@ object DedupClusters {
     * qCrossSourceLeak failure mode, measured instead of assumed).
     * Both pair frames are k-bounded products of already-declared
     * plans; the audit itself is one full-outer join + one 1-row
-    * aggregate. (As a standalone query it recomputes both pair
-    * pipelines — in production the audit reads the two pair streams
-    * as materialized artifacts of the dedup runs themselves, so only
-    * the join+aggregate executes.) */
+    * aggregate, reading both pair streams as materialized Landing
+    * artifacts of the dedup runs themselves (exactly the production
+    * shape) — so only the join+aggregate executes here. */
   def qDedupRecall(spark: SparkSession, d: String): DataFrame = {
     val lang = graft.Tables.documents(spark, d).select(col("doc_id"), col("lang"))
-    val lsh = Quality.qMinhashNeardup(spark, d).select("doc_a", "doc_b")
+    val lsh = Quality.neardupPairs(spark, d).select("doc_a", "doc_b")
       .join(lang.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), Seq("doc_a"))
       .join(lang.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("lang_a") === col("lang_b")).as("same_block"), lit(true).as("in_lsh"))
-    val exact = Quality.qNgramJaccard(spark, d)
+    val exact = Quality.exactJaccardPairs(spark, d)
       .select(col("doc_a"), col("doc_b"), lit(true).as("in_exact"))
     lsh.join(exact, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

@@ -196,13 +196,18 @@ object Inventory {
     * interval [ts, ts+5min). A typed Aggregator variant lives in
     * graft.functions.IntervalMergeAggregator; this window form is the
     * oracle-checkable one. */
+  /** Each event's request window is [ts, ts + this many seconds) — one
+    * constant shared by the merge, the coverage audit's raw-side
+    * count-only arithmetic, and the oracle's INTERVAL 5 MINUTE. */
+  private[graft] val IntervalSeconds = 300L
+
   def qIntervalMerge(spark: SparkSession, d: String): DataFrame = {
     val ordered = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prevRows = ordered.rowsBetween(Window.unboundedPreceding, -1)
     val upToHere = ordered.rowsBetween(Window.unboundedPreceding, 0)
     Tables.events(spark, d)
       .select(col("user_id"), col("event_id"), col("ts"),
-        (col("ts") + expr("INTERVAL 5 MINUTES")).as("iv_end"))
+        (col("ts") + expr(s"INTERVAL $IntervalSeconds SECONDS")).as("iv_end"))
       .withColumn("prev_max_end", max(col("iv_end")).over(prevRows))
       .withColumn("is_new", when(
         col("prev_max_end").isNull || col("ts") > col("prev_max_end"), 1).otherwise(0))
@@ -228,7 +233,7 @@ object Inventory {
   def qIntervalAudit(spark: SparkSession, d: String): DataFrame = {
     val raw = Tables.events(spark, d)
       .groupBy("user_id").agg(count(lit(1)).as("n_raw"))
-      .withColumn("raw_s", col("n_raw") * 300L)
+      .withColumn("raw_s", col("n_raw") * IntervalSeconds)
     val merged = qIntervalMerge(spark, d)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_merged"),

@@ -509,9 +509,10 @@ object Relational {
     * scans, never a self-join. The share RATIO itself is not in the
     * declared output (nation_rev / total_rev is a double division the
     * consumer applies); both exact-decimal operands are. The supplier
-    * side tags each line's selling nation via `l_suppkey % nations` —
-    * this testdata has no partsupp, so supplier nationality is the
-    * join through the supplier dim, which broadcasts. */
+    * side tags each line's selling nation by joining the broadcast
+    * supplier dim through the nation dim — the focal nation is picked
+    * BY NAME (n_name = 'NATION_2', the qTpchNationTrade pattern), not
+    * by assuming the fixture's name↔key alignment. */
   def qTpchMktshare(spark: SparkSession, d: String): DataFrame = {
     val asiaCust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
       .join(broadcast(Tables.nation(spark, d)
@@ -521,6 +522,10 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey")
     val suppNation = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(spark, d)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation")),
+        Seq("s_nationkey"))
+      .select("s_suppkey", "supp_nation")
     val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))
     Tables.lineitem(spark, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -530,7 +535,7 @@ object Relational {
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        sum(when(col("s_nationkey") === 2, rev).otherwise(lit(0).cast("decimal(18,6)")))
+        sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0).cast("decimal(18,6)")))
           .cast("double").as("nation_rev"),
         sum(rev).cast("double").as("total_rev"),
         count(lit(1)).as("n_lines"))

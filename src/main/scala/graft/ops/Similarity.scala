@@ -180,6 +180,17 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Landed semantic near-dup pair artifact (`qEmbedNeardup` output) —
+    * same write-once contract as Quality.neardupPairs: the embedding
+    * dedup clustering reads the materialized pair stream instead of
+    * re-deriving the IVF-candidate + cosine-verify subtree. */
+  private[graft] def embedNeardupPairs(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Landing.dir(d, "embed_pairs_v1") { path =>
+      qEmbedNeardup(spark, d).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** Random-hyperplane LSH signatures: 16 sign bits, one per
     * hyperplane, packed into a BIGINT. The "hyperplanes" are corpus
     * vectors 8..23 — a deterministic stand-in for sampled Gaussian
@@ -799,7 +810,8 @@ object Similarity {
        |  JOIN n na ON na.vec_id = a.vec_id
        |  JOIN n nb ON nb.vec_id = b.vec_id),
        |$steps
-       |SELECT probe_id, rk, vec_id, round(rel, 4) AS rel_r,
+       |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id,
+       |  round(rel, 4) AS rel_r,
        |  round(score, 4) AS mmr_score
        |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
        |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4)

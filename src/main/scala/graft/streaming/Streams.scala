@@ -449,7 +449,9 @@ object Streams {
       val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
       if (batchMax > prev) {
         lastSeen.update(batchMax)
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        // Materialize before mutating: deleting while the state-store
+        // iterator is live is implementation-dependent behavior.
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(batchMax + gapMs)
       }
       Iterator.empty
