@@ -37,6 +37,7 @@ object SparkEntry {
     "q_asof_forward" -> (Acquisition.qAsofForward _),
     "q_asof_nearest" -> (Acquisition.qAsofNearest _),
     "q_asof_window" -> (Acquisition.qAsofWindow _),
+    "q_asof_dim_enrich" -> (Acquisition.qAsofDimEnrich _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
     "q_completeness" -> (Acquisition.qCompleteness _),
     "q_skew_join_salted" -> (Acquisition.qSkewJoinSalted _),
@@ -410,6 +411,32 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Temporal-dim (SCD2) enrichment: the dim is each event type's
+    // above-average-traffic days (integer cross-multiply so the set is
+    // SF-relative); each event carries the latest qualifying day
+    // at-or-before its ts.
+    "q_asof_dim_enrich" ->
+      """WITH dim AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS eff_from,
+        |    count(*) AS n_day
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(n_day) AS total, count(*) AS n_days
+        |  FROM dim GROUP BY 1),
+        |hot AS (
+        |  SELECT d.event_type, d.eff_from, d.n_day
+        |  FROM dim d JOIN tot t ON d.event_type = t.event_type
+        |  WHERE d.n_day * t.n_days > t.total),
+        |r AS (
+        |  SELECT e.event_id, h.eff_from, h.n_day,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY h.eff_from DESC) AS rn
+        |  FROM events e JOIN hot h
+        |    ON h.event_type = e.event_type
+        |    AND h.eff_from <= CAST(e.ts AS TIMESTAMP))
+        |SELECT event_id, eff_from, CAST(n_day AS BIGINT) AS dim_n_day
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     // Expected grid = distinct channels × distinct days; missing slots
     // surface as n_landed = 0 rows, never as absent rows.

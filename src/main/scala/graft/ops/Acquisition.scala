@@ -303,6 +303,42 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** E8 (native, temporal-DIM enrichment): the batch twin of
+    * [[graft.streaming.Streams.asofEnrich]] — each event carries the
+    * latest TIME-VERSIONED dim row at-or-before its own event time
+    * (an SCD2 lookup), planned through the custom operator with the
+    * broadcast hint pinned ON, exactly how the stream-static path
+    * plans every micro-batch: BroadcastAsOfJoinExec, fact side never
+    * shuffled or sorted. Distinct from [[qPitFeatures]]' tolerance
+    * form: no blind window, no staleness floor — the pure versioned-
+    * dim shape. The dim here is derived for self-containment (per
+    * event type, the above-average-traffic days: n_day·n_days >
+    * total, an integer cross-multiply so the qualifying set is
+    * SF-relative and deterministic); roughly half the days qualify at
+    * any SF, so the lookup genuinely carries forward across missing
+    * versions (sf0.01: 4653 of 10000 events match an eff_from strictly
+    * before their own day — asserted in spec). Events before a type's
+    * first qualifying day would surface as nulls; the filter drops
+    * them like the other asof queries (none exist in this fixture —
+    * day 1 is above-average for every type). */
+  def qAsofDimEnrich(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("eff_from"))
+      .agg(count(lit(1)).as("n_day"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("n_day").as("total"), count(lit(1)).as("n_days"))
+    val hot = daily.join(broadcast(tot), Seq("event_type"))
+      .filter(col("n_day") * col("n_days") > col("total"))
+      .select(col("event_type").as("dim_type"), col("eff_from"), col("n_day"))
+    val e = Tables.events(spark, d).select("event_id", "event_type", "ts")
+    graft.plans.AsOf.joinLatest(
+        e, hot, Seq("event_type"), Seq("dim_type"), "ts", "eff_from",
+        broadcastHint = Some(true))
+      .filter(col("eff_from").isNotNull)
+      .select(col("event_id"), col("eff_from"), col("n_day").as("dim_n_day"))
+      .orderBy("event_id")
+  }
+
   /** E8b: bounded-range join, bucketed — per event, the same user's
     * earlier events inside the trailing 24 h (the "recent activity in
     * the acquisition window" feature; reference window derivation

@@ -167,13 +167,24 @@ object TimeWindows {
       .orderBy("budget_s")
   }
 
-  def qThrottleEvents(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val gapUs = 3600L * 1000000L
-    val ev = Tables.events(spark, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .as[(Long, Long, Long)]
-    val kept = ev.repartition(col("user_id"))
+  /** The distributed throttle plan on an arbitrary (user, id, us)
+    * dataset — extracted so ThrottleProps can drive it across
+    * partition counts: hash-repartition by user (every user's rows
+    * land in ONE partition at ANY partition count — the invariant the
+    * property suite machine-checks), external sort within partitions,
+    * one O(1)-state greedy scan. The same greedy recurrence runs
+    * per-key in streaming form in [[graft.streaming.Streams
+    * .throttleRunning]]; ThrottleProps asserts all three forms (this
+    * plan at several partition counts, and a driver-side reference
+    * fold) produce the identical kept set. */
+  private[graft] def throttleKept(
+      ev: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      gapUs: Long): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    ev.repartition(col("user_id"))
       .sortWithinPartitions("user_id", "us", "event_id")
       .mapPartitions { it =>
         var curUser = Long.MinValue
@@ -188,8 +199,17 @@ object TimeWindows {
             Some((u, id, us))
           } else None
         }
-      }
-    kept.toDF("user_id", "event_id", "us")
+      }(enc)
+  }
+
+  def qThrottleEvents(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000L
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+    throttleKept(ev, gapUs)
+      .toDF("user_id", "event_id", "us")
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("us")).as("ts"))
       .orderBy("user_id", "ts", "event_id")

@@ -164,6 +164,37 @@ class AsOfJoinSpec extends SparkSpec {
       Acquisition.qAsofLatest(spark, sfDir).collect().toSeq)
   }
 
+  test("q_asof_dim_enrich: temporal-dim shape plans BroadcastAsOfJoinExec and carries forward") {
+    val df = Acquisition.qAsofDimEnrich(spark, sfDir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the stream-static enrichment plan: broadcast exec, no Window,
+    // fact side never sorted into a merge
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(rows.nonEmpty)
+    // the lookup is a real SCD2 carry: a substantial share of events
+    // match an eff_from strictly before their own day (a missing
+    // version between dim row and event)
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("own_day"))
+    val carried = df.join(e, "event_id")
+      .filter(col("eff_from") < col("own_day")).count()
+    assert(carried > 0, "no event carried forward — dim not temporal")
+    // every matched version really is a qualifying (above-average) day
+    val hotDays = {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("n").as("total"), count(lit(1)).as("nd"))
+      daily.join(tot, "event_type")
+        .filter(col("n") * col("nd") > col("total"))
+        .select(col("d")).distinct().collect().map(_.getTimestamp(0)).toSet
+    }
+    assert(rows.forall(r => hotDays.contains(r.getTimestamp(1))))
+  }
+
   test("pruning rule narrows unprojected children down to the referenced columns") {
     // No manual select on either side: the rule must keep only the
     // join-needed + consumer-needed columns, dropping event_type/value/

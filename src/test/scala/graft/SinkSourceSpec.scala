@@ -225,6 +225,47 @@ class SinkSourceSpec extends SparkSpec {
     assert(!new java.io.File(raw(cdir) + "._old").exists())
   }
 
+  test("sinks run over a NON-default mock:// scheme wired purely by config, renames asserted") {
+    // The "any object store via fs.<scheme>.impl, no code change"
+    // claim, proven past file://: a custom scheme the sinks have never
+    // seen, registered only through Hadoop config. The instrumented FS
+    // also pins the rename-not-copy assumption S3A breaks (its rename
+    // is a server-side copy+delete): the compaction swap and the
+    // parquet committer's task-commit moves all surface as rename()
+    // calls here, so the dependency is measured, not assumed.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[MockFs].getName)
+    val base = "mock://" + tmp()
+    val raw = (u: String) => u.stripPrefix("mock://")
+    // moveVerified across mock:// (write, verify, delete-source)
+    val src = base + "/src"
+    val dst = base + "/dst"
+    Tables.region(spark, sfDir).write.parquet(src)
+    MockFs.reset()
+    val (moved, deleted) = Sinks.moveVerified(spark, src, dst)
+    assert(moved == 5 && deleted)
+    assert(!new java.io.File(raw(src)).exists())
+    assert(spark.read.parquet(dst).count() == 5)
+    // the copy's commit moved files by RENAME on the mock FS, and the
+    // verified source was removed by a delete — both went through the
+    // custom scheme, not the default FS
+    assert(MockFs.renames.get() > 0,
+      "no rename reached mock:// — the sink bypassed the configured FS")
+    assert(MockFs.deletes.get() > 0)
+    // compact across mock://: the two-rename directory swap
+    val cdir = base + "/compact_t"
+    Tables.nation(spark, sfDir).repartition(8).write.parquet(cdir)
+    MockFs.reset()
+    val (nBefore, nAfter) = Sinks.compact(spark, cdir, targetBytes = 1L << 30)
+    assert(nBefore >= 8 && nAfter == 1)
+    assert(spark.read.parquet(cdir).count() == 25)
+    // ≥ 2 renames: dir → dir._old, dir._compacting → dir (plus the
+    // committer's own task-commit renames inside the temp write)
+    assert(MockFs.renames.get() >= 2)
+    assert(!new java.io.File(raw(cdir) + "._compacting").exists())
+    assert(!new java.io.File(raw(cdir) + "._old").exists())
+  }
+
   test("compaction collapses small files, preserves content exactly, and swaps atomically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate a microbatch-accreted sink: 16 tiny files
