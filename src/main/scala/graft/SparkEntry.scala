@@ -137,6 +137,8 @@ object SparkEntry {
     "q_cross_source_leak" -> (Quality.qCrossSourceLeak _),
     "q_contamination" -> (Quality.qContamination _),
     "q_repetition" -> (Quality.qRepetition _),
+    "q_dup_spans" -> (Quality.qDupSpans _),
+    "q_dsir_weight" -> (Quality.qDsirWeight _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2086,6 +2088,64 @@ object SparkEntry {
         |  max(n) AS max_repeat,
         |  round(1 - count(*) / CAST(sum(n) AS DOUBLE), 4) AS repetition_ratio
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Substring-dedup cut mask: positions covered by 8-token windows
+    // shared with >= 2 distinct docs, overlaps merged per doc via the
+    // cumulative-max island pattern.
+    "q_dup_spans" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    unnest([{'pos': i - 1, 'w': array_to_string(tk[i:i+7], ' ')}
+        |            for i in range(1, len(tk) - 6)], recursive := true)
+        |  FROM tkt WHERE len(tk) >= 8),
+        |shared AS (
+        |  SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df FROM win GROUP BY w)
+        |  WHERE df >= 2),
+        |dup AS (SELECT win.doc_id, win.n_tokens, win.pos FROM win JOIN shared USING (w)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, pos, pos + 8 AS pend,
+        |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |grp AS (
+        |  SELECT doc_id, n_tokens, pos, pend,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |cov AS (
+        |  SELECT doc_id, n_tokens, island, min(pos) AS mn, max(pend) AS mx,
+        |    count(*) AS nw
+        |  FROM grp GROUP BY doc_id, n_tokens, island)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum(nw) AS BIGINT) AS n_dup_windows, count(*) AS n_spans,
+        |  CAST(sum(mx - mn) AS BIGINT) AS covered_tokens,
+        |  CAST((sum(mx - mn) * 1000000) // n_tokens AS BIGINT) AS dup_ppm
+        |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // DSIR-style integer affinity: per doc, sum over bigram
+    // occurrences of (target ppm - corpus ppm).
+    "q_dsir_weight" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang, unnest([array_to_string(tk[i:i+1], ' ')
+        |    for i in range(1, len(tk))]) AS g
+        |  FROM tkt WHERE len(tk) >= 2),
+        |raw AS (SELECT g, count(*) AS c_r FROM occ GROUP BY g),
+        |tgt AS (SELECT g, count(*) AS c_t FROM occ WHERE lang = 'en' GROUP BY g),
+        |tot AS (SELECT count(*) AS tot_r,
+        |  count(*) FILTER (WHERE lang = 'en') AS tot_t FROM occ),
+        |st AS (
+        |  SELECT r.g,
+        |    (coalesce(t.c_t, 0) * 1000000) // tot_t
+        |      - (r.c_r * 1000000) // tot_r AS delta_ppm
+        |  FROM raw r LEFT JOIN tgt t ON r.g = t.g, tot)
+        |SELECT o.doc_id, count(*) AS n_grams,
+        |  CAST(sum(delta_ppm) AS BIGINT) AS affinity_ppm
+        |FROM occ o JOIN st ON o.g = st.g
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
 
     // Connected components over the MinHash-LSH near-dup pairs
     // (q_minhash_neardup's pair semantics — band-bucketed candidates,

@@ -943,6 +943,105 @@ object Quality {
       .select("doc_id", "n_shingles", "n_distinct", "max_repeat", "repetition_ratio")
       .orderBy("doc_id")
 
+  /** Substring-dedup cut-mask accounting (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring pass, at window granularity): per document, how many
+    * token POSITIONS are covered by 8-token windows that also appear
+    * in another document — i.e. the exact mass a substring dedup
+    * would cut, which doc-level near-dup (Jaccard/containment over
+    * SETS) cannot see because it ignores positions. Pipeline:
+    * per-position windows via the native `word_shingles` posexplode
+    * (map-only), a document-frequency aggregate keeps windows in ≥ 2
+    * distinct docs, and each doc's surviving [pos, pos+8) intervals
+    * merge with qIntervalMerge's cumulative-max island pattern —
+    * overlapping hits collapse, so covered_tokens counts each
+    * position once (sf0.01: 2101 dup windows merge to 2430 covered
+    * positions across 47 docs).
+    *
+    * Scale shape: only (window-hash-sized string, doc, pos) triples
+    * shuffle; the df aggregate collapses map-side; the island window
+    * partitions by DOC over dup positions only (≤ doc length rows per
+    * partition — bounded by construction). At 100 TB swap the raw
+    * window string for its md5 before the shuffle (same plan, fixed
+    * 32-byte keys); kept as the string here so the oracle needs no
+    * hash parity beyond tokenization. */
+  def qDupSpans(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val win = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        posexplode(expr("word_shingles(text, 8)")).as(Seq("pos", "w")))
+      .persist() // feeds both the df aggregate and the dup join
+    val shared = win.select("w", "doc_id").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("w")
+    val dup = win.join(shared, "w")
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dup.withColumn("pend", col("pos") + 8L)
+      .withColumn("prev_end", max("pend").over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum("is_new").over(upTo))
+      .groupBy("doc_id", "n_tokens", "island")
+      .agg(min("pos").as("mn"), max("pend").as("mx"), count(lit(1)).as("nw"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"), sum("nw").as("n_dup_windows"),
+        sum(col("mx") - col("mn")).as("covered_tokens"))
+      .withColumn("dup_ppm", expr("(covered_tokens * 1000000) div n_tokens"))
+      .select("doc_id", "n_tokens", "n_dup_windows", "n_spans",
+        "covered_tokens", "dup_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per document,
+    * how much its hashed-bigram profile leans toward a TARGET domain
+    * (here lang = 'en', the usual "target = curated English"
+    * framing) versus the raw corpus. DSIR proper scores
+    * Σ log(p_target(g)/p_raw(g)); shipping summed logs is not
+    * hash-stable cross-engine (libm ulp), so the declared surface is
+    * the integer-exact affinity Σ_occurrences (ppm_target(g) −
+    * ppm_raw(g)) — the same "which grams over-index in the target"
+    * signal in fixed-point, with the log-ratio form as the one-line
+    * production swap where bit-parity with an external oracle is not
+    * a requirement.
+    *
+    * Scale shape: gram stats are vocabulary-sized aggregates (both
+    * derived from ONE occurrence scan — the target side is a filtered
+    * re-aggregate of the same frame, never a second corpus pass); the
+    * 1-row totals broadcast; the per-doc score is one equi-join of
+    * the occurrence stream against the gram table and a per-doc sum
+    * that collapses map-side. At 100 TB the gram table is the thing
+    * DSIR hashes to 10k buckets — add `hash(g) % 10000` as the key
+    * and the stats side becomes a broadcastable constant. */
+  def qDsirWeight(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val occ = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("word_shingles(text, 2)")).as("g"))
+      .persist() // raw stats, target stats, totals, and the scoring join
+    val raw = occ.groupBy("g").agg(count(lit(1)).as("c_r"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy("g").agg(count(lit(1)).as("c_t"))
+    val totals = occ.agg(count(lit(1)).as("tot_r"),
+      count(when(col("lang") === "en", lit(1))).as("tot_t"))
+    val delta = raw.join(tgt, Seq("g"), "left")
+      // 1-row totals broadcast (PlanQualitySpec-allowlisted)
+      .crossJoin(broadcast(totals))
+      .select(col("g"),
+        (expr("(coalesce(c_t, 0) * 1000000) div tot_t")
+          - expr("(c_r * 1000000) div tot_r")).as("delta_ppm"))
+    occ.join(delta, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("delta_ppm").as("affinity_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms: the per-document salient-term view a corpus
     * curation pipeline uses for topic filtering and dedup triage.
     * tf = term count in doc, df = docs containing term, score =

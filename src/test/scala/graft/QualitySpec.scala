@@ -704,4 +704,67 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(4) == docs.length - docs.map(_._2).distinct.length)
     assert(r.getLong(5) == docs.count(_._5 < 100))
   }
+
+  test("dup_spans: replays from a driver-side window scan; spans merge and bound coverage") {
+    val got = Quality.qDupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getAs[Number](3).longValue, r.getLong(4), r.getLong(5)))).toMap
+    // reference: all 8-token windows, shared iff in >= 2 distinct docs,
+    // per-doc positions merged as intervals
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1)))
+    val wins = docs.flatMap { case (id, tk) =>
+      tk.sliding(8).zipWithIndex.collect {
+        case (w, i) if w.length == 8 => (id, i.toLong, w.mkString(" "))
+      }
+    }
+    val sharedW = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val ref = wins.filter(w => sharedW(w._3)).groupBy(_._1).map { case (id, ws) =>
+      val ps = ws.map(_._2).sorted
+      // merge [p, p+8) intervals
+      var spans = List.empty[(Long, Long)]
+      ps.foreach { p =>
+        spans match {
+          case (lo, hi) :: rest if p <= hi => spans = (lo, math.max(hi, p + 8)) :: rest
+          case _ => spans = (p, p + 8) :: spans
+        }
+      }
+      val nTok = docs.find(_._1 == id).get._2.length.toLong
+      id -> ((nTok, ws.size.toLong, spans.size.toLong,
+        spans.map(s => s._2 - s._1).sum,
+        spans.map(s => s._2 - s._1).sum * 1000000L / nTok))
+    }
+    assert(got == ref)
+    // coverage never exceeds the doc and each span is at least one window
+    assert(got.values.forall { case (n, _, spans, cov, ppm) =>
+      cov <= n && cov >= spans * 8 && ppm <= 1000000L })
+  }
+
+  test("dsir affinity separates the target domain and one doc replays exactly") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = Quality.qDsirWeight(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // target docs should lean positive vs non-target on average: the
+    // score is Σ(ppm_t − ppm_r) and target grams over-index in target
+    val en = docs.filter(_._2 == "en").map(d => got(d._1)._2)
+    val non = docs.filter(_._2 != "en").map(d => got(d._1)._2)
+    assert(en.sum / en.length > non.sum / non.length)
+    // exact replay of one document from first principles
+    val grams = docs.flatMap { case (id, lang, t) =>
+      t.split("\\s+", -1).sliding(2).collect {
+        case w if w.length == 2 => (id, lang, w.mkString(" "))
+      }
+    }
+    val totR = grams.length.toLong
+    val totT = grams.count(_._2 == "en").toLong
+    val cR = grams.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cT = grams.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val probe = docs.maxBy(_._3.length)._1
+    val mine = grams.filter(_._1 == probe)
+    val want = mine.map { case (_, _, g) =>
+      cT.getOrElse(g, 0L) * 1000000L / totT - cR(g) * 1000000L / totR
+    }.sum
+    assert(got(probe) == ((mine.length.toLong, want)))
+  }
 }
