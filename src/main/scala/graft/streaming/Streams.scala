@@ -115,6 +115,33 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The reference's daily ingest LOOP as ONE continuous pipeline
+    * (app.py:498-619 end to end) — the streaming flagship that
+    * composes three already-proven stages: dead-letter split
+    * (placeholder detection, app.py:439-445), exactly-once-per-chunk
+    * dedup within the lateness horizon (the skip-if-exists
+    * idempotence, app.py:270-273, 419-421), and station-catalog
+    * enrichment (app.py:238-244) — emitting the frame a
+    * date-partitioned sink lands (Sinks.writeDatePartitioned ≙ the
+    * dated S3 key, app.py:449-459; placeholders ride along flagged,
+    * never dropped — they ARE the queryable failure set).
+    *
+    * The state story stays additive under composition: the ONLY
+    * stateful operator is the watermark-bounded dedup (state size =
+    * lateness horizon, not stream lifetime); the split is a stateless
+    * projection and the enrichment a per-batch broadcast join.
+    * StreamingSpec proves the composed stream equals the batch
+    * composition of the same stages under adversarial micro-batch
+    * chopping with redelivery. Input schema: (ts, event_id,
+    * station_id, content). */
+  def ingestPipeline(
+      fetched: DataFrame,
+      stations: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    enrichWithDim(
+      dedupWithinWatermark(withDeadLetter(fetched), lateness),
+      stations, "station_id")
+
   /** R11/R12's correlation shape as a stream-stream join: planned
     * requests joined to the fetch responses that arrive for them, with
     * BOTH sides watermarked and the join range-bounded so Spark can

@@ -140,6 +140,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed ingest pipeline equals its batch composition under redelivery and chopping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stations = Seq((1L, "STA_A"), (2L, "STA_B")).toDF("station_id", "station")
+    val input = MemoryStream[(Timestamp, Long, Long, Option[Array[Byte]])]
+    val out = Streams.ingestPipeline(
+      input.toDF().toDF("ts", "event_id", "station_id", "content"), stations)
+    val sink = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val q = out.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.Sinks.writeDatePartitioned(batch, sink)
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val ok = Some(Array[Byte](1, 2, 3))
+      val rows = Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 1L, ok),                       // payload
+        (ts("2024-01-01 10:00:10"), 2L, 1L, Some(Array.empty[Byte])),  // HTTP error
+        (ts("2024-01-02 09:00:00"), 3L, 2L, None),                     // connection error
+        (ts("2024-01-02 09:00:20"), 4L, 9L, ok))                       // unknown station
+      // adversarial chopping: one row per batch, chunk 1 redelivered
+      // byte-identically in a later batch (at-least-once upstream)
+      input.addData(rows(0)); q.processAllAvailable()
+      input.addData(rows(1)); q.processAllAvailable()
+      input.addData(rows(0)); q.processAllAvailable() // redelivery
+      input.addData(rows(2), rows(3)); q.processAllAvailable()
+      // exactly one stateful operator: the watermark-bounded dedup
+      assert(q.lastProgress.stateOperators.length == 1)
+      val landed = spark.read.parquet(sink)
+      // batch composition of the same stages over the logical input
+      val batchIn = rows.toDF("ts", "event_id", "station_id", "content")
+      val want = Streams.enrichWithDim(
+          Streams.withDeadLetter(batchIn).dropDuplicates("event_id"),
+          stations, "station_id")
+        .withColumn("date_part", date_format(col("ts"), "yyyyMMdd"))
+      assert(landed.count() == 4)
+      // the dated dir layout round-trips the partition value as a
+      // directory name — read it back as a string on both sides
+      def view(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("event_id"), col("is_placeholder"), col("error_type"),
+          col("station"), col("date_part").cast("string").as("date_part"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)),
+          Option(r.getString(3)), r.getString(4))).toSet
+      val lc = view(landed)
+      val wc = view(want)
+      assert(lc == wc)
+      // placeholders flagged, not dropped; the dated layout is real dirs
+      assert(lc.count(_._2) == 2)
+      assert(new java.io.File(s"$sink/date_part=20240101").exists())
+      assert(new java.io.File(s"$sink/date_part=20240102").exists())
+    } finally q.stop()
+  }
+
   test("stream-stream join correlates responses within the timeout only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
