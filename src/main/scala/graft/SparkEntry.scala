@@ -3046,17 +3046,20 @@ object SparkEntry {
         |ORDER BY lang, doc_a, doc_b""".stripMargin,
 
     // File-skipping dividend: both layouts judged by the same min/max
-    // overlap test; the masked (a & 65535) pk equals the raw key at
-    // every test SF (keys < 2^16), matching q_zorder_layout's
-    // precedent.
+    // overlap test. The 16-bit mask applies ONLY inside the z-key
+    // ladder (the engine's zorder16 masks its inputs); file stats,
+    // the linear layout, and box membership all use the RAW column
+    // values — parquet stats describe stored values, not the
+    // quantized key (divergence surfaced by the sf0.3 magnitude
+    // probe, where pk exceeds 2^16).
     "q_zorder_skipping" ->
       """WITH q AS (
-        |  SELECT (l_partkey & 65535) AS pk,
-        |    (datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) & 65535) AS day
+        |  SELECT l_partkey AS pk,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day
         |  FROM lineitem),
         |s1 AS (SELECT pk, day,
-        |  ((pk | (pk << 8)) & 16711935) AS xa,
-        |  ((day | (day << 8)) & 16711935) AS xb FROM q),
+        |  (((pk & 65535) | ((pk & 65535) << 8)) & 16711935) AS xa,
+        |  (((day & 65535) | ((day & 65535) << 8)) & 16711935) AS xb FROM q),
         |s2 AS (SELECT pk, day,
         |  ((xa | (xa << 4)) & 252645135) AS xa,
         |  ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
@@ -3096,24 +3099,26 @@ object SparkEntry {
         |LEFT JOIN lt ON lt.box_id = b.box_id
         |ORDER BY b.box_id""".stripMargin,
 
+    // Same mask-only-the-key rule as q_zorder_skipping: file stats
+    // report the RAW stored values.
     "q_zorder_layout" ->
       """WITH q AS (
-        |  SELECT (l_partkey & 65535) AS a,
-        |    (datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) & 65535) AS b
+        |  SELECT l_partkey AS pk,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day
         |  FROM lineitem),
-        |s1 AS (SELECT a, b,
-        |  ((a | (a << 8)) & 16711935) AS xa,
-        |  ((b | (b << 8)) & 16711935) AS xb FROM q),
-        |s2 AS (SELECT a, b,
+        |s1 AS (SELECT pk, day,
+        |  (((pk & 65535) | ((pk & 65535) << 8)) & 16711935) AS xa,
+        |  (((day & 65535) | ((day & 65535) << 8)) & 16711935) AS xb FROM q),
+        |s2 AS (SELECT pk, day,
         |  ((xa | (xa << 4)) & 252645135) AS xa,
         |  ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
-        |s3 AS (SELECT a, b,
+        |s3 AS (SELECT pk, day,
         |  ((xa | (xa << 2)) & 858993459) AS xa,
         |  ((xb | (xb << 2)) & 858993459) AS xb FROM s2),
-        |s4 AS (SELECT a, b,
+        |s4 AS (SELECT pk, day,
         |  ((xa | (xa << 1)) & 1431655765) AS xa,
         |  ((xb | (xb << 1)) & 1431655765) AS xb FROM s3),
-        |z AS (SELECT a AS pk, b AS day, (xa | (xb << 1)) >> 22 AS file_id FROM s4)
+        |z AS (SELECT pk, day, (xa | (xb << 1)) >> 22 AS file_id FROM s4)
         |SELECT file_id, count(*) AS n_rows,
         |  min(pk) AS min_pk, max(pk) AS max_pk,
         |  min(day) AS min_day, max(day) AS max_day

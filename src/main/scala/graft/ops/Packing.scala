@@ -204,7 +204,18 @@ object Packing {
     * per bucket. The key itself is the native codegen'd
     * [[graft.functions.ZOrderKey]]; the plan is one projection + one
     * map-side-combining aggregate, shuffle only on the ~256 bucket
-    * ids. In a real rewrite the same key feeds repartitionByRange. */
+    * ids. In a real rewrite the same key feeds repartitionByRange.
+    *
+    * Quantization domain: zorder16 masks each input to its low 16
+    * bits, which IS the quantization here because the fixture keys fit
+    * 2^16 (partkey ≤ 20000 at sf0.1, day ≤ ~4600). For a key space
+    * beyond 2^16 (the sf0.3 probe's offset pks, or any real table)
+    * low-bit masking aliases faraway keys into one bucket and the
+    * min/max stats stop pruning — production quantizes by RANGE RANK
+    * (ntile/percent_rank × 65535, or `pk div (max_pk div 65536 + 1)`)
+    * before the interleave. The reported file stats are always the
+    * RAW stored values (what parquet footers hold), never the masked
+    * key — the oracle mirrors that split. */
   def qZorderLayout(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.lineitem(spark, d)
