@@ -120,6 +120,7 @@ object SparkEntry {
     "q_quality_score" -> (Quality.qQualityScore _),
     "q_doc_fingerprint" -> (Quality.qDocFingerprint _),
     "q_minhash_neardup" -> (Quality.qMinhashNeardup _),
+    "q_neardup_sweep" -> (Quality.qNeardupSweep _),
     "q_simhash" -> (Quality.qSimhash _),
     "q_ngram_jaccard" -> (Quality.qNgramJaccard _),
     "q_containment" -> (Quality.qContainment _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "q_embed_clusters" -> (DedupClusters.qEmbedClusters _),
     "q_dedup_recall" -> (DedupClusters.qDedupRecall _),
     "q_span_corrupt" -> (Packing.qSpanCorrupt _),
+    "q_fim_split" -> (Packing.qFimSplit _),
     "q_window_suite" -> (Inventory.qWindowSuite _),
     "q_null_semantics" -> (Inventory.qNullSemantics _),
     "q_benford" -> (Analytics.qBenford _),
@@ -3819,6 +3821,73 @@ object SparkEntry {
         |LEFT JOIN sc ON sc.doc_id = b.doc_id
         |LEFT JOIN masked ON masked.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // FIM split plan: two md5-derived cut points uniform over 0..n
+    // partition each doc into (prefix, middle, suffix); 50/50 PSM/SPM.
+    "q_fim_split" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |        substr(md5('fim1:' || doc_id), i, 1)) - 1) * pow(16.0, 4 - i)
+        |      for i in range(1, 5)]) AS BIGINT) % (n + 1) AS c1,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |        substr(md5('fim2:' || doc_id), i, 1)) - 1) * pow(16.0, 4 - i)
+        |      for i in range(1, 5)]) AS BIGINT) % (n + 1) AS c2,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |        substr(md5('fimm:' || doc_id), i, 1)) - 1) * pow(16.0, 4 - i)
+        |      for i in range(1, 5)]) AS BIGINT) % 2 AS m
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  least(c1, c2) AS prefix_tokens,
+        |  greatest(c1, c2) - least(c1, c2) AS middle_tokens,
+        |  n - greatest(c1, c2) AS suffix_tokens,
+        |  CASE WHEN m = 0 THEN 'SPM' ELSE 'PSM' END AS mode
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Threshold sweep over the verified LSH pair stream: per 0.1
+    // jaccard band, pairs, distinct docs, and cumulative pairs at or
+    // above the band (what a cutoff there would remove).
+    "q_neardup_sweep" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |p AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |bnd AS (
+        |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band_x10, doc_a, doc_b
+        |  FROM p WHERE jaccard >= 0.5),
+        |agg AS (SELECT band_x10, count(*) AS n_pairs FROM bnd GROUP BY band_x10),
+        |docs AS (SELECT band_x10, count(DISTINCT doc) AS n_docs FROM (
+        |  SELECT band_x10, unnest([doc_a, doc_b]) AS doc FROM bnd)
+        |  GROUP BY band_x10)
+        |SELECT a.band_x10, a.n_pairs,
+        |  CAST(sum(a.n_pairs) OVER (ORDER BY a.band_x10 DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_at_least,
+        |  d.n_docs
+        |FROM agg a JOIN docs d USING (band_x10)
+        |ORDER BY a.band_x10""".stripMargin,
 
     "q_window_suite" ->
       """SELECT user_id, event_id,

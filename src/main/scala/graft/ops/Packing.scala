@@ -416,4 +416,33 @@ object Packing {
       .withColumn("mask_ppm", expr("(n_masked * 1000000) div n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Fill-in-the-middle split plan (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): per
+    * document, two deterministic cut points over the token sequence
+    * partition it into (prefix, middle, suffix), plus the 50/50
+    * PSM-vs-SPM ordering flag the paper's joint distribution uses.
+    * Cut points are content-hashed (md5 of doc_id, the engine's
+    * cross-engine-reproducible RNG stand-in — the qSpanCorrupt /
+    * qKfold convention), uniform over 0..n so empty spans occur
+    * exactly as the sampling implies. Declared surface is the PLAN
+    * (span lengths + mode), not rearranged text: the trainer's data
+    * loader applies the rearrangement, and integer lengths are what
+    * the oracle can hash-check. Pure projection — no shuffle, no
+    * join; at 100 TB this is map-only over the corpus scan. */
+  def qFimSplit(spark: SparkSession, d: String): DataFrame = {
+    def h(tag: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(tag), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+    Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .withColumn("c1", h("fim1:") % (col("n_tokens") + 1L))
+      .withColumn("c2", h("fim2:") % (col("n_tokens") + 1L))
+      .select(col("doc_id"), col("n_tokens"),
+        least(col("c1"), col("c2")).as("prefix_tokens"),
+        (greatest(col("c1"), col("c2")) - least(col("c1"), col("c2"))).as("middle_tokens"),
+        (col("n_tokens") - greatest(col("c1"), col("c2"))).as("suffix_tokens"),
+        when(h("fimm:") % 2 === 0, "SPM").otherwise("PSM").as("mode"))
+      .orderBy("doc_id")
+  }
 }

@@ -551,6 +551,35 @@ object Quality {
     spark.read.parquet(dir)
   }
 
+  /** Near-dup threshold sensitivity sweep — the tuning table that
+    * decides where a dedup run sets its Jaccard cutoff: for each 0.1
+    * similarity band over the verified LSH pair stream, the pair
+    * count, the DISTINCT documents involved, and the cumulative
+    * pairs-at-or-above (what a cutoff at that band would remove).
+    * Raising the threshold from 0.5 to 0.8 typically trades recall
+    * for precision; this measures the trade on THIS corpus instead of
+    * assuming it. Reads the landed pair artifact ([[neardupPairs]] —
+    * the production form: the sweep is an audit over the dedup run's
+    * own output); the rollup is a ≤6-row aggregate plus a window over
+    * those 6 rows. Band edges are exact on the already-rounded
+    * jaccard values, so floor(j·10) is cross-engine stable. */
+  def qNeardupSweep(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = neardupPairs(spark, d)
+      .withColumn("band_x10", expr("CAST(floor(jaccard * 10) AS BIGINT)"))
+      .persist() // pair rollup + doc rollup share it
+    val pairsAgg = banded.groupBy("band_x10").agg(count(lit(1)).as("n_pairs"))
+    val docsAgg = banded
+      .select(col("band_x10"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("band_x10").agg(countDistinct("doc").as("n_docs"))
+    val wCum = Window.orderBy(col("band_x10").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairsAgg.join(docsAgg, Seq("band_x10"))
+      .withColumn("n_pairs_at_least", sum("n_pairs").over(wCum))
+      .select("band_x10", "n_pairs", "n_pairs_at_least", "n_docs")
+      .orderBy("band_x10")
+  }
+
   /** SimHash: 16-bit signature from per-token md5 nibbles (high bit of
     * each of the first 16 hex digits, ±1 vote per token). Near-identical
     * docs land on equal/adjacent signatures; the signature itself is the

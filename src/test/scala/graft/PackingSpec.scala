@@ -238,4 +238,31 @@ class PackingSpec extends SparkSpec {
     val maskedSet = starts.flatMap(i => i to math.min(i + 2, n)).toSet
     assert(spans == starts.length && masked == maskedSet.size)
   }
+
+  test("fim split: spans partition every doc, both orderings occur, cuts replay exactly") {
+    val rows = Packing.qFimSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    // the three spans partition the token sequence, all non-negative
+    rows.foreach { case (_, n, p, m, s, _) =>
+      assert(p >= 0 && m >= 0 && s >= 0 && p + m + s == n)
+    }
+    // the PSM/SPM coin is a real 50/50-ish split, not a constant
+    val modes = rows.map(_._6).toSet
+    assert(modes == Set("PSM", "SPM"))
+    // exact replay of one doc's cut points from first principles
+    val (docId, n, p, m, s, mode) = rows.maxBy(_._2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash4(tag: String): Long = {
+      val hex = md.digest(s"$tag$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val c1 = hash4("fim1:") % (n + 1)
+    val c2 = hash4("fim2:") % (n + 1)
+    assert(p == math.min(c1, c2) && m == math.abs(c1 - c2)
+      && s == n - math.max(c1, c2))
+    assert(mode == (if (hash4("fimm:") % 2 == 0) "SPM" else "PSM"))
+  }
 }

@@ -740,6 +740,29 @@ class QualitySpec extends SparkSpec {
       cov <= n && cov >= spans * 8 && ppm <= 1000000L })
   }
 
+  test("neardup sweep: bands roll up the pair stream exactly, cumulative is a suffix sum") {
+    val pairs = Quality.qMinhashNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sweep = Quality.qNeardupSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bands partition the pair stream
+    assert(sweep.map(_._2).sum == pairs.length)
+    val ref = pairs.groupBy(p => math.floor(p._3 * 10).toLong)
+    sweep.foreach { case (band, n, atLeast, nDocs) =>
+      assert(band >= 5 && band <= 10)
+      assert(n == ref(band).length)
+      // cumulative = all pairs at or above this band
+      assert(atLeast == pairs.count(p => math.floor(p._3 * 10).toLong >= band))
+      // distinct docs touched by pairs in the band
+      assert(nDocs == ref(band).flatMap(p => Seq(p._1, p._2)).distinct.length)
+    }
+    // ascending bands → non-increasing at-least counts
+    assert(sweep.sortBy(_._1).map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    })
+  }
+
   test("dsir affinity separates the target domain and one doc replays exactly") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
