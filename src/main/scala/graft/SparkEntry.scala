@@ -196,6 +196,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
     "q_frame_sample" -> (Multimodal.qFrameSample _),
+    "q_frame_dedup" -> (Multimodal.qFrameDedup _),
     "q_image_resize" -> (Multimodal.qImageResize _),
     // Pattern mining / entity resolution / CDC / graph centrality
     "q_market_basket" -> (Mining.qMarketBasket _),
@@ -2460,6 +2461,23 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_frames,
         |  md5(string_agg(fr, '' ORDER BY i)) AS frames_md5
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Video near-dup by sampled-frame fingerprint overlap: md5 of
+    // each 8-byte payload window at stride 4, boilerplate
+    // fingerprints (df > 64) dropped, pairs sharing >= 2 kept.
+    "q_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT DISTINCT doc_id, md5(substring(text, i, 8)) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, CAST(length(text) AS INT) - 6, 4)) AS i
+        |        FROM documents WHERE length(text) >= 8)),
+        |keep AS (SELECT fp FROM (
+        |  SELECT fp, count(*) AS df FROM f GROUP BY fp) WHERE df <= 64),
+        |k AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source,

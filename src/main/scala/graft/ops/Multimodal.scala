@@ -185,4 +185,37 @@ object Multimodal {
             x => x.getField("fr")), "")).as("frames_md5"))
       .orderBy("doc_id")
   }
+
+  /** Cross-video near-duplicate detection by FRAME-FINGERPRINT
+    * overlap — the video analog of MinHash dedup (re-encodes, crops,
+    * and re-uploads share most frames even when container bytes
+    * differ): fingerprint each sampled frame window (md5 of an 8-byte
+    * payload slice at qFrameSample's stride-4 positions), DROP
+    * boilerplate fingerprints seen in > 64 videos (intro cards/black
+    * frames appear everywhere and would explode the join
+    * quadratically — the LSH hot-band cap applied to frames), and
+    * pair videos sharing ≥ 2 distinct surviving fingerprints.
+    * Payload bytes never shuffle: only (doc, 32-char md5) pairs enter
+    * the exchange, and the pair join is fingerprint-bucketed — never
+    * all-pairs. With a real decoder the fingerprint becomes a
+    * perceptual hash of the decoded frame; the plan is unchanged. */
+  def qFrameDedup(spark: SparkSession, d: String): DataFrame = {
+    val fp = payloadTable(spark, d)
+      .select(col("doc_id"), decode(col("content"), "UTF-8").as("t"))
+      .filter(length(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(t) - 7, 4)")).as("i"), col("t"))
+      .select(col("doc_id"), md5(expr("substring(t, i, 8)")).as("fp"))
+      .distinct()
+      .persist() // df cap + both pair-join sides share it
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("fp")
+    val kept = fp.join(keep, "fp")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
 }

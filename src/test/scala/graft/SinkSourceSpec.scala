@@ -312,4 +312,39 @@ class SinkSourceSpec extends SparkSpec {
         abs(col("share_sum") - 1.0) > 0.01)
     assert(perDoc.count() == 0)
   }
+
+  test("frame dedup: exact-duplicate payloads pair with full overlap; one pair replays") {
+    import graft.ops.Multimodal
+    val pairs = Multimodal.qFrameDedup(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.nonEmpty)
+    // exact byte-duplicate payloads (same text, different doc) must be
+    // found with n_shared = their full distinct fingerprint set
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fps(t: String): Set[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to t.length - 7 by 4).map(i =>
+        md.digest(t.substring(i - 1, i + 7).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).toSet
+    }
+    // the df > 64 boilerplate cap BINDS even at sf0.001 (500 docs, 8
+    // capped fingerprints) — the reference replay must apply it too
+    val allFps = docs.filter(_._2.length >= 8).map { case (id, t) => id -> fps(t) }
+    val capped = allFps.flatMap(_._2).groupBy(identity)
+      .collect { case (fp, occ) if occ.length > 64 => fp }.toSet
+    val kept = allFps.map { case (id, s) => id -> (s -- capped) }.toMap
+    val dupGroups = docs.filter(_._2.length >= 8).groupBy(_._2)
+      .filter(_._2.length >= 2).values
+    dupGroups.foreach { g =>
+      val ids = g.map(_._1).sorted
+      val expected = kept(ids.head).size.toLong
+      for (a <- ids; b <- ids if a < b)
+        assert(expected < 2 || pairs.get((a, b)).contains(expected),
+          s"exact dup pair ($a,$b) missing or wrong overlap")
+    }
+    // replay one arbitrary pair's shared count from first principles
+    val ((a, b), n) = pairs.head
+    assert(n == (kept(a) intersect kept(b)).size.toLong)
+  }
 }
