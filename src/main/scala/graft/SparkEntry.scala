@@ -140,6 +140,10 @@ object SparkEntry {
     "q_repetition" -> (Quality.qRepetition _),
     "q_dup_spans" -> (Quality.qDupSpans _),
     "q_dsir_weight" -> (Quality.qDsirWeight _),
+    "q_cdc_chunks" -> (Quality.qCdcChunks _),
+    "q_anchor_dedup" -> (Quality.qAnchorDedup _),
+    "q_minhash_est_err" -> (Quality.qMinhashEstErr _),
+    "q_pad_waste" -> (Packing.qPadWaste _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2149,6 +2153,114 @@ object SparkEntry {
         |  CAST(sum(delta_ppm) AS BIGINT) AS affinity_ppm
         |FROM occ o JOIN st ON o.g = st.g
         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
+
+    // Content-defined chunking: boundary after any token whose md5
+    // ends in {0,8}; chunk id = windowed sum of preceding boundary
+    // flags; chunk key = md5 of the space-joined chunk; dup mass =
+    // tokens in chunks shared by >= 2 docs.
+    "q_cdc_chunks" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |tok AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    unnest([{'pos': i - 1, 'w': tk[i]} for i in range(1, len(tk) + 1)],
+        |           recursive := true)
+        |  FROM tkt),
+        |fl AS (
+        |  SELECT doc_id, n_tokens, pos, w,
+        |    CASE WHEN substr(md5(w), 32, 1) IN ('0', '8') THEN 1 ELSE 0 END AS flag
+        |  FROM tok),
+        |ch AS (
+        |  SELECT doc_id, n_tokens, pos, w,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM fl),
+        |chunks AS (
+        |  SELECT doc_id, n_tokens, chunk, count(*) AS c_toks,
+        |    md5(string_agg(w, ' ' ORDER BY pos)) AS ckey
+        |  FROM ch GROUP BY doc_id, n_tokens, chunk),
+        |cdf AS (SELECT ckey, count(DISTINCT doc_id) AS cdf FROM chunks GROUP BY ckey)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  CAST(sum(CASE WHEN cdf >= 2 THEN c_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+        |  CAST((sum(CASE WHEN cdf >= 2 THEN c_toks ELSE 0 END) * 1000000)
+        |    // n_tokens AS BIGINT) AS dup_ppm
+        |FROM chunks JOIN cdf USING (ckey)
+        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // Shared 12-token-prefix anchor groups with document/source spread.
+    "q_anchor_dedup" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS tk FROM documents),
+        |anch AS (
+        |  SELECT doc_id, source, md5(array_to_string(tk[1:12], ' ')) AS anchor
+        |  FROM tkt WHERE len(tk) >= 12)
+        |SELECT anchor, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM anch GROUP BY anchor HAVING count(*) >= 2 ORDER BY anchor""".stripMargin,
+
+    // MinHash estimate-vs-exact error per verified near-dup pair:
+    // q_minhash_neardup's band/verify pipeline carrying the 8 slice
+    // minima; est = matching slices * 125000 ppm.
+    "q_minhash_est_err" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 4*j + 1, 4) for x in s])
+        |      for j in range(0, 8)] AS sl,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.s AS sa, b.s AS sb, a.sl AS sla, b.sl AS slb
+        |  FROM sig a JOIN sig b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |m AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(sa, sb)) AS ni,
+        |    len(sa) + len(sb) - len(list_intersect(sa, sb)) AS nu,
+        |    len(list_filter(range(1, 9), i -> sla[i] = slb[i])) AS nm
+        |  FROM cand)
+        |SELECT doc_a, doc_b, round(ni / CAST(nu AS DOUBLE), 4) AS jaccard,
+        |  CAST((ni * 1000000) // nu AS BIGINT) AS jacc_ppm,
+        |  CAST(nm * 125000 AS BIGINT) AS est_ppm,
+        |  CAST(nm * 125000 - (ni * 1000000) // nu AS BIGINT) AS err_ppm
+        |FROM m WHERE round(ni / CAST(nu AS DOUBLE), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Padding-waste policy comparison: fixed 128-token contexts with
+    // truncation vs power-of-two length buckets.
+    "q_pad_waste" ->
+      """WITH n AS (
+        |  SELECT len(string_split_regex(text, '\s+')) AS n FROM documents),
+        |pol AS (
+        |  SELECT 'pow2_bucket' AS policy,
+        |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |         WHEN n <= 512 THEN 512 ELSE 1024 END AS bucket_len, n FROM n
+        |  UNION ALL
+        |  SELECT 'fixed_128', 128, n FROM n),
+        |agg AS (
+        |  SELECT policy, bucket_len, count(*) AS n_docs,
+        |    sum(least(n, bucket_len)) AS kept_tokens,
+        |    sum(n - least(n, bucket_len)) AS truncated_tokens
+        |  FROM pol GROUP BY policy, bucket_len)
+        |SELECT policy, CAST(bucket_len AS BIGINT) AS bucket_len, n_docs,
+        |  CAST(kept_tokens AS BIGINT) AS kept_tokens,
+        |  CAST(truncated_tokens AS BIGINT) AS truncated_tokens,
+        |  CAST(n_docs * bucket_len AS BIGINT) AS padded_slots,
+        |  CAST(((n_docs * bucket_len - kept_tokens) * 1000000)
+        |    // (n_docs * bucket_len) AS BIGINT) AS waste_ppm
+        |FROM agg ORDER BY policy, bucket_len""".stripMargin,
 
     // Connected components over the MinHash-LSH near-dup pairs
     // (q_minhash_neardup's pair semantics — band-bucketed candidates,

@@ -445,4 +445,36 @@ object Packing {
         when(h("fimm:") % 2 === 0, "SPM").otherwise("PSM").as("mode"))
       .orderBy("doc_id")
   }
+
+  /** Padding-waste audit: prices out what [[qLengthBuckets]]'s
+    * histogram implies for batch efficiency by comparing two padding
+    * policies over the same corpus — `fixed_128` (every document
+    * padded to one 128-token context, overflow truncated: the naive
+    * trainer default) versus `pow2_bucket` (documents padded only to
+    * the next power-of-two bucket ≥ their length: length-bucketed
+    * batching). Per (policy, bucket): document count, kept and
+    * truncated token mass, padded slot total, and the waste fraction
+    * in ppm — the number that decides whether bucketed batching is
+    * worth its scheduling complexity on THIS corpus. One
+    * map-side-combining aggregate over a union of two projections of
+    * the same scan; integer ppm end-to-end. */
+  def qPadWaste(spark: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(spark, d).select(size(tokens).cast("long").as("n"))
+    val pow2 = expr(
+      """CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |ELSE 1024 END""".stripMargin).cast("long")
+    val bucketed = n.select(lit("pow2_bucket").as("policy"), pow2.as("bucket_len"), col("n"))
+    val fixed = n.select(lit("fixed_128").as("policy"), lit(128L).as("bucket_len"), col("n"))
+    bucketed.unionByName(fixed)
+      .withColumn("kept", least(col("n"), col("bucket_len")))
+      .groupBy("policy", "bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("kept_tokens"),
+        sum(col("n") - col("kept")).as("truncated_tokens"))
+      .withColumn("padded_slots", col("n_docs") * col("bucket_len"))
+      .withColumn("waste_ppm",
+        expr("((padded_slots - kept_tokens) * 1000000) div padded_slots"))
+      .orderBy("policy", "bucket_len")
+  }
 }

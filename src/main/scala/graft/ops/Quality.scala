@@ -1476,4 +1476,123 @@ object Quality {
           .as("avg_surprisal"))
       .orderBy("doc_id")
   }
+
+  /** Content-defined chunking (CDC) dedup audit — the shift-resistant
+    * alternative to fixed-size chunking (Packing.qChunkOverlap): a
+    * chunk boundary falls AFTER any token whose md5 ends in a marked
+    * nibble (2/16 → ~8-token expected chunks), so inserting a sentence
+    * at the head of a document moves every fixed-size chunk boundary
+    * but leaves CDC boundaries downstream of the edit untouched —
+    * near-identical documents still share most chunk hashes. Per doc:
+    * chunk count and the token mass sitting in chunks shared with ≥2
+    * documents (the dedup-removable mass at chunk granularity). The
+    * FastCDC/gear formulation hashes a sliding byte window; the
+    * declared form hashes the single token (the degenerate gear with
+    * window 1) so the DuckDB oracle needs only md5 parity.
+    *
+    * Scale shape: the boundary flag and chunk id are one per-doc
+    * window over the token stream (partitioned by doc_id — millions of
+    * partitions, the scalable orientation); chunk rows collapse to
+    * (doc, chunk) aggregates map-side; the chunk-hash document
+    * frequency is a vocabulary-sized aggregate; the final join is
+    * equi on the 32-byte chunk key. Raw text never shuffles twice —
+    * chunk hashes (fixed width) do. */
+  def qCdcChunks(spark: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"),
+        size(expr(toks)).cast("long").as("n_tokens"),
+        posexplode(expr(toks)).as(Seq("pos", "w")))
+      .withColumn("flag",
+        when(substring(md5(col("w")), 32, 1).isin("0", "8"), 1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum("flag").over(wPrev), lit(0L)))
+      .groupBy("doc_id", "n_tokens", "chunk")
+      .agg(count(lit(1)).as("c_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("ckey"))
+      .persist() // feeds the chunk-frequency rollup and the per-doc join
+    val cdf = chunks.groupBy("ckey").agg(countDistinct("doc_id").as("cdf"))
+    chunks.join(cdf, "ckey")
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("cdf") >= 2, col("c_toks")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Anchor (prefix) dedup: documents grouped by the md5 of their
+    * first 12 tokens — the cheap screen for template/boilerplate
+    * openings and mirror copies that exact whole-text dedup misses
+    * when tails differ (web data: same article, different footer).
+    * Output is the shared-anchor groups with document and source
+    * spread; a curation pipeline reviews multi-source anchors (likely
+    * syndication) separately from single-source ones (likely
+    * templates). One key-only hash aggregate — anchor hashes collapse
+    * map-side, raw text never shuffles. */
+  def qAnchorDedup(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), expr(toks).as("tk"))
+      .filter(size(col("tk")) >= 12)
+      .select(col("doc_id"), col("source"),
+        md5(array_join(slice(col("tk"), 1, 12), " ")).as("anchor"))
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("anchor")
+
+  /** MinHash estimation-error audit: for every verified near-dup pair
+    * ([[qMinhashNeardup]]'s exact pair semantics), the 8-slice
+    * signature's Jaccard ESTIMATE (matching slices / 8) against the
+    * exact Jaccard — the monitor a production dedup run keeps on its
+    * sketch so a vocabulary shift that degrades estimate quality (and
+    * silently moves LSH recall) trips an alarm instead of shipping a
+    * worse dedup. Integer fixed-point (ppm) so the checked surface is
+    * hash-exact; est granularity is 125000 ppm (1/8).
+    *
+    * Scale shape: identical to qMinhashNeardup — band-bucketed
+    * candidates, hot-band cap, exact verify on candidates only; the
+    * signature columns ride the existing joins (8 × 4-char strings per
+    * doc), nothing new shuffles. */
+  def qMinhashEstErr(spark: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigFused(spark, d).persist()
+    val capped = minhashBands(sig)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
+      .filter(col("k") <= maxBandGroup)
+      .persist()
+    val cand = capped.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sets = Tables.documents(spark, d)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(expr("word_shingles(text, 3)")).as("sh"))
+    def side(tag: String) = sig.select(
+      col("doc_id").as(s"doc_$tag") +:
+        (0 until 8).map(j => col(s"m$j").as(s"${tag}_m$j")) :+
+        col("sz").as(s"sz_$tag"): _*)
+    val nMatch = (0 until 8)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_common"))
+      .withColumn("jaccard", expr("round(n_common / cast(n_union AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("jacc_ppm", expr("(n_common * 1000000) div n_union"))
+      .withColumn("est_ppm", (nMatch * 125000L).as("est_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("jacc_ppm"))
+      .select("doc_a", "doc_b", "jaccard", "jacc_ppm", "est_ppm", "err_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
 }

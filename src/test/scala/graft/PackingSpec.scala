@@ -265,4 +265,27 @@ class PackingSpec extends SparkSpec {
       && s == n - math.max(c1, c2))
     assert(mode == (if (hash4("fimm:") % 2 == 0) "SPM" else "PSM"))
   }
+
+  test("pad waste: both policies replay exactly from token counts") {
+    val ns = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split("\\s+", -1).length.toLong)
+    def pow2(n: Long): Long =
+      Seq(16L, 32L, 64L, 128L, 256L, 512L).find(n <= _).getOrElse(1024L)
+    val ref = (ns.map(n => ("pow2_bucket", pow2(n), n)) ++
+      ns.map(n => ("fixed_128", 128L, n)))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((pol, b), g) =>
+        val kept = g.map(r => math.min(r._3, b)).sum
+        val docs = g.length.toLong
+        ((pol, b), (docs, kept, g.map(r => r._3 - math.min(r._3, b)).sum,
+          docs * b, (docs * b - kept) * 1000000L / (docs * b)))
+      }
+    val rows = Packing.qPadWaste(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows == ref)
+    // fixed policy is exactly one row covering every doc
+    assert(rows.keys.count(_._1 == "fixed_128") == 1)
+    assert(rows(("fixed_128", 128L))._1 == ns.length.toLong)
+  }
 }

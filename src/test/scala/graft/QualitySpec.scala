@@ -790,4 +790,72 @@ class QualitySpec extends SparkSpec {
     }.sum
     assert(got(probe) == ((mine.length.toLong, want)))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("cdc chunks: boundaries replay from token hashes, exact dups fully covered") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Quality.qCdcChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == docs.length)
+    // reference chunking from first principles
+    def chunksOf(text: String): Seq[String] = {
+      val tk = text.split("\\s+", -1)
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]](Vector.empty)
+      tk.foreach { w =>
+        out(out.length - 1) = out.last :+ w
+        if ("08".contains(md5hex(w).last)) out += Vector.empty
+      }
+      out.filter(_.nonEmpty).map(_.mkString(" ")).toSeq
+    }
+    val ref = docs.map { case (id, t) => (id, chunksOf(t)) }
+    val cdf = ref.flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    ref.foreach { case (id, cs) =>
+      val (nTok, nChunks, dupChunks, dupTokens, ppm) = got(id)
+      assert(nChunks == cs.length)
+      val dup = cs.filter(c => cdf(c) >= 2)
+      assert(dupChunks == dup.length)
+      assert(dupTokens == dup.map(_.split(" ").length.toLong).sum)
+      assert(ppm == dupTokens * 1000000L / nTok && ppm <= 1000000L)
+    }
+    // an exact-duplicate text shares every chunk → full coverage
+    // (the sf0.001 spec fixture has no exact twins; sf0.01+ do)
+    val twins = docs.groupBy(_._2).filter(_._2.length >= 2).values.flatten
+    assert(twins.forall(d => got(d._1)._5 == 1000000L))
+  }
+
+  test("anchor dedup: groups replay exactly from 12-token prefixes") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ref = docs.flatMap { case (id, src, t) =>
+      val tk = t.split("\\s+", -1)
+      if (tk.length >= 12) Some((md5hex(tk.take(12).mkString(" ")), id, src)) else None
+    }.groupBy(_._1).filter(_._2.length >= 2)
+      .map { case (a, g) => (a, (g.length.toLong, g.map(_._3).distinct.length.toLong,
+        g.map(_._2).min, g.map(_._2).max)) }
+    val got = Quality.qAnchorDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("minhash est err: same pair set as neardup, estimate on the 1/8 grid, ppm exact") {
+    val pairs = Quality.qMinhashNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Quality.qMinhashEstErr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(p => (p._1, p._2)).toSet == pairs && got.nonEmpty)
+    got.foreach { case (_, _, j, jppm, eppm, err) =>
+      assert(eppm % 125000L == 0 && eppm >= 0 && eppm <= 1000000L)
+      assert(err == eppm - jppm)
+      // ppm is the integer-division image of the same ratio round() saw
+      assert(math.abs(j * 1000000L - jppm) <= 100)
+    }
+  }
 }
