@@ -144,6 +144,10 @@ object SparkEntry {
     "q_anchor_dedup" -> (Quality.qAnchorDedup _),
     "q_minhash_est_err" -> (Quality.qMinhashEstErr _),
     "q_pad_waste" -> (Packing.qPadWaste _),
+    "q_small_cells" -> (Quality.qSmallCells _),
+    "q_semdedup_sweep" -> (Similarity.qSemdedupSweep _),
+    "q_ivf_probe_sweep" -> (Similarity.qIvfProbeSweep _),
+    "q_label_prop" -> (Mining.qLabelProp _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2261,6 +2265,140 @@ object SparkEntry {
         |  CAST(((n_docs * bucket_len - kept_tokens) * 1000000)
         |    // (n_docs * bucket_len) AS BIGINT) AS waste_ppm
         |FROM agg ORDER BY policy, bucket_len""".stripMargin,
+
+    // k-anonymity small-cell audit over (lang, source, n_chars bucket).
+    "q_small_cells" ->
+      """SELECT lang, source,
+        |  CAST(CASE WHEN n_chars <= 128 THEN 128 WHEN n_chars <= 256 THEN 256
+        |       WHEN n_chars <= 512 THEN 512 WHEN n_chars <= 1024 THEN 1024
+        |       ELSE 2048 END AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs, count(*) < 5 AS suppress
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // SemDeDup threshold sweep: 0.05 cosine bands over the verified
+    // embedding near-dup pairs (q_embed_neardup's pair semantics).
+    "q_semdedup_sweep" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT vec_a, vec_b,
+        |    list_sum([na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)])
+        |      / (na.nrm * nb.nrm) AS c
+        |  FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b),
+        |pr AS (SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45),
+        |bnd AS (
+        |  SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS band_x20, vec_a, vec_b FROM pr),
+        |agg AS (SELECT band_x20, count(*) AS n_pairs FROM bnd GROUP BY band_x20),
+        |vecs AS (SELECT band_x20, count(DISTINCT vec) AS n_vecs FROM (
+        |  SELECT band_x20, unnest([vec_a, vec_b]) AS vec FROM bnd)
+        |  GROUP BY band_x20)
+        |SELECT a.band_x20, a.n_pairs,
+        |  CAST(sum(a.n_pairs) OVER (ORDER BY a.band_x20 DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_at_least,
+        |  v2.n_vecs
+        |FROM agg a JOIN vecs v2 USING (band_x20)
+        |ORDER BY a.band_x20""".stripMargin,
+
+    // IVF nprobe sweep: corpus indexed in its ONE nearest cluster;
+    // each probe searches its top-np clusters; recall@3 vs brute force.
+    "q_ivf_probe_sweep" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |casg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |pasg AS (
+        |  SELECT vec_id AS probe_id, cluster, rn AS prank FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8 WHERE b.vec_id < 5)
+        |  WHERE rn <= 3),
+        |brute AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)])
+        |          / (p.nrm * c.nrm) DESC, c.vec_id) AS rn
+        |    FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+        |  WHERE rn <= 3),
+        |ivf AS (
+        |  SELECT nprobe, probe_id, vec_id FROM (
+        |    SELECT np.np AS nprobe, pa.probe_id, ca.vec_id,
+        |      row_number() OVER (PARTITION BY np.np, pa.probe_id ORDER BY
+        |        list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)])
+        |          / (p.nrm * c.nrm) DESC, ca.vec_id) AS rn
+        |    FROM (VALUES (1), (2), (3)) np(np)
+        |    JOIN pasg pa ON pa.prank <= np.np
+        |    JOIN casg ca ON ca.cluster = pa.cluster AND ca.vec_id <> pa.probe_id
+        |    JOIN n p ON p.vec_id = pa.probe_id
+        |    JOIN n c ON c.vec_id = ca.vec_id)
+        |  WHERE rn <= 3)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe, count(*) AS n_hits,
+        |  CAST((count(*) * 1000000) // 15 AS BIGINT) AS recall_ppm
+        |FROM ivf JOIN brute USING (probe_id, vec_id)
+        |GROUP BY nprobe ORDER BY nprobe""".stripMargin,
+
+    // Weighted label propagation, 3 synchronous rounds, over the
+    // positive-lift co-purchase graph (q_market_basket's pairs).
+    "q_label_prop" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |m AS (SELECT p_brand, count(*) AS n_x FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT brand_a, brand_b, n_ab FROM pairs
+        |  JOIN m ma ON ma.p_brand = brand_a JOIN m mb ON mb.p_brand = brand_b
+        |  CROSS JOIN no
+        |  WHERE (n_ab * n_orders * 1000000) // (ma.n_x * mb.n_x) > 1000000),
+        |e2 AS (SELECT brand_a AS u, brand_b AS v, n_ab FROM ed
+        |  UNION ALL SELECT brand_b, brand_a, n_ab FROM ed),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2),
+        |s0 AS (SELECT e2.u AS node, l0.lbl, sum(e2.n_ab) AS w
+        |  FROM e2 JOIN l0 ON e2.v = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |  row_number() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn FROM s0)
+        |  WHERE rn = 1),
+        |s1 AS (SELECT e2.u AS node, l1.lbl, sum(e2.n_ab) AS w
+        |  FROM e2 JOIN l1 ON e2.v = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |  row_number() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |s2 AS (SELECT e2.u AS node, l2.lbl, sum(e2.n_ab) AS w
+        |  FROM e2 JOIN l2 ON e2.v = l2.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |  row_number() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+        |SELECT node AS p_brand, l3.lbl AS community, sz.community_size
+        |FROM l3 JOIN sz USING (lbl) ORDER BY p_brand""".stripMargin,
 
     // Connected components over the MinHash-LSH near-dup pairs
     // (q_minhash_neardup's pair semantics — band-bucketed candidates,

@@ -439,4 +439,71 @@ object Mining {
       .select("custkey", "brand", "score", "rn")
       .orderBy("custkey", "rn")
   }
+
+  /** Community detection via synchronous weighted label propagation
+    * (Raghavan et al. 2007) over the POSITIVE-lift co-purchase graph —
+    * the community layer on top of [[qMarketBasket]]'s pairs and the
+    * qualitative complement to [[qTriangles]]' density: which brand
+    * groups actually sell together beyond chance (lift > 1 keeps only
+    * positively-correlated edges; the raw co-purchase graph is near-
+    * complete and would collapse to one community). Each node starts
+    * as its own label; 3 synchronous rounds of "adopt the label with
+    * the largest incident co-purchase weight" (tie: smaller label) —
+    * the Pregel-shape iteration whose per-round cost is one edge⋈label
+    * join + one hash aggregate, the same semi-naive discipline as
+    * [[qKhopReach]], with the ≤|V|-row label frame localCheckpointed
+    * per round to cut lineage. Fixed 3 rounds, not convergence —
+    * deterministic, oracle-unrollable, and the standard production
+    * bound (LPA oscillates under synchronous updates; bounded rounds
+    * are how Pregel implementations ship it).
+    *
+    * 100 TB shape: labels are one row per vertex; the per-round
+    * argmax collapses map-side per (node, candidate-label); nothing
+    * edge-sized persists across rounds. The display join for
+    * community size is a broadcast of the |V|-row result. */
+  def qLabelProp(spark: SparkSession, d: String): DataFrame = {
+    val bk = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("p_brand")).as("basket"))
+      .persist() // pair expansion + marginals + order total share it
+    val pairs = bk.select(explode(col("basket")).as("brand_a"), col("basket"))
+      .select(col("brand_a"), explode(col("basket")).as("brand_b"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_ab"))
+    val marg = bk.select(explode(col("basket")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_x"))
+    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
+    val ed = pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("n_x").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("n_x").as("n_b"))), "brand_b")
+      // 1-row order total broadcast (PlanQualitySpec-allowlisted)
+      .crossJoin(broadcast(nOrders))
+      .filter(expr("(n_ab * n_orders * 1000000) div (n_a * n_b) > 1000000"))
+      .select("brand_a", "brand_b", "n_ab")
+    val e2 = ed.select(col("brand_a").as("u"), col("brand_b").as("v"), col("n_ab"))
+      .unionByName(ed.select(col("brand_b").as("u"), col("brand_a").as("v"), col("n_ab")))
+      .persist() // 3 rounds + the vertex seed read it
+    var labels = e2.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      val wArg = Window.partitionBy("node").orderBy(col("wsum").desc, col("lbl"))
+      labels = e2
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(sum("n_ab").as("wsum"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .localCheckpoint() // |V|-row frame; cuts the per-round lineage
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("node").as("p_brand"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("p_brand")
+  }
 }

@@ -1595,4 +1595,26 @@ object Quality {
       .select("doc_a", "doc_b", "jaccard", "jacc_ppm", "est_ppm", "err_ppm")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** k-anonymity small-cell audit over the quasi-identifier triple
+    * (lang, source, length bucket): cells holding fewer than k=5
+    * documents are re-identification risks when the corpus ships with
+    * per-document metadata — the release-gate table a privacy review
+    * reads before publishing a dataset (the complement of qRedact,
+    * which scrubs content; this flags METADATA that singles documents
+    * out). Every observed cell ships with its count and suppress
+    * flag so the reviewer sees the suppression mass, not only the
+    * offenders. One map-side-combining aggregate; the length bucket
+    * is an integer CASE ladder on the stored n_chars — no floating
+    * point anywhere. */
+  def qSmallCells(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("lang"), col("source"),
+        expr("""CASE WHEN n_chars <= 128 THEN 128 WHEN n_chars <= 256 THEN 256
+                |WHEN n_chars <= 512 THEN 512 WHEN n_chars <= 1024 THEN 1024
+                |ELSE 2048 END""".stripMargin).cast("long").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("suppress", col("n_docs") < 5)
+      .orderBy("lang", "source", "len_bucket")
 }

@@ -191,6 +191,75 @@ object Similarity {
     spark.read.parquet(dir)
   }
 
+  /** SemDeDup-style threshold sweep (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication"): the cosine analog of Quality.qNeardupSweep —
+    * per 0.05 similarity band over the verified embedding near-dup
+    * pair stream, the pair count, the distinct vectors involved, and
+    * the cumulative pairs-at-or-above (what a semantic-dedup cutoff
+    * at that band would remove). SemDeDup's headline result is that
+    * the threshold choice moves both data volume AND downstream
+    * accuracy; this is the table that choice is read from, measured
+    * on THIS corpus. Reads the landed pair artifact
+    * ([[embedNeardupPairs]] — the audit runs over the dedup run's own
+    * output); the rollup is a ≤12-row aggregate plus a window over
+    * those rows. Band edges floor the already-rounded cos_sim, so the
+    * double multiply is the same IEEE op on the same input both
+    * engines. */
+  def qSemdedupSweep(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = embedNeardupPairs(spark, d)
+      .withColumn("band_x20", expr("CAST(floor(cos_sim * 20) AS BIGINT)"))
+      .persist() // pair rollup + vector rollup share it
+    val pairsAgg = banded.groupBy("band_x20").agg(count(lit(1)).as("n_pairs"))
+    val vecsAgg = banded
+      .select(col("band_x20"), explode(array(col("vec_a"), col("vec_b"))).as("vec"))
+      .groupBy("band_x20").agg(countDistinct("vec").as("n_vecs"))
+    val wCum = Window.orderBy(col("band_x20").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairsAgg.join(vecsAgg, Seq("band_x20"))
+      .withColumn("n_pairs_at_least", sum("n_pairs").over(wCum))
+      .select("band_x20", "n_pairs", "n_pairs_at_least", "n_vecs")
+      .orderBy("band_x20")
+  }
+
+  /** IVF nprobe tuning sweep: recall@3 against the brute-force ground
+    * truth for nprobe ∈ {1, 2, 3} — the table an ANN platform picks
+    * its latency/recall operating point from (each +1 probe widens
+    * the searched fraction of the corpus by ~1/n_clusters and
+    * monotonically improves recall; where the curve flattens is where
+    * production stops paying). Corpus vectors stay indexed in their
+    * ONE nearest cluster (the production IVF layout — multi-probe is
+    * a QUERY-side knob only); each probe searches its top-nprobe
+    * clusters' candidates, top-3 by exact cosine through the bounded
+    * TopKAggregator (never a window), and the hit count joins the
+    * k-bounded ground truth. Corpus cost: one assignment pass plus
+    * per-nprobe candidate streams that total ≤ 3 clusters of the
+    * corpus per probe — the probe side (5 rows × nprobe) broadcasts. */
+  def qIvfProbeSweep(spark: SparkSession, d: String): DataFrame = {
+    val brute = qCosineTopk(spark, d).filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id")).persist()
+    val corpus = ivfAssigned(spark, d).persist() // vec → its one home cluster
+    val pvec = withNorm(spark, Tables.embeddings(spark, d))
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na"))
+    val ivf = (1 to 3).map { np =>
+      val pcl = ivfAssignedK(spark, d, np).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("cluster"))
+      val scored = corpus
+        .join(broadcast(pcl.join(pvec, "probe_id")), Seq("cluster"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", expr(s"$dot / (na * nb)"))
+      probeTopK(spark, scored, 3)
+        .select(col("probe_id"), col("vec_id"), lit(np.toLong).as("nprobe"))
+    }.reduce(_ unionByName _)
+    ivf.join(brute, Seq("probe_id", "vec_id")) // retrieved ∩ true top-3
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 15"))
+      .orderBy("nprobe")
+  }
+
   /** Random-hyperplane LSH signatures: 16 sign bits, one per
     * hyperplane, packed into a BIGINT. The "hyperplanes" are corpus
     * vectors 8..23 — a deterministic stand-in for sampled Gaussian

@@ -263,4 +263,41 @@ class MiningSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(got == scores, s"CF replay mismatch for $ck: $got vs $scores")
   }
+
+  test("label prop: 3 synchronous rounds replay exactly on the lift-filtered graph") {
+    import org.apache.spark.sql.functions._
+    // reference edge set from first principles
+    val items = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, sfDir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = baskets.size.toLong
+    val marg = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    baskets.values.foreach { b =>
+      for (x <- b; y <- b if x < y)
+        pairCnt((x, y)) = pairCnt.getOrElse((x, y), 0L) + 1
+    }
+    val edges = pairCnt.toSeq.filter { case ((a, b), nab) =>
+      nab * nOrders * 1000000L / (marg(a) * marg(b)) > 1000000L
+    }
+    val adj = (edges.map { case ((a, b), w) => (a, b, w) } ++
+      edges.map { case ((a, b), w) => (b, a, w) })
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, nbrs) =>
+        val byLbl = nbrs.groupBy(e => lbl(e._1)).view.mapValues(_.map(_._2).sum)
+        n -> byLbl.toSeq.minBy { case (l, w) => (-w, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Mining.qLabelProp(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got == lbl.map { case (n, l) => (n, (l, sizes(l))) })
+    // communities are non-trivial: more than one label survives
+    assert(sizes.size > 1)
+  }
 }

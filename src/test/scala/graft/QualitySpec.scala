@@ -844,6 +844,19 @@ class QualitySpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("small cells: every observed cell replayed, suppress flags exactly the sub-k cells") {
+    val docs = Tables.documents(spark, sfDir).select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def bucket(n: Long): Long =
+      Seq(128L, 256L, 512L, 1024L).find(n <= _).getOrElse(2048L)
+    val ref = docs.groupBy(d => (d._1, d._2, bucket(d._3)))
+      .map { case (k, g) => (k, (g.length.toLong, g.length < 5)) }
+    val got = Quality.qSmallCells(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("minhash est err: same pair set as neardup, estimate on the 1/8 grid, ppm exact") {
     val pairs = Quality.qMinhashNeardup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

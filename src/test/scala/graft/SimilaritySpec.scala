@@ -420,4 +420,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect && expect.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("semdedup sweep: bands partition the embed pair stream, cumulative is a suffix sum") {
+    val pairs = graft.ops.Similarity.qEmbedNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sweep = graft.ops.Similarity.qSemdedupSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._2).sum == pairs.length && pairs.nonEmpty)
+    val ref = pairs.groupBy(p => math.floor(p._3 * 20).toLong)
+    sweep.foreach { case (band, n, atLeast, nVecs) =>
+      assert(band >= 9 && band <= 20)
+      assert(n == ref(band).length)
+      assert(atLeast == pairs.count(p => math.floor(p._3 * 20).toLong >= band))
+      assert(nVecs == ref(band).flatMap(p => Seq(p._1, p._2)).distinct.length)
+    }
+  }
+
+  test("ivf probe sweep: recall monotone in nprobe, np=1 row matches q_ann_recall's total") {
+    val rows = graft.ops.Similarity.qIvfProbeSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { case (_, hits, ppm) =>
+      assert(hits >= 0 && hits <= 15 && ppm == hits * 1000000L / 15)
+    }
+    // nested candidate sets → non-decreasing recall
+    assert(rows.map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => b >= a
+      case _ => true
+    })
+    // np=1 is exactly the single-probe index q_ann_recall monitors
+    val annTotal = graft.ops.Similarity.qAnnRecall(spark, sfDir).collect()
+      .map(_.getLong(2)).sum // per-probe n_hit
+    assert(rows.head._2 == annTotal)
+  }
 }
