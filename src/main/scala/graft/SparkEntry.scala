@@ -148,6 +148,9 @@ object SparkEntry {
     "q_semdedup_sweep" -> (Similarity.qSemdedupSweep _),
     "q_ivf_probe_sweep" -> (Similarity.qIvfProbeSweep _),
     "q_label_prop" -> (Mining.qLabelProp _),
+    "q_quality_sweep" -> (Quality.qQualitySweep _),
+    "q_tok_efficiency" -> (Quality.qTokEfficiency _),
+    "q_curation_funnel" -> (Pipeline.qCurationFunnel _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2265,6 +2268,136 @@ object SparkEntry {
         |  CAST(((n_docs * bucket_len - kept_tokens) * 1000000)
         |    // (n_docs * bucket_len) AS BIGINT) AS waste_ppm
         |FROM agg ORDER BY policy, bucket_len""".stripMargin,
+
+    // Quality-threshold calibration: 0.1 bands over the q_quality_score
+    // composite with cumulative docs/tokens retained at-or-above.
+    "q_quality_sweep" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    round(n_symbol_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+        |    round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio
+        |  FROM m),
+        |q AS (
+        |  SELECT n_tokens,
+        |    round(least(1.0, greatest(0.0,
+        |      0.5 * least(n_tokens / 20.0, 1.0)
+        |      + 0.3 * (1.0 - symbol_ratio)
+        |      + 0.2 * least(stopword_ratio * 5.0, 1.0))), 4) AS quality_score
+        |  FROM r),
+        |b AS (
+        |  SELECT CAST(floor(quality_score * 10) AS BIGINT) AS band_x10,
+        |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM q GROUP BY 1)
+        |SELECT band_x10, n_docs, sum_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY band_x10 DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_at_least,
+        |  CAST(sum(sum_tokens) OVER (ORDER BY band_x10 DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_at_least
+        |FROM b ORDER BY band_x10""".stripMargin,
+
+    // Tokenizer efficiency per language: compression (chars/subword)
+    // and fertility (subwords/word), integer ppm.
+    "q_tok_efficiency" ->
+      """WITH m AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |    CAST(sum(n_bpe) AS BIGINT) AS sum_bpe
+        |  FROM m GROUP BY lang)
+        |SELECT lang, n_docs, sum_chars, sum_words, sum_bpe,
+        |  CAST((sum_chars * 1000000) // sum_bpe AS BIGINT) AS chars_per_tok_ppm,
+        |  CAST((sum_bpe * 1000000) // sum_words AS BIGINT) AS fertility_ppm
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // Curation funnel: cumulative stage survival (raw -> min-length ->
+    // lang-ID'd en -> near-dup canonical); lang CASE = q_lang_id,
+    // cluster reachability = q_dedup_clusters.
+    "q_curation_funnel" ->
+      """WITH RECURSIVE tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa, sb))
+        |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4) AS jaccard
+        |  FROM cand),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS t FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT s AS d FROM edges),
+        |reach AS (
+        |  SELECT d, d AS r FROM nodes
+        |  UNION
+        |  SELECT reach.d, e.t AS r FROM reach JOIN edges e ON e.s = reach.r),
+        |lab AS (SELECT d AS doc_id, min(r) AS canonical_id FROM reach GROUP BY d),
+        |lng AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(tk, t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |      len(list_filter(tk, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |      len(list_filter(tk, t -> t IN ('el','los','es','y','que'))) AS s_es,
+        |      len(list_filter(tk, t -> t IN ('le','la','et','les','des'))) AS s_fr
+        |    FROM tkt)),
+        |flags AS (
+        |  SELECT d.doc_id, len(t.tk) AS n_tokens,
+        |    d.n_chars >= 100 AND len(t.tk) >= 20 AS f_len,
+        |    lng.pred_lang = 'en' AS f_lang,
+        |    lab.canonical_id IS NULL OR lab.canonical_id = d.doc_id AS f_canon
+        |  FROM documents d
+        |  JOIN tkt t USING (doc_id)
+        |  JOIN lng USING (doc_id)
+        |  LEFT JOIN lab USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+        |    count(*) AS n_docs,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM flags
+        |  UNION ALL
+        |  SELECT 1, 'min_length', count(*),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+        |  FROM flags WHERE f_len
+        |  UNION ALL
+        |  SELECT 2, 'lang_en', count(*),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+        |  FROM flags WHERE f_len AND f_lang
+        |  UNION ALL
+        |  SELECT 3, 'near_dedup', count(*),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+        |  FROM flags WHERE f_len AND f_lang AND f_canon)
+        |ORDER BY stage_idx""".stripMargin,
 
     // k-anonymity small-cell audit over (lang, source, n_chars bucket).
     "q_small_cells" ->

@@ -62,4 +62,46 @@ object Pipeline {
         max("doc_id").as("max_doc"))
       .orderBy("shard")
   }
+
+  /** Curation funnel — the stage-by-stage survival report every
+    * dataset card publishes next to the training set: how many
+    * documents and tokens remain after each cumulative curation stage
+    * (raw → min-length gate → language-ID'd English → near-dup
+    * canonical). Each stage reuses a DECLARED operator's exact
+    * semantics (the flagship's length gate; Quality.qLangId's
+    * prediction; DedupClusters' keep-canonical rule), so the funnel
+    * is an audit of the same pipeline the flagship executes — if the
+    * two ever disagree, one of them is wrong.
+    *
+    * Scale shape: flags are computed ONCE on a persisted |docs|-row
+    * frame (doc_id, n_tokens, three booleans — text never leaves the
+    * scan); each stage row is an ungrouped aggregate over a filter of
+    * that frame. The near-dup flag joins the cluster frame (pair-
+    * stream-sized, ≪ corpus) as a left join on doc_id. */
+  def qCurationFunnel(spark: SparkSession, d: String): DataFrame = {
+    val lang = Quality.qLangId(spark, d).select(col("doc_id"), col("pred_lang"))
+    val clusters = DedupClusters.qDedupClusters(spark, d)
+      .select(col("doc_id"), col("is_canonical"))
+    val flags = Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(lang, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("f_len", col("n_chars") >= 100 && col("n_tokens") >= 20)
+      .withColumn("f_lang", col("pred_lang") === "en")
+      .withColumn("f_canon", col("is_canonical").isNull || col("is_canonical"))
+      .persist() // one flag pass feeds all four stage aggregates
+    def stage(idx: Long, name: String, cond: org.apache.spark.sql.Column) =
+      flags.filter(cond)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(0L, "raw", lit(true))
+      .unionByName(stage(1L, "min_length", col("f_len")))
+      .unionByName(stage(2L, "lang_en", col("f_len") && col("f_lang")))
+      .unionByName(stage(3L, "near_dedup",
+        col("f_len") && col("f_lang") && col("f_canon")))
+      .orderBy("stage_idx")
+  }
 }

@@ -1596,6 +1596,53 @@ object Quality {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Quality-threshold calibration sweep: the filter-tuning companion
+    * to [[qQualityScore]] — per 0.1 score band, documents and token
+    * mass, plus cumulative docs/tokens retained at-or-above the band
+    * (what a quality cutoff at that band would keep). The C4/Gopher
+    * pipelines publish exactly this table when justifying a filter
+    * threshold: the knee of the tokens-retained curve is the cutoff.
+    * Composes the declared scorer; one |docs|-row projection collapses
+    * to ≤11 band rows map-side, then a window over those rows. Band
+    * edges floor the already-rounded score — same IEEE double op both
+    * engines. */
+  def qQualitySweep(spark: SparkSession, d: String): DataFrame = {
+    val banded = qQualityScore(spark, d)
+      .withColumn("band_x10", expr("CAST(floor(quality_score * 10) AS BIGINT)"))
+      .groupBy("band_x10")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
+    val wCum = Window.orderBy(col("band_x10").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .withColumn("docs_at_least", sum("n_docs").over(wCum))
+      .withColumn("tokens_at_least", sum("sum_tokens").over(wCum))
+      .select("band_x10", "n_docs", "sum_tokens", "docs_at_least", "tokens_at_least")
+      .orderBy("band_x10")
+  }
+
+  /** Tokenizer-efficiency profile per language: whitespace words,
+    * BPE-ish subword tokens (qTokenCount's regex), characters, and the
+    * two ratios a tokenizer owner watches per subcorpus — chars per
+    * subword token (compression) and subword tokens per word
+    * (fertility, the multilingual-tokenizer health metric: a language
+    * whose fertility drifts up is being shattered into bytes and will
+    * train poorly). Integer ppm end-to-end; one map-side-combining
+    * aggregate over a codegen'd projection. */
+  def qTokEfficiency(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("lang"), col("n_chars"),
+        expr(s"size($toks)").cast("long").as("n_words"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        sum("n_words").as("sum_words"),
+        sum("n_bpe").as("sum_bpe"))
+      .withColumn("chars_per_tok_ppm", expr("(sum_chars * 1000000) div sum_bpe"))
+      .withColumn("fertility_ppm", expr("(sum_bpe * 1000000) div sum_words"))
+      .orderBy("lang")
+
   /** k-anonymity small-cell audit over the quasi-identifier triple
     * (lang, source, length bucket): cells holding fewer than k=5
     * documents are re-identification risks when the corpus ships with

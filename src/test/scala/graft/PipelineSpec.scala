@@ -38,4 +38,32 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.filter(col("min_doc") > col("max_doc")).count() == 0)
     manifest.unpersist()
   }
+
+  test("curation funnel: stages replay from the composed operators and shrink monotonically") {
+    val got = Pipeline.qCurationFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, "raw"), (1L, "min_length"), (2L, "lang_en"), (3L, "near_dedup")))
+    // monotone non-increasing doc and token masses
+    assert(got.map(_._3).toSeq.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+    assert(got.map(_._4).toSeq.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+    // replay every stage from the declared component operators
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split("\\s+", -1).length.toLong))
+    val pred = graft.ops.Quality.qLangId(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(6))).toMap
+    val nonCanon = DedupClusters.qDedupClusters(spark, sfDir)
+      .filter(!col("is_canonical")).collect().map(_.getLong(0)).toSet
+    def tot(f: ((Long, Long, Long)) => Boolean) = {
+      val s = docs.filter(f)
+      (s.length.toLong, s.map(_._3).sum)
+    }
+    assert((got(0)._3, got(0)._4) == tot(_ => true))
+    assert((got(1)._3, got(1)._4) == tot(d => d._2 >= 100 && d._3 >= 20))
+    assert((got(2)._3, got(2)._4) ==
+      tot(d => d._2 >= 100 && d._3 >= 20 && pred(d._1) == "en"))
+    assert((got(3)._3, got(3)._4) ==
+      tot(d => d._2 >= 100 && d._3 >= 20 && pred(d._1) == "en" && !nonCanon(d._1)))
+  }
 }

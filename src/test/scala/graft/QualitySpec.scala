@@ -844,6 +844,40 @@ class QualitySpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("quality sweep: bands partition the scored docs, cumulative masses are suffix sums") {
+    val scored = Quality.qQualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    val sweep = Quality.qQualitySweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sweep.map(_._2).sum == scored.length)
+    val ref = scored.groupBy(s => math.floor(s._3 * 10).toLong)
+    sweep.foreach { case (band, n, toks, dAtLeast, tAtLeast) =>
+      assert(n == ref(band).length && toks == ref(band).map(_._2).sum)
+      val above = scored.filter(s => math.floor(s._3 * 10).toLong >= band)
+      assert(dAtLeast == above.length && tAtLeast == above.map(_._2).sum)
+    }
+  }
+
+  test("tok efficiency: per-language rollup replays exactly") {
+    val per = Quality.qTokenCount(spark, sfDir)
+      .select("doc_id", "n_tokens", "n_bpe_tokens").collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getInt(2).toLong))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ref = docs.groupBy(_._2).map { case (lang, g) =>
+      val chars = g.map(_._3).sum
+      val words = g.map(d => per(d._1)._1).sum
+      val bpe = g.map(d => per(d._1)._2).sum
+      (lang, (g.length.toLong, chars, words, bpe,
+        chars * 1000000L / bpe, bpe * 1000000L / words))
+    }
+    val got = Quality.qTokEfficiency(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("small cells: every observed cell replayed, suppress flags exactly the sub-k cells") {
     val docs = Tables.documents(spark, sfDir).select("lang", "source", "n_chars").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
