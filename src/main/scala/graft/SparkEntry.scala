@@ -151,6 +151,9 @@ object SparkEntry {
     "q_quality_sweep" -> (Quality.qQualitySweep _),
     "q_tok_efficiency" -> (Quality.qTokEfficiency _),
     "q_curation_funnel" -> (Pipeline.qCurationFunnel _),
+    "q_winnowing" -> (Quality.qWinnowing _),
+    "q_burstiness" -> (Quality.qBurstiness _),
+    "q_vocab_growth" -> (Quality.qVocabGrowth _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2398,6 +2401,70 @@ object SparkEntry {
         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
         |  FROM flags WHERE f_len AND f_lang AND f_canon)
         |ORDER BY stage_idx""".stripMargin,
+
+    // Winnowing (MOSS): min md5 of each 4-window over 5-token shingle
+    // hashes, deduped per doc; shared = fingerprint in >= 2 docs.
+    "q_winnowing" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, len(tk) - 4 AS n_shingles,
+        |    [md5(array_to_string(tk[i:i+4], ' ')) for i in range(1, len(tk) - 3)] AS hs
+        |  FROM tkt WHERE len(tk) >= 5),
+        |win AS (
+        |  SELECT doc_id, n_shingles,
+        |    unnest([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS sel
+        |  FROM sh WHERE len(hs) >= 4),
+        |fp AS (SELECT DISTINCT doc_id, n_shingles, sel FROM win),
+        |cdf AS (SELECT sel, count(DISTINCT doc_id) AS df FROM fp GROUP BY sel),
+        |per AS (
+        |  SELECT doc_id, n_shingles, count(*) AS n_fingerprints,
+        |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM fp JOIN cdf USING (sel) GROUP BY doc_id, n_shingles)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  n_fingerprints, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST((n_shared * 1000000) // n_fingerprints AS BIGINT) AS shared_ppm,
+        |  n_shared * 2 >= n_fingerprints AS is_suspect
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Church-Gale burstiness: cf*1e6 // df, df >= 5, top 20.
+    "q_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |agg AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df
+        |  FROM tf GROUP BY term HAVING count(*) >= 5)
+        |SELECT term, cf, df, CAST((cf * 1000000) // df AS BIGINT) AS burst_ppm
+        |FROM agg ORDER BY burst_ppm DESC, term LIMIT 20""".stripMargin,
+
+    // Heaps-law growth: distinct types / docs / tokens in the corpus
+    // prefix below each doc-id decile threshold.
+    "q_vocab_growth" ->
+      """WITH docs AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+        |dec AS (
+        |  SELECT t.d AS decile, (n_ids * t.d) // 10 AS threshold
+        |  FROM range(1, 11) t(d), mx),
+        |fs AS (
+        |  SELECT term, min(doc_id) AS first_id FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY term),
+        |ty AS (
+        |  SELECT decile, threshold, count(*) AS n_types
+        |  FROM dec JOIN fs ON first_id < threshold GROUP BY 1, 2),
+        |ms AS (
+        |  SELECT decile, threshold, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM dec JOIN docs ON doc_id < threshold GROUP BY 1, 2)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(threshold AS BIGINT) AS threshold, n_docs, n_tokens, n_types
+        |FROM ty JOIN ms USING (decile, threshold) ORDER BY decile""".stripMargin,
 
     // k-anonymity small-cell audit over (lang, source, n_chars bucket).
     "q_small_cells" ->

@@ -1643,6 +1643,103 @@ object Quality {
       .withColumn("fertility_ppm", expr("(sum_bpe * 1000000) div sum_words"))
       .orderBy("lang")
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS algorithm): per document, the minimum shingle hash of every
+    * 4-window over the 5-token shingle stream, deduplicated — the
+    * guarantee is that any shared substring of ≥ 8 tokens yields at
+    * least one shared FINGERPRINT, at ~1/4 the storage of the full
+    * shingle set. Per doc: fingerprint count, fingerprints shared
+    * with ≥2 docs, shared fraction (ppm), and the ≥-half-shared
+    * suspect flag. On this corpus the suspect set reproduces the LSH
+    * near-dup cluster population — the cross-check a dedup pipeline
+    * runs between its two independent detectors.
+    *
+    * Scale shape: the window minimum is a per-doc rows-window over
+    * the hash stream (partitioned by doc — the scalable orientation;
+    * codegen'd min, no HOF lambdas per the qSimhash lesson);
+    * fingerprint frequency is a vocabulary-sized aggregate; only
+    * 32-byte hashes shuffle. */
+  def qWinnowing(spark: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val wFwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    val fp = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), posexplode(expr("word_shingles(text, 5)")).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+      .withColumn("k", count(lit(1)).over(wFwd))
+      .withColumn("sel", min("h").over(wFwd))
+      .filter(col("k") === 4) // full 4-windows only
+      .select("doc_id", "sel").distinct()
+      .persist() // fingerprint-frequency rollup + per-doc join
+    val cdf = fp.groupBy("sel").agg(countDistinct("doc_id").as("df"))
+    val nsh = Tables.documents(spark, d)
+      .select(col("doc_id"), (size(expr(toks)) - 4).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") >= 4)
+    fp.join(cdf, "sel")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .join(nsh, "doc_id")
+      .withColumn("shared_ppm", expr("(n_shared * 1000000) div n_fingerprints"))
+      .withColumn("is_suspect", col("n_shared") * 2 >= col("n_fingerprints"))
+      .select("doc_id", "n_shingles", "n_fingerprints", "n_shared",
+        "shared_ppm", "is_suspect")
+      .orderBy("doc_id")
+  }
+
+  /** Term burstiness (Church & Gale 1995): collection frequency over
+    * document frequency — a term that occurs many times in few
+    * documents is topical/bursty; one that spreads thin is function-
+    * word-like. Quality pipelines use the bursty tail to spot
+    * template spam (one doc repeating a token hundreds of times
+    * inflates cf but not df). Top-20 by cf·1e6 div df among terms
+    * with df ≥ 5, ties on the term string. Two hash aggregates over
+    * one exploded scan (df from cf's distinct doc-term pairs — never
+    * a second corpus pass). */
+  def qBurstiness(spark: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(sum("tf").cast("long").as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .withColumn("burst_ppm", expr("(cf * 1000000) div df"))
+      .orderBy(col("burst_ppm").desc, col("term"))
+      .limit(20)
+  }
+
+  /** Vocabulary growth curve (Heaps' law): distinct types and token
+    * mass in the corpus prefix at each doc-id decile — the curve a
+    * corpus report plots to show whether vocabulary is saturating
+    * (natural text: types ∝ tokens^β, β≈0.5) or growing linearly
+    * (noise/IDs: every doc brings fresh garbage tokens). Thresholds
+    * are integer fractions of max(doc_id)+1, so the curve is
+    * deterministic under any doc-id layout; each type enters at its
+    * MIN doc_id (one vocabulary-sized aggregate), and each decile row
+    * counts first-appearances below its threshold — no running
+    * distinct-count window anywhere. */
+  def qVocabGrowth(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), expr(s"size($toks)").cast("long").as("n_tokens"))
+      .persist() // max-id total + per-decile prefix masses
+    val firstSeen = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+      .groupBy("term").agg(min("doc_id").as("first_id"))
+      .persist() // 10 decile probes read it
+    val maxId = docs.agg((max("doc_id") + 1L).as("n_ids"))
+    val deciles = broadcast(maxId.select(
+      explode(expr("sequence(1, 10)")).as("decile"), col("n_ids"))
+      .withColumn("threshold", expr("(n_ids * decile) div 10")))
+    val types = firstSeen.join(deciles, col("first_id") < col("threshold"))
+      .groupBy("decile", "threshold").agg(count(lit(1)).as("n_types"))
+    val mass = docs.join(deciles, col("doc_id") < col("threshold"))
+      .groupBy("decile", "threshold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    types.join(mass, Seq("decile", "threshold"))
+      .select(col("decile").cast("long").as("decile"), col("threshold"),
+        col("n_docs"), col("n_tokens"), col("n_types"))
+      .orderBy("decile")
+  }
+
   /** k-anonymity small-cell audit over the quasi-identifier triple
     * (lang, source, length bucket): cells holding fewer than k=5
     * documents are re-identification risks when the corpus ships with

@@ -878,6 +878,65 @@ class QualitySpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("winnowing: fingerprints replay from MessageDigest, shared counts from the corpus") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fps(text: String): Set[String] = {
+      val tk = text.split("\\s+", -1)
+      if (tk.length < 5) Set.empty
+      else {
+        val hs = tk.sliding(5).map(w => md5hex(w.mkString(" "))).toVector
+        if (hs.length < 4) Set.empty
+        else hs.sliding(4).map(_.min).toSet
+      }
+    }
+    val ref = docs.map { case (id, t) => (id, fps(t)) }.filter(_._2.nonEmpty)
+    val dfm = ref.flatMap { case (id, s) => s.map(f => (f, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val got = Quality.qWinnowing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.size == ref.length && ref.nonEmpty)
+    ref.foreach { case (id, s) =>
+      val shared = s.count(f => dfm(f) >= 2).toLong
+      val (nSh, nFp, nShared, ppm, suspect) = got(id)
+      assert(nFp == s.size && nShared == shared)
+      assert(nFp <= nSh - 3) // at most one fingerprint per 4-window
+      assert(ppm == shared * 1000000L / s.size)
+      assert(suspect == (shared * 2 >= s.size))
+    }
+  }
+
+  test("burstiness: top-20 cf/df replays exactly") {
+    val toks = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split("\\s+", -1).map(t => (r.getLong(0), t)))
+    val ref = toks.groupBy(_._2).view.mapValues { g =>
+      (g.length.toLong, g.map(_._1).distinct.length.toLong)
+    }.filter(_._2._2 >= 5)
+      .map { case (t, (cf, df)) => (t, cf, df, cf * 1000000L / df) }
+      .toSeq.sortBy { case (t, _, _, b) => (-b, t) }.take(20)
+    val got = Quality.qBurstiness(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("vocab growth: decile prefix counts replay, curve is monotone") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1).toSeq))
+    val nIds = docs.map(_._1).max + 1
+    val got = Quality.qVocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    got.foreach { case (k, th, nDocs, nToks, nTypes) =>
+      assert(th == nIds * k / 10)
+      val prefix = docs.filter(_._1 < th)
+      assert(nDocs == prefix.length && nToks == prefix.map(_._2.length.toLong).sum)
+      assert(nTypes == prefix.flatMap(_._2).distinct.length)
+    }
+    assert(got.map(_._5).toSeq.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+  }
+
   test("small cells: every observed cell replayed, suppress flags exactly the sub-k cells") {
     val docs = Tables.documents(spark, sfDir).select("lang", "source", "n_chars").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
