@@ -154,6 +154,9 @@ object SparkEntry {
     "q_winnowing" -> (Quality.qWinnowing _),
     "q_burstiness" -> (Quality.qBurstiness _),
     "q_vocab_growth" -> (Quality.qVocabGrowth _),
+    "q_key_width" -> (Quality.qKeyWidth _),
+    "q_detector_agreement" -> (Quality.qDetectorAgreement _),
+    "q_cdc_savings" -> (Quality.qCdcSavings _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2465,6 +2468,114 @@ object SparkEntry {
         |SELECT CAST(decile AS BIGINT) AS decile,
         |  CAST(threshold AS BIGINT) AS threshold, n_docs, n_tokens, n_types
         |FROM ty JOIN ms USING (decile, threshold) ORDER BY decile""".stripMargin,
+
+    // Dedup-key width sizing: md5-prefix collision counts over
+    // distinct texts at candidate widths.
+    "q_key_width" ->
+      """WITH t AS (SELECT DISTINCT md5(text) AS h FROM documents),
+        |w AS (SELECT w FROM (VALUES (4), (6), (8), (12), (16), (32)) v(w))
+        |SELECT CAST(w AS BIGINT) AS width,
+        |  count(DISTINCT substr(h, 1, w)) AS n_keys, count(*) AS n_texts,
+        |  count(*) - count(DISTINCT substr(h, 1, w)) AS n_collisions
+        |FROM t, w GROUP BY w ORDER BY w""".stripMargin,
+
+    // Cross-detector pair agreement: q_minhash_neardup's verified
+    // pairs vs q_simhash_neardup's hamming<=1 pairs.
+    "q_detector_agreement" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |mhb AS (
+        |  SELECT doc_id, s,
+        |    [list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
+        |      for b in range(0, 4)] AS bd
+        |  FROM sh),
+        |mhc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM mhb a JOIN mhb b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |mh AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      round(len(list_intersect(sa, sb))
+        |        / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4)
+        |        AS jaccard
+        |    FROM mhc)
+        |  WHERE jaccard >= 0.5),
+        |tdoc AS (
+        |  SELECT doc_id, [md5(x) for x in string_split_regex(text, '\s+')] AS tm
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    array_to_string([CASE WHEN list_sum(
+        |        [CASE WHEN substr(m, b, 1) >= '8' THEN 1 ELSE -1 END for m in tm]) > 0
+        |      THEN '1' ELSE '0' END for b in range(1, 33)], '') AS simhash
+        |  FROM tdoc),
+        |shbands AS (
+        |  SELECT doc_id, simhash, b AS band_idx, substr(simhash, 8*b + 1, 8) AS band_val
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |shc AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM shbands a JOIN shbands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id),
+        |sim AS (
+        |  SELECT doc_a, doc_b FROM shc
+        |  WHERE list_sum([CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)
+        |    THEN 1 ELSE 0 END for i in range(1, 33)]) <= 1),
+        |c AS (SELECT count(*) AS n_common_pairs FROM mh JOIN sim USING (doc_a, doc_b)),
+        |a AS (SELECT count(*) AS n_lsh_pairs FROM mh),
+        |b AS (SELECT count(*) AS n_simhash_pairs FROM sim)
+        |SELECT n_lsh_pairs, n_simhash_pairs, n_common_pairs,
+        |  CAST(n_lsh_pairs + n_simhash_pairs - n_common_pairs AS BIGINT)
+        |    AS n_union_pairs,
+        |  CAST((n_common_pairs * 1000000)
+        |    // (n_lsh_pairs + n_simhash_pairs - n_common_pairs) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM a, b, c""".stripMargin,
+
+    // CDC dedup savings rolled up to source (q_cdc_chunks' chunking).
+    "q_cdc_savings" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |tok AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    unnest([{'pos': i - 1, 'w': tk[i]} for i in range(1, len(tk) + 1)],
+        |           recursive := true)
+        |  FROM tkt),
+        |fl AS (
+        |  SELECT doc_id, n_tokens, pos, w,
+        |    CASE WHEN substr(md5(w), 32, 1) IN ('0', '8') THEN 1 ELSE 0 END AS flag
+        |  FROM tok),
+        |ch AS (
+        |  SELECT doc_id, n_tokens, pos, w,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM fl),
+        |chunks AS (
+        |  SELECT doc_id, n_tokens, chunk, count(*) AS c_toks,
+        |    md5(string_agg(w, ' ' ORDER BY pos)) AS ckey
+        |  FROM ch GROUP BY doc_id, n_tokens, chunk),
+        |cdf AS (SELECT ckey, count(DISTINCT doc_id) AS cdf FROM chunks GROUP BY ckey),
+        |per AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(CASE WHEN cdf >= 2 THEN c_toks ELSE 0 END) AS dup_tokens
+        |  FROM chunks JOIN cdf USING (ckey)
+        |  GROUP BY doc_id, n_tokens)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(per.n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(per.dup_tokens) AS BIGINT) AS dup_tokens,
+        |  CAST((sum(per.dup_tokens) * 1000000) // sum(per.n_tokens) AS BIGINT)
+        |    AS savings_ppm
+        |FROM per JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // k-anonymity small-cell audit over (lang, source, n_chars bucket).
     "q_small_cells" ->

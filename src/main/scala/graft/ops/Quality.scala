@@ -1740,6 +1740,70 @@ object Quality {
       .orderBy("decile")
   }
 
+  /** Dedup-key width sizing: at each candidate prefix width of the
+    * md5 content hash, how many distinct keys the corpus' distinct
+    * texts collapse to and how many texts would be FALSELY merged —
+    * the table that decides how many bytes of fingerprint a 100 TB
+    * exact-dedup run must carry (truncated keys halve shuffle bytes
+    * but every collision silently deletes a unique document; the
+    * first width with zero collisions, plus safety margin, is the
+    * production choice). One distinct-text aggregate, then a 6-row
+    * width expansion that collapses map-side. */
+  def qKeyWidth(spark: SparkSession, d: String): DataFrame = {
+    val hashes = Tables.documents(spark, d)
+      .select(md5(col("text")).as("h")).distinct()
+    val widths = Seq(4, 6, 8, 12, 16, 32)
+    hashes
+      .select(explode(array(widths.map(lit): _*)).as("w"), col("h"))
+      .select(col("w").cast("long").as("width"), expr("substring(h, 1, w)").as("k"))
+      .groupBy("width")
+      .agg(countDistinct("k").as("n_keys"), count(lit(1)).as("n_texts"))
+      .withColumn("n_collisions", col("n_texts") - col("n_keys"))
+      .select("width", "n_keys", "n_texts", "n_collisions")
+      .orderBy("width")
+  }
+
+  /** Cross-detector agreement: the MinHash-LSH verified pair set
+    * against the SimHash hamming≤1 pair set — the governance table a
+    * dedup owner keeps when running two independent detectors (the
+    * two families fail differently: MinHash misses small-set overlap
+    * shifts, SimHash misses long-doc dilution; a falling overlap ppm
+    * means one detector drifted). LSH side reads the landed pair
+    * artifact (the run's own output — the audit posture); SimHash
+    * side is the declared pipeline. Three 1-row aggregates broadcast-
+    * crossed; pair frames never leave their joins. */
+  def qDetectorAgreement(spark: SparkSession, d: String): DataFrame = {
+    val lsh = neardupPairs(spark, d).select("doc_a", "doc_b")
+    val sim = qSimhashNeardup(spark, d).select("doc_a", "doc_b")
+    val nA = lsh.agg(count(lit(1)).as("n_lsh_pairs"))
+    val nB = sim.agg(count(lit(1)).as("n_simhash_pairs"))
+    val nC = lsh.join(sim, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_common_pairs"))
+    // 1-row totals broadcast (PlanQualitySpec-allowlisted)
+    nA.crossJoin(broadcast(nB)).crossJoin(broadcast(nC))
+      .withColumn("n_union_pairs",
+        col("n_lsh_pairs") + col("n_simhash_pairs") - col("n_common_pairs"))
+      .withColumn("overlap_ppm",
+        expr("(n_common_pairs * 1000000) div n_union_pairs"))
+  }
+
+  /** CDC dedup savings by source: [[qCdcChunks]]' per-document
+    * dup-chunk token mass rolled up to the acquisition source — the
+    * number that tells a crawl operator WHICH feed is paying for
+    * storage twice (chunk-level savings survive small edits, so this
+    * catches re-crawled/mirrored feeds exact dedup misses). Composes
+    * the declared chunker; one |docs|-row join on doc_id plus a
+    * |sources|-row aggregate. */
+  def qCdcSavings(spark: SparkSession, d: String): DataFrame =
+    qCdcChunks(spark, d)
+      .join(Tables.documents(spark, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("dup_tokens").as("dup_tokens"))
+      .withColumn("savings_ppm", expr("(dup_tokens * 1000000) div sum_tokens"))
+      .orderBy("source")
+
   /** k-anonymity small-cell audit over the quasi-identifier triple
     * (lang, source, length bucket): cells holding fewer than k=5
     * documents are re-identification risks when the corpus ships with

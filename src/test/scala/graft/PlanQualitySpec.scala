@@ -78,7 +78,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_drift_bins",        // 1-row period-totals broadcast over the 10-row bin frame
     "q_dsir_weight",       // 1-row corpus/target gram-total broadcast over the gram table
     "q_ivf_probe_sweep",   // centroids (8) broadcast for assignment (corpus + probe sides)
-    "q_vocab_growth")      // 10-row decile-threshold broadcast, theta-joined to prefixes
+    "q_vocab_growth",      // 10-row decile-threshold broadcast, theta-joined to prefixes
+    "q_detector_agreement") // three 1-row pair-count totals broadcast-crossed
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -937,6 +937,49 @@ class QualitySpec extends SparkSpec {
     assert(got.map(_._5).toSeq.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
   }
 
+  test("key width: prefix collision table replays from MessageDigest") {
+    val hs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(r => md5hex(r.getString(0))).distinct
+    val got = Quality.qKeyWidth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(4L, 6L, 8L, 12L, 16L, 32L))
+    got.foreach { case (w, (nKeys, nTexts, nColl)) =>
+      val keys = hs.map(_.take(w.toInt)).distinct.length.toLong
+      assert(nKeys == keys && nTexts == hs.length.toLong && nColl == hs.length - keys)
+    }
+    // full width never collides; collisions shrink with width
+    assert(got(32L)._3 == 0)
+    val byW = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(byW.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+  }
+
+  test("detector agreement: counts replay from the two declared pair sets") {
+    val lsh = Quality.qMinhashNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Quality.qSimhashNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = Quality.qDetectorAgreement(spark, sfDir).collect().head
+    val (na, nb, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(na == lsh.size && nb == sim.size && nc == (lsh & sim).size)
+    assert(r.getLong(3) == (lsh | sim).size)
+    assert(r.getLong(4) == nc * 1000000L / (na + nb - nc))
+  }
+
+  test("cdc savings: per-source rollup matches the per-doc chunk audit") {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val per = Quality.qCdcChunks(spark, sfDir).collect()
+      .map(r => (src(r.getLong(0)), r.getLong(1), r.getLong(4)))
+    val ref = per.groupBy(_._1).map { case (s, g) =>
+      (s, (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(_._3).sum * 1000000L / g.map(_._2).sum))
+    }
+    val got = Quality.qCdcSavings(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("small cells: every observed cell replayed, suppress flags exactly the sub-k cells") {
     val docs = Tables.documents(spark, sfDir).select("lang", "source", "n_chars").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
