@@ -157,6 +157,13 @@ object SparkEntry {
     "q_key_width" -> (Quality.qKeyWidth _),
     "q_detector_agreement" -> (Quality.qDetectorAgreement _),
     "q_cdc_savings" -> (Quality.qCdcSavings _),
+    "q_zipf_slope" -> (Quality.qZipfSlope _),
+    "q_kl_drift" -> (Quality.qKlDrift _),
+    "q_mutual_info" -> (Inventory.qMutualInfo _),
+    "q_chi2_test" -> (Inventory.qChi2Test _),
+    "q_lsh_planner" -> (Quality.qLshPlanner _),
+    "q_fd_discovery" -> (Inventory.qFdDiscovery _),
+    "q_join_card_est" -> (Inventory.qJoinCardEst _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
@@ -2585,6 +2592,176 @@ object SparkEntry {
         |       ELSE 2048 END AS BIGINT) AS len_bucket,
         |  count(*) AS n_docs, count(*) < 5 AS suppress
         |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Zipf slope per source: OLS on milli-floored logs — integer-only
+    // after the single ln(), so the fit is bit-identical by definition.
+    "q_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |cf AS (SELECT source, term, count(*) AS cf FROM tf GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, cf,
+        |    row_number() OVER (PARTITION BY source ORDER BY cf DESC, term) AS rank
+        |  FROM cf),
+        |m AS (
+        |  SELECT source,
+        |    CAST(floor(ln(rank) * 1000) AS BIGINT) AS x_m,
+        |    CAST(floor(ln(cf) * 1000) AS BIGINT) AS y_m
+        |  FROM rk WHERE rank <= 100),
+        |s AS (
+        |  SELECT source, count(*) AS n_terms, sum(x_m) AS sx, sum(y_m) AS sy,
+        |    sum(x_m * y_m) AS sxy, sum(x_m * x_m) AS sxx
+        |  FROM m GROUP BY source)
+        |SELECT source, n_terms, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |  CAST((1000 * (sx * sy - n_terms * sxy)) // (n_terms * sxx - sx * sx)
+        |    AS BIGINT) AS slope_neg_milli
+        |FROM s ORDER BY source""".stripMargin,
+
+    // Per-source KL vs the corpus top-100 unigram distribution,
+    // add-1 smoothed; per-term doubles over exact integers pinned to
+    // DECIMAL(18,12) before the exact sum (qEntropy recipe).
+    "q_kl_drift" ->
+      """WITH tf AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |stc AS (SELECT source, term, count(*) AS c FROM tf GROUP BY 1, 2),
+        |corpus AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM stc GROUP BY term
+        |  ORDER BY cc DESC, term LIMIT 100),
+        |qt AS (SELECT CAST(sum(cc) AS BIGINT) AS q_total, count(*) AS n_univ
+        |       FROM corpus),
+        |grid AS (
+        |  SELECT s.source, t.term, t.cc
+        |  FROM (SELECT DISTINCT source FROM documents) s, corpus t),
+        |j AS (
+        |  SELECT g.source, g.term, g.cc, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN stc c ON g.source = c.source AND g.term = c.term),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM j GROUP BY source)
+        |SELECT j.source, max(t.ns) AS n_src_tokens,
+        |  CAST(sum(CAST(
+        |    (CAST(j.c + 1 AS DOUBLE) / (t.ns + q.n_univ))
+        |    * ln(CAST((j.c + 1) * q.q_total AS DOUBLE) / ((t.ns + q.n_univ) * j.cc))
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_nats
+        |FROM j JOIN tot t ON j.source = t.source CROSS JOIN qt q
+        |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    // LSH band-geometry planner: 40-row config enumeration, one pow()
+    // chain per row over identical literal operands on both engines.
+    "q_lsh_planner" ->
+      """WITH b AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS n_bands),
+        |s AS (SELECT unnest([50, 60, 70, 80, 90]) AS s_pct)
+        |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+        |  CAST(128 // n_bands AS BIGINT) AS rows_per_band,
+        |  CAST(s_pct AS BIGINT) AS s_pct,
+        |  CAST(floor((1.0 - pow(1.0 - pow(s_pct / 100.0, 128 // n_bands), n_bands))
+        |       * 1000000) AS BIGINT) AS p_candidate_ppm,
+        |  CAST(floor(pow(1.0 / n_bands, 1.0 / (128 // n_bands)) * 1000) AS BIGINT)
+        |    AS s_star_milli
+        |FROM b, s ORDER BY n_bands, s_pct""".stripMargin,
+
+    // Approximate-FD discovery: counts-only probes, one row per A→B.
+    "q_fd_discovery" ->
+      """WITH probes AS (
+        |  SELECT 'nation' AS tbl, 'n_nationkey' AS det, 'n_name' AS dep, ndv
+        |  FROM (SELECT count(DISTINCT n_name) AS ndv FROM nation GROUP BY n_nationkey)
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', 'c_mktsegment', ndv
+        |  FROM (SELECT count(DISTINCT c_mktsegment) AS ndv FROM customer GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', 'c_mktsegment', ndv
+        |  FROM (SELECT count(DISTINCT c_mktsegment) AS ndv FROM customer GROUP BY c_nationkey)
+        |  UNION ALL
+        |  SELECT 'part', 'p_brand', 'p_type', ndv
+        |  FROM (SELECT count(DISTINCT p_type) AS ndv FROM part GROUP BY p_brand)
+        |  UNION ALL
+        |  SELECT 'part', 'p_type', 'p_brand', ndv
+        |  FROM (SELECT count(DISTINCT p_brand) AS ndv FROM part GROUP BY p_type)
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'o_orderpriority', ndv
+        |  FROM (SELECT count(DISTINCT o_orderpriority) AS ndv FROM orders GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', 'event_type', ndv
+        |  FROM (SELECT count(DISTINCT event_type) AS ndv FROM events GROUP BY user_id)
+        |  UNION ALL
+        |  SELECT 'documents', 'source', 'lang', ndv
+        |  FROM (SELECT count(DISTINCT lang) AS ndv FROM documents GROUP BY source))
+        |SELECT tbl, det, dep, count(*) AS n_keys, CAST(sum(ndv) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS fd_holds
+        |FROM probes GROUP BY tbl, det, dep ORDER BY tbl, det, dep""".stripMargin,
+
+    // Optimizer cardinality-estimate audit for the three fixture FK
+    // joins; all-integer arithmetic.
+    "q_join_card_est" ->
+      """WITH lo AS (
+        |  SELECT 'lineitem_orders' AS join_name,
+        |    (SELECT count(*) FROM lineitem) AS n_left,
+        |    (SELECT count(*) FROM orders) AS n_right,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_left,
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_right,
+        |    (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |      AS actual_rows),
+        |oc AS (
+        |  SELECT 'orders_customer' AS join_name,
+        |    (SELECT count(*) FROM orders) AS n_left,
+        |    (SELECT count(*) FROM customer) AS n_right,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_left,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_right,
+        |    (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey)
+        |      AS actual_rows),
+        |lp AS (
+        |  SELECT 'lineitem_part' AS join_name,
+        |    (SELECT count(*) FROM lineitem) AS n_left,
+        |    (SELECT count(*) FROM part) AS n_right,
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem) AS ndv_left,
+        |    (SELECT count(DISTINCT p_partkey) FROM part) AS ndv_right,
+        |    (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |      AS actual_rows),
+        |u AS (SELECT * FROM lo UNION ALL SELECT * FROM oc UNION ALL SELECT * FROM lp)
+        |SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+        |  CAST((n_left * n_right) // greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+        |  actual_rows,
+        |  CAST((abs(actual_rows - (n_left * n_right) // greatest(ndv_left, ndv_right))
+        |        * 1000000) // actual_rows AS BIGINT) AS abs_err_ppm
+        |FROM u ORDER BY join_name""".stripMargin,
+
+    // Mutual information over the observed (lang, source) contingency
+    // cells; empty cells contribute 0 in the p·ln p limit.
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |ml AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cl FROM cells GROUP BY lang),
+        |ms AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM cells GROUP BY source),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+        |SELECT max(nn) AS n_docs, count(*) AS n_cells,
+        |  CAST(sum(CAST(
+        |    (o / CAST(nn AS DOUBLE)) * ln((o * nn) / CAST(cl * cs AS DOUBLE))
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS mi_nats
+        |FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n""".stripMargin,
+
+    // Chi-squared contributions per lang over the FULL lang×source
+    // grid (absent cells contribute e); one double division per cell.
+    "q_chi2_test" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT l.lang, s.source
+        |  FROM (SELECT DISTINCT lang FROM documents) l,
+        |       (SELECT DISTINCT source FROM documents) s),
+        |g AS (
+        |  SELECT grid.lang, grid.source, COALESCE(cells.o, 0) AS o
+        |  FROM grid LEFT JOIN cells
+        |    ON grid.lang = cells.lang AND grid.source = cells.source),
+        |ml AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cl FROM g GROUP BY lang),
+        |ms AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM g GROUP BY source),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM g)
+        |SELECT g.lang, max(cl) AS n_docs, count(*) AS n_cells,
+        |  CAST(sum(CAST(
+        |    ((o * nn - cl * cs) * (o * nn - cl * cs)) / CAST(nn * cl * cs AS DOUBLE)
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS chi2_part
+        |FROM g JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n
+        |GROUP BY g.lang ORDER BY g.lang""".stripMargin,
 
     // SemDeDup threshold sweep: 0.05 cosine bands over the verified
     // embedding near-dup pairs (q_embed_neardup's pair semantics).

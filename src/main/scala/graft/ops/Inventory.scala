@@ -718,4 +718,128 @@ object Inventory {
         dense_rank().over(wType).as("type_dense_rank"))
       .orderBy("user_id", "seq")
   }
+
+  /** Mutual information between the documents table's lang and source
+    * labels — the metadata-dependence profile a feature auditor reads
+    * before using either column as a stratification key (MI ≈ 0 means
+    * the two partitionings are independent and stratifying on both
+    * multiplies cells for nothing; high MI means one is redundant).
+    * I = Σ_cells (o/N)·ln(o·N / (c_lang·c_source)) over OBSERVED
+    * cells (empty cells contribute 0 in the limit). Per-cell terms
+    * are doubles over exact integer operands, pinned to
+    * DECIMAL(18,12) before the exact sum — the qEntropy parity
+    * recipe. One hash aggregate builds the contingency table; the
+    * marginals re-aggregate its ≤|langs|·|sources| rows, never the
+    * corpus. */
+  def qMutualInfo(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(spark, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .persist() // marginals + total re-read the tiny contingency table
+    val ml = cells.groupBy("lang").agg(sum("o").cast("long").as("cl"))
+    val ms = cells.groupBy("source").agg(sum("o").cast("long").as("cs"))
+    val n = cells.agg(sum("o").cast("long").as("nn"))
+    cells.join(ml, "lang").join(ms, "source")
+      .crossJoin(broadcast(n)) // 1-row corpus total (PlanQualitySpec-allowlisted)
+      .withColumn("term_mi",
+        expr("(o / CAST(nn AS DOUBLE)) * ln((o * nn) / CAST(cl * cs AS DOUBLE))"))
+      .agg(max("nn").as("n_docs"), count(lit(1)).as("n_cells"),
+        sum(col("term_mi").cast("decimal(18,12)")).cast("double").as("mi_nats"))
+  }
+
+  /** Chi-squared independence contributions per lang over the
+    * (lang × source) contingency grid — MI's hypothesis-test
+    * companion: chi² = Σ (o−e)²/e with e = c_lang·c_source/N,
+    * computed as (o·N − c_lang·c_source)²/(N·c_lang·c_source) so
+    * every operand stays an exact 64-bit integer until the one double
+    * division. Unlike [[qMutualInfo]] the grid here is the FULL
+    * lang × source enumeration (an absent cell contributes e, not 0),
+    * built by broadcasting the two distinct-value dims. Per-lang rows
+    * keep the table readable; the overall statistic is their sum. */
+  def qChi2Test(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(spark, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .persist() // grid left-join + marginals
+    val grid = cells.select("lang").distinct()
+      .crossJoin(broadcast(cells.select("source").distinct())) // dim×dim enumeration (allowlisted)
+    val g = grid.join(cells, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), coalesce(col("o"), lit(0L)).as("o"))
+      .persist() // marginals + total + per-cell terms
+    val ml = g.groupBy("lang").agg(sum("o").cast("long").as("cl"))
+    val ms = g.groupBy("source").agg(sum("o").cast("long").as("cs"))
+    val n = g.agg(sum("o").cast("long").as("nn"))
+    g.join(ml, "lang").join(ms, "source")
+      .crossJoin(broadcast(n)) // 1-row total (allowlisted)
+      .withColumn("term_chi2",
+        expr("""((o * nn - cl * cs) * (o * nn - cl * cs))
+               | / CAST(nn * cl * cs AS DOUBLE)""".stripMargin))
+      .groupBy("lang")
+      .agg(max("cl").as("n_docs"), count(lit(1)).as("n_cells"),
+        sum(col("term_chi2").cast("decimal(18,12)")).cast("double").as("chi2_part"))
+      .orderBy("lang")
+  }
+
+  /** One fixed functional-dependency probe A→B: distinct determinant
+    * count, distinct (A,B) pair count, determinants with >1 dependent
+    * value. Key-only aggregates — the raw table never shuffles, only
+    * (A, ndv_B) rows. */
+  private def fdProbe(df: DataFrame, table: String, det: String, dep: String): DataFrame =
+    df.groupBy(col(det)).agg(countDistinct(col(dep)).as("ndv"))
+      .agg(count(lit(1)).as("n_keys"), sum("ndv").cast("long").as("n_pairs"),
+        sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+      .select(lit(table).as("tbl"), lit(det).as("det"), lit(dep).as("dep"),
+        col("n_keys"), col("n_pairs"), col("n_violating_keys"),
+        (col("n_violating_keys") === 0L).as("fd_holds"))
+
+  /** Approximate-FD discovery over a fixed probe set — the schema-
+    * profiling pass (Papenbrock/Naumann-style, counts-only) a data
+    * platform runs before choosing partition and bucketing keys: a
+    * dependent column functionally determined by the key can ride the
+    * same bucketing for free, a violated "FD" that ops believed held
+    * (brand→type) is a silent corruption alarm. Each probe is two
+    * hash aggregates whose shuffle carries only (determinant, ndv)
+    * pairs; the probes union into one 8-row report. */
+  def qFdDiscovery(spark: SparkSession, d: String): DataFrame = {
+    val probes = Seq(
+      fdProbe(Tables.nation(spark, d), "nation", "n_nationkey", "n_name"),
+      fdProbe(Tables.customer(spark, d), "customer", "c_custkey", "c_mktsegment"),
+      fdProbe(Tables.customer(spark, d), "customer", "c_nationkey", "c_mktsegment"),
+      fdProbe(Tables.part(spark, d), "part", "p_brand", "p_type"),
+      fdProbe(Tables.part(spark, d), "part", "p_type", "p_brand"),
+      fdProbe(Tables.orders(spark, d), "orders", "o_custkey", "o_orderpriority"),
+      fdProbe(Tables.events(spark, d), "events", "user_id", "event_type"),
+      fdProbe(Tables.documents(spark, d), "documents", "source", "lang"))
+    probes.reduce(_.union(_)).orderBy("tbl", "det", "dep")
+  }
+
+  /** Join-cardinality estimation audit: the textbook optimizer
+    * formula |A⋈B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) against the
+    * ACTUAL join count for the three fixture FK joins — the
+    * stats-quality report that decides whether a cost-based join
+    * reorder can be trusted (an estimate off by >10⁵ ppm means stale
+    * NDVs would mis-order a 100 TB plan). All-integer arithmetic;
+    * each row needs two count/ndv aggregates plus one key-only join
+    * count (the fact side ships only its key column). */
+  def qJoinCardEst(spark: SparkSession, d: String): DataFrame = {
+    def probe(name: String, a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("n_left"), countDistinct(col(ka)).as("ndv_left"))
+      val sb = b.agg(count(lit(1)).as("n_right"), countDistinct(col(kb)).as("ndv_right"))
+      val actual = a.select(col(ka)).join(b.select(col(kb)), col(ka) === col(kb))
+        .agg(count(lit(1)).as("actual_rows"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual)) // 1-row stats (allowlisted)
+        .withColumn("est_rows",
+          expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
+        .withColumn("abs_err_ppm",
+          expr("(abs(actual_rows - est_rows) * 1000000) div actual_rows"))
+        .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("est_rows"),
+          col("actual_rows"), col("abs_err_ppm"))
+    }
+    probe("lineitem_orders", Tables.lineitem(spark, d), "l_orderkey",
+        Tables.orders(spark, d), "o_orderkey")
+      .union(probe("orders_customer", Tables.orders(spark, d), "o_custkey",
+        Tables.customer(spark, d), "c_custkey"))
+      .union(probe("lineitem_part", Tables.lineitem(spark, d), "l_partkey",
+        Tables.part(spark, d), "p_partkey"))
+      .orderBy("join_name")
+  }
 }

@@ -1825,4 +1825,106 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("suppress", col("n_docs") < 5)
       .orderBy("lang", "source", "len_bucket")
+
+  /** Zipf slope per source: OLS fit of ln(freq) on ln(rank) over each
+    * source's top-100 terms — natural text sits near −1; a flatter
+    * slope flags boilerplate/template feeds (few heads repeated), a
+    * steeper one flags ID/noise vocabularies. The fit is DEFINED on
+    * milli-floored logs (x_m = ⌊1000·ln(rank)⌋) so every arithmetic
+    * step after the single ln() call is 64-bit integer — no float
+    * summation order, no final-division ulp — and the engine/oracle
+    * surfaces are bit-identical by construction. slope_neg_milli is
+    * the NEGATED slope ×1000 (positive), keeping the integer division
+    * on positive operands where truncation and floor agree across
+    * engines. Ranks tie-break on the term string. One exploded scan →
+    * vocabulary-sized aggregate → |sources|×100 window rows. */
+  def qZipfSlope(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("cf").desc, col("term"))
+    Tables.documentsSpread(spark, d)
+      .select(col("source"), explode(expr(toks)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select(col("source"),
+        expr("CAST(floor(ln(rank) * 1000) AS BIGINT)").as("x_m"),
+        expr("CAST(floor(ln(cf) * 1000) AS BIGINT)").as("y_m"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("x_m").as("sx"), sum("y_m").as("sy"),
+        sum(col("x_m") * col("y_m")).as("sxy"),
+        sum(col("x_m") * col("x_m")).as("sxx"))
+      .withColumn("slope_neg_milli",
+        expr("(1000 * (sx * sy - n_terms * sxy)) div (n_terms * sxx - sx * sx)"))
+      .select("source", "n_terms", "sx", "sy", "slope_neg_milli")
+      .orderBy("source")
+  }
+
+  /** KL divergence of each source's unigram distribution from the
+    * corpus distribution, restricted to the corpus top-100 vocabulary
+    * with add-1 smoothing on the source side — the mixture-drift
+    * monitor a curation pipeline runs per ingest batch (a source whose
+    * KL jumps changed register/domain; smoothing keeps sources that
+    * miss head terms finite). With U = |universe| (≤100 — the corpus
+    * vocabulary can be smaller at tiny SFs): p(t) = (c+1)/(ns+U),
+    * q(t) = cc/Σcc; KL = Σ p·ln(p/q) ≥ 0 because both renormalize
+    * over the same universe. Per-term values are doubles computed from
+    * exact integers (both engines see identical operands), pinned to
+    * DECIMAL(18,12) before the exact order-independent sum — the
+    * qEntropy parity recipe. Scale shape: one exploded scan, a
+    * vocabulary-sized aggregate, then a |sources|×100 broadcast grid
+    * so zero counts surface — pair frames never exceed 100·|sources|
+    * rows. */
+  def qKlDrift(spark: SparkSession, d: String): DataFrame = {
+    val stc = Tables.documentsSpread(spark, d)
+      .select(col("source"), explode(expr(toks)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .persist() // corpus top-100 rollup + per-source grid join
+    val top = stc.groupBy("term").agg(sum("c").cast("long").as("cc"))
+      .orderBy(col("cc").desc, col("term")).limit(100)
+      .persist() // grid expansion + 1-row total
+    val qTotal = top.agg(sum("cc").cast("long").as("q_total"),
+      count(lit(1)).as("n_univ"))
+    val grid = stc.select("source").distinct()
+      .crossJoin(broadcast(top)) // |sources| × 100 enumeration (PlanQualitySpec-allowlisted)
+    val joined = grid.join(stc, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), col("cc"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val ns = joined.groupBy("source").agg(sum("c").cast("long").as("ns"))
+    joined.join(ns, "source")
+      .crossJoin(broadcast(qTotal)) // 1-row corpus mass (allowlisted)
+      .withColumn("term_kl",
+        expr("""(CAST(c + 1 AS DOUBLE) / (ns + n_univ))
+               | * ln(CAST((c + 1) * q_total AS DOUBLE) / ((ns + n_univ) * cc))""".stripMargin))
+      .groupBy("source")
+      .agg(max("ns").as("n_src_tokens"),
+        sum(col("term_kl").cast("decimal(18,12)")).cast("double").as("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** LSH parameter planner: for every (bands b, rows r) factoring of a
+    * 128-hash MinHash signature and a grid of Jaccard levels, the
+    * candidate probability 1−(1−s^r)^b and the S-curve threshold
+    * (1/b)^(1/r) — the table a dedup owner reads to pick band
+    * geometry BEFORE burning a 100 TB pass (q_minhash_neardup's
+    * 16×8 choice sits at s*≈0.707 on this exact curve). A 40-row
+    * config enumeration computed per-row from literals — no corpus
+    * scan, no shuffle, the same dim-literal pattern as q_cross_dims.
+    * Both outputs are floor-pinned (ppm / milli) because chained
+    * pow() differs across libm implementations at the last ulp (seen
+    * live engine-vs-DuckDB at (8,16,90)); every pinned value sits
+    * ≥4e-13 in p from a flip boundary while cross-libm noise is
+    * ≤1e-29 — the checked surface is all-integer. */
+  def qLshPlanner(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+    val jaccard = Seq(50, 60, 70, 80, 90)
+    bands.flatMap(b => jaccard.map(s => (b.toLong, (128 / b).toLong, s.toLong)))
+      .toDF("n_bands", "rows_per_band", "s_pct")
+      .withColumn("p_candidate_ppm",
+        expr("""CAST(floor((1.0 - pow(1.0 - pow(s_pct / 100.0, rows_per_band), n_bands))
+               | * 1000000) AS BIGINT)""".stripMargin))
+      .withColumn("s_star_milli",
+        expr("CAST(floor(pow(1.0 / n_bands, 1.0 / rows_per_band) * 1000) AS BIGINT)"))
+      .orderBy("n_bands", "s_pct")
+  }
 }

@@ -332,4 +332,81 @@ class InventorySpec extends SparkSpec {
     // ties exist somewhere, so the two rankings measurably diverge
     assert(byUser.values.exists(rs => rs.exists(r => r._5 < r._4)))
   }
+
+  test("mutual info: replays the scala reference over the observed contingency cells") {
+    val docs = Tables.documents(spark, sfDir).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val ml = cells.groupBy(_._1._1).map { case (l, g) => (l, g.values.sum) }
+    val ms = cells.groupBy(_._1._2).map { case (s, g) => (s, g.values.sum) }
+    val nn = docs.length.toLong
+    val ref = cells.map { case ((l, s), o) =>
+      (o.toDouble / nn) * math.log((o * nn).toDouble / (ml(l) * ms(s)))
+    }.sum
+    val row = Inventory.qMutualInfo(spark, sfDir).collect().head
+    assert(row.getLong(0) == nn && row.getLong(1) == cells.size)
+    assert(math.abs(row.getDouble(2) - ref) < 1e-9)
+    assert(row.getDouble(2) >= -1e-9) // MI is non-negative up to the decimal pin
+  }
+
+  test("chi2: full lang×source grid, per-lang parts replay the scala reference") {
+    val docs = Tables.documents(spark, sfDir).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+    val langs = docs.map(_._1).distinct.sorted
+    val srcs = docs.map(_._2).distinct
+    val ml = docs.groupBy(_._1).map { case (l, g) => (l, g.length.toLong) }
+    val ms = docs.groupBy(_._2).map { case (s, g) => (s, g.length.toLong) }
+    val nn = docs.length.toLong
+    val got = Inventory.qChi2Test(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == langs.toSeq) // ordered, one row per lang
+    got.foreach { case (l, nDocs, nCells, part) =>
+      assert(nDocs == ml(l) && nCells == srcs.length.toLong)
+      val ref = srcs.map { s =>
+        val o = cells.getOrElse((l, s), 0L)
+        val num = (o * nn - ml(l) * ms(s)).toDouble
+        num * num / (nn * ml(l) * ms(s)).toDouble
+      }.sum
+      assert(math.abs(part - ref) < 1e-9 && part >= 0.0)
+    }
+  }
+
+  test("fd discovery: key-determined probes hold, aggregated ones violated; counts replay") {
+    val got = Inventory.qFdDiscovery(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size == 8)
+    // unique-key determinants hold by construction
+    assert(got(("nation", "n_nationkey", "n_name"))._4)
+    assert(got(("customer", "c_custkey", "c_mktsegment"))._4)
+    got.foreach { case (_, (nKeys, nPairs, nViol, holds)) =>
+      assert(nPairs >= nKeys && nViol <= nKeys)
+      assert(holds == (nViol == 0L) && (nPairs == nKeys) == holds)
+    }
+    // replay one violated probe from first principles
+    val docs = Tables.documents(spark, sfDir).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val (nKeys, nPairs, nViol, _) = got(("documents", "source", "lang"))
+    assert(nKeys == bySrc.size && nPairs == bySrc.values.sum)
+    assert(nViol == bySrc.values.count(_ > 1))
+  }
+
+  test("join card est: FK joins estimate near-exactly; actuals replay the true join sizes") {
+    val li = Tables.lineitem(spark, sfDir).count()
+    val ord = Tables.orders(spark, sfDir).count()
+    val got = Inventory.qJoinCardEst(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("lineitem_orders", "lineitem_part", "orders_customer"))
+    got.foreach { case (_, nl, nr, ndvl, ndvr, est, actual, errPpm) =>
+      assert(est == nl * nr / math.max(ndvl, ndvr))
+      assert(errPpm == math.abs(actual - est) * 1000000L / actual)
+    }
+    // every lineitem has an order: the FK join actual is |lineitem|,
+    // and with ndv(o_orderkey) = |orders| the estimate is exact
+    val lo = got.find(_._1 == "lineitem_orders").get
+    assert(lo._7 == li && lo._3 == ord && lo._5 == ord && lo._8 == 0L)
+  }
 }

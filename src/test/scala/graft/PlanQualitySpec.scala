@@ -79,7 +79,11 @@ class PlanQualitySpec extends SparkSpec {
     "q_dsir_weight",       // 1-row corpus/target gram-total broadcast over the gram table
     "q_ivf_probe_sweep",   // centroids (8) broadcast for assignment (corpus + probe sides)
     "q_vocab_growth",      // 10-row decile-threshold broadcast, theta-joined to prefixes
-    "q_detector_agreement") // three 1-row pair-count totals broadcast-crossed
+    "q_detector_agreement", // three 1-row pair-count totals broadcast-crossed
+    "q_kl_drift",          // |sources| × top-100 vocab grid + 1-row corpus mass broadcast
+    "q_mutual_info",       // 1-row corpus total broadcast over the contingency cells
+    "q_chi2_test",         // lang × source dim enumeration + 1-row total broadcast
+    "q_join_card_est")     // per-join 1-row stats/actual-count broadcasts
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -993,6 +993,71 @@ class QualitySpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("zipf slope: integer fit replays the scala OLS on the same milli logs") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = Quality.qZipfSlope(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.map(_._1).toSet == docs.map(_._1).toSet)
+    val bySource = docs.groupBy(_._1)
+    got.foreach { case (src, n, sx, sy, slope) =>
+      val cf = bySource(src).flatMap(_._2.split("\\s+"))
+        .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      val top = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+      val xm = top.indices.map(i => math.floor(math.log(i + 1.0) * 1000).toLong)
+      val ym = top.map { case (_, c) => math.floor(math.log(c.toDouble) * 1000).toLong }
+      assert(n == top.length && sx == xm.sum && sy == ym.sum)
+      val sxy = xm.zip(ym).map { case (a, b) => a * b }.sum
+      val sxx = xm.map(a => a * a).sum
+      assert(slope == (1000L * (sx * sy - n * sxy)) / (n * sxx - sx * sx))
+      assert(slope >= 0) // negated Zipf slope: frequency non-increasing in rank
+    }
+  }
+
+  test("kl drift: add-1 smoothed KL vs corpus top-100 is ≥0 and replays the scala reference") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val corpusCf = docs.flatMap(_._2.split("\\s+"))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+    val top = corpusCf.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val qTotal = top.map(_._2).sum
+    val got = Quality.qKlDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.map(_._1).toSet == docs.map(_._1).toSet)
+    val bySource = docs.groupBy(_._1)
+    got.foreach { case (src, ns, kl) =>
+      val cf = bySource(src).flatMap(_._2.split("\\s+"))
+        .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      val cs = top.map { case (t, _) => cf.getOrElse(t, 0L) }
+      assert(ns == cs.sum)
+      val u = top.length
+      val ref = top.zip(cs).map { case ((_, cc), c) =>
+        val p = (c + 1).toDouble / (ns + u)
+        p * math.log(((c + 1) * qTotal).toDouble / ((ns + u) * cc))
+      }.sum
+      assert(math.abs(kl - ref) < 1e-9 && kl >= -1e-9)
+    }
+  }
+
+  test("lsh planner: 40-row grid replays the closed form; S-curve monotone in s and in bands") {
+    val got = Quality.qLshPlanner(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 40)
+    got.foreach { case (b, r, s, ppm, milli) =>
+      assert(b * r == 128L)
+      val p = 1.0 - math.pow(1.0 - math.pow(s / 100.0, r.toDouble), b.toDouble)
+      assert(ppm == math.floor(p * 1000000).toLong)
+      assert(milli == math.floor(math.pow(1.0 / b, 1.0 / r) * 1000).toLong)
+    }
+    // more bands ⇒ more candidates at fixed s; higher s ⇒ more candidates at fixed b
+    val byS = got.groupBy(_._3).view.mapValues(_.sortBy(_._1).map(_._4)).toMap
+    byS.values.foreach(ps => assert(ps.zip(ps.tail).forall { case (a, c) => a <= c }))
+    val byB = got.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._4)).toMap
+    byB.values.foreach(ps => assert(ps.zip(ps.tail).forall { case (a, c) => a <= c }))
+    // the production 16×8 geometry's threshold is the documented ≈0.707
+    assert(got.find(g => g._1 == 16L && g._3 == 50L).get._5 == 707L)
+  }
+
   test("minhash est err: same pair set as neardup, estimate on the 1/8 grid, ppm exact") {
     val pairs = Quality.qMinhashNeardup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
