@@ -162,6 +162,9 @@ object SparkEntry {
     "q_mutual_info" -> (Inventory.qMutualInfo _),
     "q_chi2_test" -> (Inventory.qChi2Test _),
     "q_lsh_planner" -> (Quality.qLshPlanner _),
+    "q_decayed_trend" -> (Analytics.qDecayedTrend _),
+    "q_return_hazard" -> (Analytics.qReturnHazard _),
+    "q_wau_stickiness" -> (Analytics.qWauStickiness _),
     "q_fd_discovery" -> (Inventory.qFdDiscovery _),
     "q_join_card_est" -> (Inventory.qJoinCardEst _),
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
@@ -2645,6 +2648,67 @@ object SparkEntry {
         |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_nats
         |FROM j JOIN tot t ON j.source = t.source CROSS JOIN qt q
         |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    // Half-life-decayed trend: integer nano-value mass with
+    // floor-pinned ppm weights (exact powers of 2 at k≡0 mod 7).
+    "q_decayed_trend" ->
+      """WITH wm AS (
+        |  SELECT CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS wm_day FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+        |    CAST(floor(pow(2.0,
+        |      -date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE), wm_day) / 7.0)
+        |      * 1000000) AS BIGINT) AS w_ppm
+        |  FROM events CROSS JOIN wm)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(v_milli) AS BIGINT) AS raw_milli,
+        |  CAST(sum(v_milli * w_ppm) AS BIGINT) AS decayed_nano,
+        |  CAST(CAST(sum(v_milli * w_ppm) AS BIGINT)
+        |    // greatest(CAST(sum(v_milli) AS BIGINT), 1) AS BIGINT) AS retained_ppm
+        |FROM e GROUP BY event_type
+        |ORDER BY decayed_nano DESC, event_type""".stripMargin,
+
+    // Discrete return hazard over per-user inter-event day gaps
+    // (capped 14+); survival cumulative runs over the ≤15 bucket rows.
+    "q_return_hazard" ->
+      """WITH nxt AS (
+        |  SELECT ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT least(date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+        |    CAST(CAST(next_ts AS TIMESTAMP) AS DATE)), 14) AS gap_days
+        |  FROM nxt WHERE next_ts IS NOT NULL),
+        |b AS (SELECT gap_days, count(*) AS n_returns FROM g GROUP BY gap_days),
+        |s AS (
+        |  SELECT gap_days, n_returns,
+        |    CAST(sum(n_returns) OVER (ORDER BY gap_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS survivors
+        |  FROM b)
+        |SELECT CAST(gap_days AS BIGINT) AS gap_days, n_returns, survivors,
+        |  CAST((n_returns * 1000000) // survivors AS BIGINT) AS hazard_ppm
+        |FROM s ORDER BY gap_days""".stripMargin,
+
+    // DAU/WAU/MAU stickiness via the bounded-expansion banded join of
+    // distinct (user, day) pairs against the observed day grid.
+    "q_wau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS grid_day FROM ud),
+        |agg AS (
+        |  SELECT d.grid_day AS day,
+        |    count(DISTINCT CASE WHEN u.day = d.grid_day THEN u.user_id END) AS dau,
+        |    count(DISTINCT CASE WHEN date_diff('day', u.day, d.grid_day) <= 6
+        |      THEN u.user_id END) AS wau,
+        |    count(DISTINCT u.user_id) AS mau
+        |  FROM ud u JOIN days d
+        |    ON date_diff('day', u.day, d.grid_day) BETWEEN 0 AND 27
+        |  GROUP BY d.grid_day)
+        |SELECT day, dau, wau, mau,
+        |  CAST((dau * 1000000) // wau AS BIGINT) AS dau_wau_ppm,
+        |  CAST((wau * 1000000) // mau AS BIGINT) AS wau_mau_ppm
+        |FROM agg ORDER BY day""".stripMargin,
 
     // LSH band-geometry planner: 40-row config enumeration, one pow()
     // chain per row over identical literal operands on both engines.

@@ -938,4 +938,91 @@ object Analytics {
         sum(expr("x * y")).as("sxy"))
       .orderBy("lag_days")
   }
+
+  /** Half-life-decayed trending score per event type: each event
+    * contributes value·2^(−age_days/7) anchored at the corpus
+    * watermark day — the "what is hot NOW" ranking that a plain sum
+    * can't give (a type whose volume all landed three weeks ago decays
+    * 8×; yesterday's spike dominates). The checked surface is
+    * all-integer: v_milli = ⌊value·1000⌋ and w_ppm = ⌊2^(−k/7)·10⁶⌋
+    * (exact powers of two at k≡0 mod 7; elsewhere ≥8e-3 ppm from a
+    * flip boundary while cross-libm pow noise is ~1e-8 ppm), so the
+    * decayed mass is a 64-bit integer sum in nano-value units. One
+    * scan + 1-row watermark broadcast + map-side-combining aggregate. */
+  def qDecayedTrend(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val wm = ev.agg(max(to_date(col("ts"))).as("wm_day"))
+    ev.select(col("event_type"), col("value"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(wm)) // 1-row watermark (PlanQualitySpec-allowlisted)
+      .withColumn("age_days", datediff(col("wm_day"), col("day")).cast("long"))
+      // NB: the exponent divides by CAST(7 AS DOUBLE), not the literal
+      // 7.0 — Spark parses 7.0 as DECIMAL(2,1) and long/decimal
+      // division rounds the exponent to scale 6 (−0.571429), which
+      // moved pow() by 2e-7 and flipped two floor-pinned weights vs
+      // the oracle's double-literal semantics.
+      .withColumn("w_ppm",
+        expr("CAST(floor(pow(2.0, -age_days / CAST(7 AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("v_milli", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v_milli").as("raw_milli"),
+        sum(expr("v_milli * w_ppm")).as("decayed_nano"))
+      .withColumn("retained_ppm", expr("decayed_nano div greatest(raw_milli, 1L)"))
+      .orderBy(col("decayed_nano").desc, col("event_type"))
+  }
+
+  /** Return-hazard table from per-user inter-event gaps: for each gap
+    * length d (days, capped at 14+), the number of gaps that ENDED at
+    * exactly d, the survivors (gaps ≥ d), and the discrete hazard
+    * n_d·10⁶ div survivors_d — P(user returns on day d | silent d so
+    * far), the curve a re-engagement campaign reads to time its nudge
+    * (hazard collapsing after day k ⇒ day k is the intervention
+    * point). Consecutive-event gaps via one lead() over the per-user
+    * sort; the survival cumulative runs over the ≤15-row bucket frame,
+    * not the event stream. All-integer. */
+  def qReturnHazard(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val wCum = Window.orderBy("gap_days")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(least(datediff(to_date(col("next_ts")), to_date(col("ts"))).cast("long"),
+        lit(14L)).as("gap_days"))
+      .groupBy("gap_days").agg(count(lit(1)).as("n_returns"))
+      .withColumn("survivors", sum("n_returns").over(wCum))
+      .withColumn("hazard_ppm", expr("(n_returns * 1000000) div survivors"))
+      .orderBy("gap_days")
+  }
+
+  /** Rolling-activity stickiness: per day, distinct active users that
+    * day (DAU), over the trailing 7 days (WAU), and the trailing 28
+    * days (MAU), with DAU/WAU and WAU/MAU ratios in ppm — the
+    * engagement dashboard's headline series. The event stream first
+    * collapses to distinct (user, day) pairs (map-side, ∝ active
+    * pairs not events); each pair then lands on ≤28 grid days via a
+    * banded range join against the day dimension — the bounded-
+    * expansion sliding-distinct shape (never a per-day rescan of the
+    * stream). Days with no trailing history still price correctly
+    * because the grid comes from the observed day span. */
+  def qWauStickiness(spark: SparkSession, d: String): DataFrame = {
+    val userDays = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .persist() // day grid + banded join both read it
+    val days = userDays.select("day").distinct()
+    userDays.join(days.withColumnRenamed("day", "grid_day"),
+        datediff(col("grid_day"), col("day")).between(0, 27))
+      .groupBy("grid_day")
+      .agg(countDistinct(when(col("day") === col("grid_day"), col("user_id")))
+          .as("dau"),
+        countDistinct(when(datediff(col("grid_day"), col("day")) <= 6, col("user_id")))
+          .as("wau"),
+        countDistinct("user_id").as("mau"))
+      .withColumn("dau_wau_ppm", expr("(dau * 1000000) div wau"))
+      .withColumn("wau_mau_ppm", expr("(wau * 1000000) div mau"))
+      .select(col("grid_day").as("day"), col("dau"), col("wau"), col("mau"),
+        col("dau_wau_ppm"), col("wau_mau_ppm"))
+      .orderBy("day")
+  }
 }

@@ -644,4 +644,64 @@ class AnalyticsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("decayed trend: integer decay replays scala; full retention iff all mass on watermark day") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val wm = ev.map(_._2).maxBy(_.toEpochDay)
+    val got = Analytics.qDecayedTrend(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSet == ev.map(_._1).toSet)
+    // ordered by decayed mass descending
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+    got.foreach { case (t, n, raw, decayed, retained) =>
+      val rows = ev.filter(_._1 == t)
+      assert(n == rows.length)
+      val ref = rows.map { case (_, day, v) =>
+        val k = wm.toEpochDay - day.toEpochDay
+        val w = math.floor(math.pow(2.0, -k / 7.0) * 1000000).toLong
+        (math.floor(v * 1000).toLong, w)
+      }
+      assert(raw == ref.map(_._1).sum)
+      assert(decayed == ref.map(p => p._1 * p._2).sum)
+      assert(retained == decayed / math.max(raw, 1L))
+      assert(retained <= 1000000L) // decay never amplifies
+    }
+  }
+
+  test("return hazard: buckets partition the consecutive-gap multiset; survival telescopes") {
+    val got = Analytics.qReturnHazard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // survivors telescope: s_d = n_d + s_{d+1}; last bucket ends the chain
+    got.zip(got.tail).foreach { case ((_, n, s, _), (_, _, s2, _)) => assert(s == n + s2) }
+    assert(got.last._2 == got.last._3)
+    got.foreach { case (_, n, s, h) => assert(h == n * 1000000L / s && h <= 1000000L) }
+    // total gaps = events minus one per active user
+    val ev = Tables.events(spark, sfDir).select("user_id").collect().map(_.getLong(0))
+    assert(got.map(_._2).sum == ev.length - ev.distinct.length)
+  }
+
+  test("wau stickiness: windows nest (dau ≤ wau ≤ mau); singleton-day replays exactly") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val got = Analytics.qWauStickiness(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == days.length)
+    got.foreach { case (d, dau, wau, mau, dwPpm, wmPpm) =>
+      val dauRef = ud.count(_._2 == d).toLong
+      val wauRef = ud.filter(p => { val k = d.toEpochDay - p._2.toEpochDay; k >= 0 && k <= 6 })
+        .map(_._1).distinct.length.toLong
+      val mauRef = ud.filter(p => { val k = d.toEpochDay - p._2.toEpochDay; k >= 0 && k <= 27 })
+        .map(_._1).distinct.length.toLong
+      assert(dau == dauRef && wau == wauRef && mau == mauRef)
+      assert(dau <= wau && wau <= mau)
+      assert(dwPpm == dau * 1000000L / wau && wmPpm == wau * 1000000L / mau)
+    }
+    spark.catalog.clearCache()
+  }
 }

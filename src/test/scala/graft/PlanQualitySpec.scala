@@ -83,7 +83,9 @@ class PlanQualitySpec extends SparkSpec {
     "q_kl_drift",          // |sources| × top-100 vocab grid + 1-row corpus mass broadcast
     "q_mutual_info",       // 1-row corpus total broadcast over the contingency cells
     "q_chi2_test",         // lang × source dim enumeration + 1-row total broadcast
-    "q_join_card_est")     // per-join 1-row stats/actual-count broadcasts
+    "q_join_card_est",     // per-join 1-row stats/actual-count broadcasts
+    "q_decayed_trend",     // 1-row corpus-watermark broadcast
+    "q_wau_stickiness")    // ≤|days|-row grid banded-joined to (user, day) pairs
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
