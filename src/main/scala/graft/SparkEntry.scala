@@ -219,6 +219,9 @@ object SparkEntry {
     "q_mmr_rerank" -> (Similarity.qMmrRerank _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
     "q_ann_recall" -> (Similarity.qAnnRecall _),
+    "q_ivf_balance" -> (Similarity.qIvfBalance _),
+    "q_ivf_margin" -> (Similarity.qIvfMargin _),
+    "q_degree_dist" -> (Mining.qDegreeDist _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -3606,6 +3609,87 @@ object SparkEntry {
         |  FROM sc)
         |SELECT probe_id, cluster, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    // IVF cell-balance audit over the same deterministic assignment.
+    "q_ivf_balance" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |sizes AS (SELECT cluster, count(*) AS n_vecs FROM asg GROUP BY cluster),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, count(*) AS k FROM sizes)
+        |SELECT cluster, n_vecs,
+        |  CAST((n_vecs * 1000000) // n_total AS BIGINT) AS share_ppm,
+        |  CAST((n_vecs * k * 1000000) // n_total AS BIGINT) AS load_ppm
+        |FROM sizes CROSS JOIN t ORDER BY cluster""".stripMargin,
+
+    // IVF assignment margin: per-vector best-vs-second centroid gap,
+    // averaged per cell with a decimal-pinned sum.
+    "q_ivf_margin" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |sc AS (
+        |  SELECT b.vec_id, a.vec_id AS centroid_id,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n b JOIN n a ON a.vec_id < 8),
+        |rk AS (
+        |  SELECT vec_id, centroid_id, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, centroid_id) AS rn
+        |  FROM sc),
+        |m AS (
+        |  SELECT r1.vec_id, r1.centroid_id AS cluster, r1.c - r2.c AS margin
+        |  FROM rk r1 JOIN rk r2 ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+        |edge AS (
+        |  SELECT cluster, vec_id,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY margin, vec_id) AS r
+        |  FROM m)
+        |SELECT m.cluster, count(*) AS n_vecs,
+        |  CAST(sum(CAST(m.margin AS DECIMAL(18,12))) AS DOUBLE) / count(*)
+        |    AS avg_margin,
+        |  min(m.margin) AS min_margin,
+        |  CAST(max(CASE WHEN e.r = 1 THEN e.vec_id END) AS BIGINT) AS edge_vec
+        |FROM m JOIN edge e ON m.cluster = e.cluster AND m.vec_id = e.vec_id
+        |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin,
+
+    // Degree distribution of the positive-lift brand co-purchase
+    // graph (the raw co-occurrence graph is complete at sf≥0.01).
+    "q_degree_dist" ->
+      """WITH bb AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM bb),
+        |m AS (SELECT p_brand, count(*) AS n_x FROM bb GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.p_brand AS a, y.p_brand AS b, count(*) AS n_ab
+        |  FROM bb x JOIN bb y
+        |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT a, b FROM pairs
+        |  JOIN m ma ON ma.p_brand = a JOIN m mb ON mb.p_brand = b CROSS JOIN n
+        |  WHERE n_ab * n_orders > ma.n_x * mb.n_x),
+        |deg AS (
+        |  SELECT v, count(*) AS degree FROM (
+        |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        |  GROUP BY v),
+        |hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree),
+        |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM hist)
+        |SELECT CAST(degree AS BIGINT) AS degree, n_nodes,
+        |  CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nodes_ge,
+        |  CAST((n_nodes * 1000000) // n_total AS BIGINT) AS share_ppm
+        |FROM hist CROSS JOIN t ORDER BY degree""".stripMargin,
 
     "q_ann_lsh" ->
       """WITH v AS (

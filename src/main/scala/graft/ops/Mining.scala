@@ -506,4 +506,49 @@ object Mining {
         col("community_size"))
       .orderBy("p_brand")
   }
+
+  /** Degree distribution of the positive-lift brand co-purchase graph
+    * (qLabelProp's edge set: n_ab·N > n_a·n_b, exact integer
+    * cross-multiply — the RAW co-occurrence graph is complete at
+    * sf≥0.01 and its histogram degenerates to one row) — the first
+    * question about any graph before running PageRank/triangles/BFS
+    * on it at scale (a power-law tail means hub-aware partitioning;
+    * near-uniform degrees mean plain hash partitioning is fine).
+    * Histogram over per-node degrees with descending-cumulative node
+    * counts and share ppm. The basket double-explode builds pairs
+    * map-side (qTriangles' documented shape); everything after is
+    * |nodes|-sized. */
+  def qDegreeDist(spark: SparkSession, d: String): DataFrame = {
+    val wCum = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bk = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("p_brand")).as("basket"))
+      .persist() // pair expansion + marginals + order total share it
+    val pairs = bk.select(explode(col("basket")).as("a"), col("basket"))
+      .select(col("a"), explode(col("basket")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val marg = bk.select(explode(col("basket")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_x"))
+    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
+    val edges = pairs
+      .join(broadcast(marg.select(col("brand").as("a"), col("n_x").as("n_a"))), "a")
+      .join(broadcast(marg.select(col("brand").as("b"), col("n_x").as("n_b"))), "b")
+      .crossJoin(broadcast(nOrders)) // 1-row order total (allowlisted)
+      .filter(col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
+      .select("a", "b")
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val total = hist.agg(sum("n_nodes").cast("long").as("n_total"))
+    hist.crossJoin(broadcast(total)) // 1-row node total (allowlisted)
+      .withColumn("nodes_ge", sum("n_nodes").over(wCum))
+      .withColumn("share_ppm", expr("(n_nodes * 1000000) div n_total"))
+      .select("degree", "n_nodes", "nodes_ge", "share_ppm")
+      .orderBy("degree")
+  }
 }

@@ -1009,4 +1009,54 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** IVF cell-balance audit: per-cluster population, corpus share,
+    * and load factor vs perfect balance (10⁶ = ideal, k·n/N scaled) —
+    * the index-health table that predicts tail latency (a 3× hot cell
+    * makes every probe touching it 3× slower; rebalancing/splitting
+    * triggers off exactly this report). Reuses the declared
+    * assignment ([[ivfAssigned]]); the audit itself is one k-row
+    * aggregate plus a 1-row total broadcast. */
+  def qIvfBalance(spark: SparkSession, d: String): DataFrame = {
+    val sizes = ivfAssigned(spark, d)
+      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val total = sizes.agg(sum("n_vecs").cast("long").as("n_total"),
+      count(lit(1)).as("k"))
+    sizes.crossJoin(broadcast(total)) // 1-row totals (PlanQualitySpec-allowlisted)
+      .withColumn("share_ppm", expr("(n_vecs * 1000000) div n_total"))
+      .withColumn("load_ppm", expr("(n_vecs * k * 1000000) div n_total"))
+      .select("cluster", "n_vecs", "share_ppm", "load_ppm")
+      .orderBy("cluster")
+  }
+
+  /** IVF assignment-margin audit: per cluster, how decisively its
+    * members chose it — margin = cos(best centroid) − cos(second
+    * best). A thin average margin means the cell boundary cuts
+    * through dense data and single-probe recall will be poor there
+    * (the per-cell companion to the global q_ann_recall number, and
+    * the signal that picks WHICH cells need nprobe>1 or a re-train).
+    * The per-vector top-2 is a map-side sort of the constant 8-entry
+    * (−cos, centroid) array — the ivfAssignedK shape, no window over
+    * the expanded corpus; the average is decimal-pinned. */
+  def qIvfMargin(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val centroids = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ea"), col("nrm").as("na"))
+    val corpus = v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+    corpus.join(broadcast(centroids), lit(true))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct((-col("cos")).as("nc"),
+        col("centroid_id")))).as("ranked"))
+      .select(col("vec_id"), col("ranked")(0).getField("centroid_id").as("cluster"),
+        (col("ranked")(1).getField("nc") - col("ranked")(0).getField("nc")).as("margin"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("margin").cast("decimal(18,12)")).cast("double") / count(lit(1)))
+          .as("avg_margin"),
+        min_by(col("vec_id"), struct(col("margin"), col("vec_id"))).as("edge_vec"),
+        min("margin").as("min_margin"))
+      .select("cluster", "n_vecs", "avg_margin", "min_margin", "edge_vec")
+      .orderBy("cluster")
+  }
 }

@@ -300,4 +300,30 @@ class MiningSpec extends SparkSpec {
     // communities are non-trivial: more than one label survives
     assert(sizes.size > 1)
   }
+
+  test("degree dist: histogram replays the lift-graph degrees; cumulative telescopes") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = rows.map(_._1).distinct.length.toLong
+    val marg = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = rows.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val coCount = byOrder.flatMap(bs =>
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = coCount.filter { case ((a, b), nab) => nab * nOrders > marg(a) * marg(b) }.keys
+    val degRef = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val histRef = degRef.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Mining.qDegreeDist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2)).toMap == histRef && got.length > 1)
+    val nNodes = degRef.size.toLong
+    got.foreach { case (deg, n, ge, share) =>
+      assert(ge == histRef.filter(_._1 >= deg).values.sum)
+      assert(share == n * 1000000L / nNodes)
+    }
+    spark.catalog.clearCache()
+  }
 }

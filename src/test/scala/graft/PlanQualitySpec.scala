@@ -85,7 +85,10 @@ class PlanQualitySpec extends SparkSpec {
     "q_chi2_test",         // lang × source dim enumeration + 1-row total broadcast
     "q_join_card_est",     // per-join 1-row stats/actual-count broadcasts
     "q_decayed_trend",     // 1-row corpus-watermark broadcast
-    "q_wau_stickiness")    // ≤|days|-row grid banded-joined to (user, day) pairs
+    "q_wau_stickiness",    // ≤|days|-row grid banded-joined to (user, day) pairs
+    "q_ivf_balance",       // centroids (8) broadcast for assignment + 1-row totals
+    "q_ivf_margin",        // centroids (8) broadcast for the top-2 scoring
+    "q_degree_dist")       // 1-row node-count total broadcast
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -453,4 +453,32 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(2)).sum // per-probe n_hit
     assert(rows.head._2 == annTotal)
   }
+
+  test("ivf balance: cell sizes partition the corpus; load factor is the k-scaled share") {
+    val total = Tables.embeddings(spark, sfDir).count()
+    val got = Similarity.qIvfBalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val k = got.length.toLong
+    assert(got.map(_._2).sum == total)
+    got.foreach { case (_, n, share, load) =>
+      assert(share == n * 1000000L / total)
+      assert(load == n * k * 1000000L / total)
+    }
+    assert(got.map(_._1).forall(c => c >= 0 && c < 8)) // centroid universe
+    spark.catalog.clearCache()
+  }
+
+  test("ivf margin: margins non-negative; clusters match the declared assignment; edge vec attains min") {
+    val got = Similarity.qIvfMargin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val balance = Similarity.qIvfBalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    assert(got.map(g => (g._1, g._2)).toMap == balance) // same partition of the corpus
+    got.foreach { case (_, n, avg, mn, _) =>
+      assert(n > 0 && mn >= 0.0 && avg >= mn)
+      assert(avg <= 2.0 && mn <= 2.0) // cosine gap bounded
+    }
+  }
 }
