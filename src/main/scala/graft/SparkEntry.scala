@@ -163,6 +163,9 @@ object SparkEntry {
     "q_chi2_test" -> (Inventory.qChi2Test _),
     "q_lsh_planner" -> (Quality.qLshPlanner _),
     "q_decayed_trend" -> (Analytics.qDecayedTrend _),
+    "q_cohort_ltv" -> (Analytics.qCohortLtv _),
+    "q_path_trigrams" -> (Analytics.qPathTrigrams _),
+    "q_region_top_brands" -> (Relational.qRegionTopBrands _),
     "q_return_hazard" -> (Analytics.qReturnHazard _),
     "q_wau_stickiness" -> (Analytics.qWauStickiness _),
     "q_fd_discovery" -> (Inventory.qFdDiscovery _),
@@ -2651,6 +2654,67 @@ object SparkEntry {
         |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_nats
         |FROM j JOIN tot t ON j.source = t.source CROSS JOIN qt q
         |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    // Cohort LTV: weekly value accumulation per first-day cohort;
+    // cumulative over the ≤5-row per-cohort frame, decimal-exact.
+    "q_cohort_ltv" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |cs AS (SELECT cohort_day, count(*) AS cohort_users FROM fd GROUP BY cohort_day),
+        |wkagg AS (
+        |  SELECT f.cohort_day,
+        |    date_diff('day', f.cohort_day, CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) // 7
+        |      AS wk,
+        |    count(DISTINCT e.user_id) AS active_users,
+        |    sum(CAST(e.value AS DECIMAL(18,6))) AS rev_dec
+        |  FROM events e JOIN fd f ON e.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_day, wk, active_users, rev_dec,
+        |    CAST(floor(sum(rev_dec) OVER (PARTITION BY cohort_day ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000) AS BIGINT)
+        |      AS cum_rev_milli
+        |  FROM wkagg)
+        |SELECT c.cohort_day, CAST(c.wk AS BIGINT) AS wk, cs.cohort_users,
+        |  c.active_users, CAST(c.rev_dec AS DOUBLE) AS week_revenue,
+        |  c.cum_rev_milli,
+        |  CAST(c.cum_rev_milli // cs.cohort_users AS BIGINT) AS ltv_milli
+        |FROM c JOIN cs USING (cohort_day) ORDER BY cohort_day, wk""".stripMargin,
+
+    // Top event-path trigrams (per-user sort ties broken by event_id).
+    "q_path_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |      || '>' || lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT path, count(*) AS n FROM t WHERE e3 IS NOT NULL GROUP BY path),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM p)
+        |SELECT path, n, CAST((n * 1000000) // n_total AS BIGINT) AS share_ppm
+        |FROM p CROSS JOIN tot ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // Regional top-3 brand report with ordered string aggregation;
+    // scale-12 revenue goes through the VARCHAR round-trip.
+    "q_region_top_brands" ->
+      """WITH rev AS (
+        |  SELECT r_name, p_brand,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT r_name, p_brand, rev,
+        |    row_number() OVER (PARTITION BY r_name ORDER BY rev DESC, p_brand) AS rn
+        |  FROM rev)
+        |SELECT r_name, string_agg(p_brand, ',' ORDER BY rn) AS top_brands,
+        |  CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS top3_revenue
+        |FROM rk WHERE rn <= 3 GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     // Half-life-decayed trend: integer nano-value mass with
     // floor-pinned ppm weights (exact powers of 2 at k≡0 mod 7).

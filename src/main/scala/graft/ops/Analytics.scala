@@ -996,6 +996,67 @@ object Analytics {
       .orderBy("gap_days")
   }
 
+  /** Cohort LTV matrix: users grouped by first-activity day, their
+    * event value accumulated over weeks-since-acquisition — the
+    * revenue companion to [[qRetention]]'s presence counts (retention
+    * says a cohort still shows up; LTV says whether it PAYS, and the
+    * flattening week is when acquisition spend stops paying back).
+    * Week offsets come from integer day arithmetic; revenue sums are
+    * exact DECIMAL(18,6); the cumulative runs over the ≤5-row
+    * per-cohort week frame, not the event stream; per-user LTV milli
+    * divides the floor-pinned cumulative by the FIXED cohort size
+    * (day-0 users), not the still-active count. */
+  def qCohortLtv(spark: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables.events(spark, d)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val cohortSize = firstDay.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    val wCum = Window.partitionBy("cohort_day").orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .join(firstDay, "user_id")
+      .withColumn("wk", expr("CAST(datediff(day, cohort_day) AS BIGINT) div 7"))
+      .groupBy("cohort_day", "wk")
+      .agg(countDistinct("user_id").as("active_users"),
+        sum(col("value").cast("decimal(18,6)")).as("rev_dec"))
+      .withColumn("cum_rev_milli",
+        floor(sum("rev_dec").over(wCum) * lit(1000)).cast("long"))
+      .join(broadcast(cohortSize), "cohort_day")
+      .withColumn("ltv_milli", expr("cum_rev_milli div cohort_users"))
+      .select(col("cohort_day"), col("wk"), col("cohort_users"),
+        col("active_users"), col("rev_dec").cast("double").as("week_revenue"),
+        col("cum_rev_milli"), col("ltv_milli"))
+      .orderBy("cohort_day", "wk")
+  }
+
+  /** Top event-path trigrams: the most common 3-step event sequences
+    * across user journeys — the sequence-mining pass behind "what do
+    * users actually do" (and the n-gram generalization of
+    * [[qEventTransitions]]' bigram matrix; a trigram whose tail
+    * diverges from the bigram's prediction is a branching point worth
+    * instrumenting). Two leads over one per-user sort (ties broken by
+    * event_id so the path multiset is deterministic), then a hash
+    * aggregate over path strings; the top-20 cut and share ppm price
+    * against the 1-row trigram total. */
+  def qPathTrigrams(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .persist() // total + top-20 read it
+    val total = tri.agg(sum("n").cast("long").as("n_total"))
+    tri.crossJoin(broadcast(total)) // 1-row trigram total (allowlisted)
+      .withColumn("share_ppm", expr("(n * 1000000) div n_total"))
+      .select("path", "n", "share_ppm")
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Rolling-activity stickiness: per day, distinct active users that
     * day (DAU), over the trailing 7 days (WAU), and the trailing 28
     * days (MAU), with DAU/WAU and WAU/MAU ratios in ppm — the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -567,5 +568,43 @@ object Relational {
       .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
       .agg(sum(margin).cast("double").as("sum_margin"), count(lit(1)).as("n_lines"))
       .orderBy("nation", "o_year")
+  }
+
+  /** Regional top-brand report with an ORDERED list aggregation: per
+    * region, the top-3 brands by revenue rendered as one
+    * rank-ordered comma string plus their combined revenue — the
+    * executive-summary shape (one row per region, ranked names
+    * inline) every BI export needs, exercising deterministic ordered
+    * string aggregation, which no other declared query covers. The
+    * 6-table star chain aggregates to |regions|×|brands| BEFORE the
+    * window ranks within 5 regions; the list assembles from a
+    * sort_array of (rank, brand) structs — order is carried by data,
+    * never by collect_list's arrival order, so the string is stable
+    * under any partitioning. Revenue ties break on the brand name. */
+  def qRegionTopBrands(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("r_name").orderBy(col("rev").desc, col("p_brand"))
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "p_brand")
+      .agg(sum(dec(col("l_extendedprice"))
+        * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))).as("rev"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("r_name")
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("rn"), col("p_brand")))),
+          x => x.getField("p_brand")), ",").as("top_brands"),
+        sum("rev").cast("double").as("top3_revenue"))
+      .orderBy("r_name")
   }
 }

@@ -683,6 +683,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).sum == ev.length - ev.distinct.length)
   }
 
+  test("cohort ltv: cumulative telescopes per cohort; week-0 users equal cohort size") {
+    val got = Analytics.qCohortLtv(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      // week 0 exists and its active users equal the cohort size
+      assert(sorted.head._2 == 0L && sorted.head._4 == sorted.head._3)
+      // cumulative milli never decreases and ltv divides by the FIXED size
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(b._6 >= a._6) }
+      sorted.foreach(r => assert(r._7 == r._6 / r._3 && r._4 <= r._3))
+    }
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(got.groupBy(_._1).values.map(_.head._3).sum == users)
+  }
+
+  test("path trigrams: counts replay the per-user ordered sequences; top-20 by count then path") {
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val ref = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = ref.values.sum
+    val expected = ref.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Analytics.qPathTrigrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected)
+    got.foreach { case (_, n, ppm) => assert(ppm == n * 1000000L / total) }
+  }
+
   test("wau stickiness: windows nest (dau ≤ wau ≤ mau); singleton-day replays exactly") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()

@@ -88,7 +88,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_wau_stickiness",    // ≤|days|-row grid banded-joined to (user, day) pairs
     "q_ivf_balance",       // centroids (8) broadcast for assignment + 1-row totals
     "q_ivf_margin",        // centroids (8) broadcast for the top-2 scoring
-    "q_degree_dist")       // 1-row node-count total broadcast
+    "q_degree_dist",       // 1-row node-count total broadcast
+    "q_path_trigrams")     // 1-row trigram total broadcast
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

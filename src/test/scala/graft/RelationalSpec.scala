@@ -455,4 +455,28 @@ class RelationalSpec extends SparkSpec {
     assert(b300._3 == late && b300._2 == evs.length)
     assert(b300._4 == late * 1000000L / evs.length)
   }
+
+  test("region top brands: ordered list replays the per-region revenue ranking") {
+    val rev = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "p_brand", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(6) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(6))))
+    val byRegion = rev.groupBy(_._1)
+    val got = graft.ops.Relational.qRegionTopBrands(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == byRegion.keys.toSeq.sorted)
+    got.foreach { case (region, brands, top3) =>
+      val ranked = byRegion(region).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq
+        .sortBy { case (b, v) => (-v, b) }.take(3)
+      assert(brands == ranked.map(_._1).mkString(","))
+      assert(math.abs(top3 - ranked.map(_._2).sum.toDouble) < 1e-6)
+    }
+  }
 }
