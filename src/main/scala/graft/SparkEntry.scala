@@ -166,6 +166,9 @@ object SparkEntry {
     "q_cohort_ltv" -> (Analytics.qCohortLtv _),
     "q_path_trigrams" -> (Analytics.qPathTrigrams _),
     "q_region_top_brands" -> (Relational.qRegionTopBrands _),
+    "q_temporal_split" -> (Sampling.qTemporalSplit _),
+    "q_woe_encode" -> (FeaturePrep.qWoeEncode _),
+    "q_pit_rolling" -> (FeaturePrep.qPitRolling _),
     "q_return_hazard" -> (Analytics.qReturnHazard _),
     "q_wau_stickiness" -> (Analytics.qWauStickiness _),
     "q_fd_discovery" -> (Inventory.qFdDiscovery _),
@@ -2654,6 +2657,67 @@ object SparkEntry {
         |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_nats
         |FROM j JOIN tot t ON j.source = t.source CROSS JOIN qt q
         |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    // Temporal split + entity-leakage audit (last 7 days test).
+    "q_temporal_split" ->
+      """WITH wm AS (
+        |  SELECT CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) - 6 AS cutoff FROM events),
+        |f AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) >= cutoff AS is_test
+        |  FROM events CROSS JOIN wm),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS in_train,
+        |    max(CASE WHEN is_test THEN 1 ELSE 0 END) AS in_test
+        |  FROM f GROUP BY user_id),
+        |ec AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train_events,
+        |    CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test_events
+        |  FROM f)
+        |SELECT n_train_events, n_test_events,
+        |  CAST(sum(in_train) AS BIGINT) AS train_users,
+        |  CAST(sum(in_test) AS BIGINT) AS test_users,
+        |  CAST(sum(in_train * in_test) AS BIGINT) AS overlap_users,
+        |  CAST((CAST(sum(in_train * in_test) AS BIGINT) * 1000000)
+        |    // greatest(CAST(sum(in_test) AS BIGINT), 1) AS BIGINT) AS overlap_ppm
+        |FROM u CROSS JOIN ec
+        |GROUP BY n_train_events, n_test_events""".stripMargin,
+
+    // Weight-of-evidence by day-of-week (DuckDB dow, 0=Sunday);
+    // smoothing cleared to integers, one ln() per row, no double sums.
+    "q_woe_encode" ->
+      """WITH e AS (
+        |  SELECT CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |    event_type = 'purchase' AS is_good
+        |  FROM events),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT) AS g_tot,
+        |    CAST(sum(CASE WHEN NOT is_good THEN 1 ELSE 0 END) AS BIGINT) AS b_tot
+        |  FROM e)
+        |SELECT dow, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN NOT is_good THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  ln(CAST((2 * CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |       * b_tot AS DOUBLE)
+        |     / ((2 * CAST(sum(CASE WHEN NOT is_good THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |       * g_tot)) AS woe_nats
+        |FROM e CROSS JOIN tot GROUP BY dow, g_tot, b_tot ORDER BY dow""".stripMargin,
+
+    // Leakage-safe strictly-prior 7-day rolling features: RANGE frame
+    // on epoch micros excludes the current instant (and its ties).
+    "q_pit_rolling" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS prior_n_7d,
+        |  CAST(floor(coalesce(sum(CAST(value AS DECIMAL(18,6))) OVER w, 0) * 1000)
+        |    AS BIGINT) AS prior_sum_milli
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
 
     // Cohort LTV: weekly value accumulation per first-day cohort;
     // cumulative over the ≤5-row per-cohort frame, decimal-exact.

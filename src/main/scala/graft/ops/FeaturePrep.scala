@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -136,5 +137,57 @@ object FeaturePrep {
       .select(col("label"), col("n"),
         (col("total").cast("double") / (col("k") * col("n"))).as("weight"))
       .orderBy("label")
+  }
+
+  /** Weight-of-evidence encoding of day-of-week against the purchase
+    * label — the scorecard-standard categorical encode (qTargetEncode
+    * gives the mean; WoE gives the LOG-ODDS shift, which is what
+    * linear/scorecard models consume, with ±0.5 Laplace smoothing so
+    * empty cells stay finite). woe = ln(((2g+1)·B)/((2b+1)·G)): the
+    * half-counts are cleared to exact integers by doubling, so the
+    * single ln() per row sees identical operands on both engines and
+    * no sum of doubles exists anywhere. Weekday numbering pinned to
+    * DuckDB's dow (0=Sunday), the qSeasonalProfile convention. */
+  def qWoeEncode(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        (col("event_type") === "purchase").as("is_good"))
+    val tot = ev.agg(sum(when(col("is_good"), 1L).otherwise(0L)).as("g_tot"),
+      sum(when(!col("is_good"), 1L).otherwise(0L)).as("b_tot"))
+    ev.groupBy("dow")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(!col("is_good"), 1L).otherwise(0L)).as("n_bad"))
+      .crossJoin(broadcast(tot)) // 1-row label totals (PlanQualitySpec-allowlisted)
+      .withColumn("woe_nats", expr(
+        "ln(CAST((2 * n_good + 1) * b_tot AS DOUBLE) / ((2 * n_bad + 1) * g_tot))"))
+      .select("dow", "n_events", "n_good", "n_bad", "woe_nats")
+      .orderBy("dow")
+  }
+
+  /** Leakage-safe rolling features: for EVERY event, the same user's
+    * activity in the strictly-prior 7-day window [ts−7d, ts) — the
+    * point-in-time feature join done as a RANGE frame on epoch
+    * micros, the only frame that is correct under timestamp ties
+    * (ROWS frames split ties arbitrarily; this excludes the current
+    * instant entirely, so no event ever sees itself or a same-instant
+    * sibling — the training-serving-skew guarantee). Counts are
+    * integers; the value sum is an exact DECIMAL window floor-pinned
+    * to milli, so the checked surface has no float accumulation. One
+    * hash exchange on user + in-partition sort. */
+  def qPitRolling(spark: SparkSession, d: String): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-week, -1L)
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("prior_n_7d", count(lit(1)).over(w))
+      .withColumn("prior_sum_milli",
+        floor(coalesce(sum("v").over(w), lit(0).cast("decimal(18,6)")) * lit(1000))
+          .cast("long"))
+      .select("event_id", "user_id", "ts", "prior_n_7d", "prior_sum_milli")
+      .orderBy("event_id")
   }
 }

@@ -218,4 +218,36 @@ object Sampling {
           .as("kept_ppm"))
       .orderBy("source")
   }
+
+  /** Temporal train/test split with an entity-leakage audit: events
+    * before watermark−7d train, the last week tests — the
+    * time-respecting split a forecasting/ranking pipeline MUST use
+    * where qDataSplit's hash split would leak the future, plus the
+    * number a reviewer asks first: how many test-period users also
+    * appear in training (overlap is expected for returning users but
+    * 100% overlap means the test set cannot measure cold-start). One
+    * scan + 1-row watermark broadcast; the per-user presence flags
+    * collapse map-side to |users| rows before the 1-row audit. */
+  def qTemporalSplit(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val wm = ev.agg(date_sub(max(to_date(col("ts"))), 6).as("cutoff"))
+    val flagged = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(wm)) // 1-row cutoff (PlanQualitySpec-allowlisted)
+      .withColumn("is_test", col("day") >= col("cutoff"))
+    val users = flagged.groupBy("user_id")
+      .agg(max(when(!col("is_test"), 1L).otherwise(0L)).as("in_train"),
+        max(when(col("is_test"), 1L).otherwise(0L)).as("in_test"))
+    val evCounts = flagged.agg(
+      sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train_events"),
+      sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test_events"))
+    users.agg(
+        sum("in_train").as("train_users"),
+        sum("in_test").as("test_users"),
+        sum(col("in_train") * col("in_test")).as("overlap_users"))
+      .crossJoin(broadcast(evCounts)) // 1-row event totals (allowlisted)
+      .withColumn("overlap_ppm",
+        expr("(overlap_users * 1000000) div greatest(test_users, 1L)"))
+      .select("n_train_events", "n_test_events", "train_users", "test_users",
+        "overlap_users", "overlap_ppm")
+  }
 }

@@ -79,4 +79,45 @@ class FeaturePrepSpec extends SparkSpec {
       assert(math.abs(n * w - total.toDouble / k) < 1e-9)
     }
   }
+
+  test("woe encode: log-odds replay from integer counts; zero-information iff rates equal") {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("CAST(dayofweek(ts) - 1 AS BIGINT)").as("dow"),
+        (col("event_type") === "purchase").as("g")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val gTot = ev.count(_._2).toLong
+    val bTot = ev.count(!_._2).toLong
+    val got = FeaturePrep.qWoeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == ev.map(_._1).toSet)
+    got.foreach { case (dow, n, g, b, woe) =>
+      val rows = ev.filter(_._1 == dow)
+      assert(n == rows.length && g == rows.count(_._2) && b == rows.count(!_._2))
+      val ref = math.log(((2 * g + 1) * bTot).toDouble / ((2 * b + 1) * gTot))
+      assert(woe == ref) // identical integer operands ⇒ identical double
+    }
+  }
+
+  test("pit rolling: strictly-prior 7-day frame — no event sees itself; counts replay") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val week = 7L * 24 * 3600 * 1000000
+    val byUser = ev.groupBy(_._2)
+    val got = FeaturePrep.qPitRolling(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.length == ev.length)
+    val evById = ev.map(e => (e._1, e)).toMap
+    got.foreach { case (eid, uid, n, sumMilli) =>
+      val (_, _, us, _) = evById(eid)
+      val prior = byUser(uid).filter(o => o._3 >= us - week && o._3 < us)
+      assert(n == prior.length)
+      val refSum = prior
+        .map(o => BigDecimal(o._4).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(sumMilli == (refSum * 1000).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
+    // the exclusive upper bound bites: at least one event has priors yet n < total user events
+    assert(got.exists(g => g._3 > 0))
+  }
 }

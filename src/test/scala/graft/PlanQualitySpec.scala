@@ -89,7 +89,9 @@ class PlanQualitySpec extends SparkSpec {
     "q_ivf_balance",       // centroids (8) broadcast for assignment + 1-row totals
     "q_ivf_margin",        // centroids (8) broadcast for the top-2 scoring
     "q_degree_dist",       // 1-row node-count total broadcast
-    "q_path_trigrams")     // 1-row trigram total broadcast
+    "q_path_trigrams",     // 1-row trigram total broadcast
+    "q_temporal_split",    // 1-row cutoff + 1-row event totals broadcast
+    "q_woe_encode")        // 1-row label totals broadcast
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

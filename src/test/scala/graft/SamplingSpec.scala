@@ -130,4 +130,21 @@ class SamplingSpec extends SparkSpec {
     assert(got.getLong(2) == kept.map(_._3).sum)
     assert(got.getLong(4) == total)
   }
+
+  test("temporal split: cutoff partitions events; user overlap replays from raw days") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cutoff = ev.map(_._2).maxBy(_.toEpochDay).minusDays(6)
+    val (test, train) = ev.partition(!_._2.isBefore(cutoff))
+    val trainU = train.map(_._1).toSet
+    val testU = test.map(_._1).toSet
+    val r = Sampling.qTemporalSplit(spark, sfDir).collect().head
+    assert(r.getLong(0) == train.length && r.getLong(1) == test.length)
+    assert(r.getLong(2) == trainU.size && r.getLong(3) == testU.size)
+    val overlap = (trainU & testU).size.toLong
+    assert(r.getLong(4) == overlap)
+    assert(r.getLong(5) == overlap * 1000000L / math.max(testU.size, 1))
+    assert(test.nonEmpty && train.nonEmpty) // the split actually splits
+  }
 }
