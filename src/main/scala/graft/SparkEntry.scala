@@ -169,6 +169,9 @@ object SparkEntry {
     "q_temporal_split" -> (Sampling.qTemporalSplit _),
     "q_woe_encode" -> (FeaturePrep.qWoeEncode _),
     "q_pit_rolling" -> (FeaturePrep.qPitRolling _),
+    "q_psi_drift" -> (Analytics.qPsiDrift _),
+    "q_gini_concentration" -> (Relational.qGiniConcentration _),
+    "q_hhi_concentration" -> (Relational.qHhiConcentration _),
     "q_return_hazard" -> (Analytics.qReturnHazard _),
     "q_wau_stickiness" -> (Analytics.qWauStickiness _),
     "q_fd_discovery" -> (Inventory.qFdDiscovery _),
@@ -2657,6 +2660,71 @@ object SparkEntry {
         |  AS DECIMAL(18,12))) AS DOUBLE) AS kl_nats
         |FROM j JOIN tot t ON j.source = t.source CROSS JOIN qt q
         |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    // PSI per event type over q_drift_bins' fixed grid, add-1
+    // smoothed; per-bin doubles over exact ints, decimal-pinned sum.
+    "q_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+        |    CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' AS is_b
+        |  FROM events),
+        |bins AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM bins GROUP BY 1)
+        |SELECT b.event_type, max(ta) AS n_a_total, max(tb) AS n_b_total,
+        |  CAST(sum(CAST(
+        |    (CAST(n_b + 1 AS DOUBLE) / (tb + 10) - CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+        |    * ln(CAST((n_b + 1) * (ta + 10) AS DOUBLE) / ((tb + 10) * (n_a + 1)))
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS psi_nats
+        |FROM bins b JOIN t USING (event_type)
+        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin,
+
+    // Gini of per-customer order value by segment; exact decimal
+    // sums floored to BIGINT, split-scale ppm division (overflow-safe).
+    "q_gini_concentration" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT c_mktsegment, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY rev, c_custkey) AS i,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM pc),
+        |g AS (
+        |  SELECT c_mktsegment, count(*) AS n_customers,
+        |    CAST(floor(sum(rev * (2 * i - n - 1))) AS BIGINT) AS num_int,
+        |    CAST(floor(sum(rev) * count(*)) AS BIGINT) AS den_int
+        |  FROM rk GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |  CAST((num_int * 1000) // greatest(den_int // 1000, 1) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    // HHI supplier concentration per part type from floor-to-unit
+    // integer revenues; share² sum over the supplier frame.
+    "q_hhi_concentration" ->
+      """WITH ps AS (
+        |  SELECT p_type, l_suppkey,
+        |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))))) AS BIGINT) AS rev_int
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT p_type, CAST(sum(rev_int) AS BIGINT) AS type_rev
+        |      FROM ps GROUP BY 1)
+        |SELECT ps.p_type, count(*) AS n_suppliers,
+        |  CAST(max((rev_int * 1000000) // type_rev) AS BIGINT) AS top_share_ppm,
+        |  CAST(sum(((rev_int * 1000000) // type_rev)
+        |           * ((rev_int * 1000000) // type_rev)) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM ps JOIN t USING (p_type)
+        |GROUP BY ps.p_type ORDER BY ps.p_type""".stripMargin,
 
     // Temporal split + entity-leakage audit (last 7 days test).
     "q_temporal_split" ->

@@ -874,6 +874,38 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Population-stability index per event type: the scalar that pages
+    * someone when [[qDriftBins]]' histogram moves — PSI =
+    * Σ(p_b−p_a)·ln(p_b/p_a) over the same fixed 10-bin value grid,
+    * add-1 smoothed so empty bins stay finite (industry rule of
+    * thumb: >0.2 means the feature shifted enough to retrain).
+    * Smoothed shares are ratios of exact integers; each bin term is
+    * one double expression over identical operands, pinned to
+    * DECIMAL(18,12) before the exact sum. ONE scan collapses to
+    * ≤|types|×10 rows map-side; per-type totals re-aggregate the bin
+    * frame. */
+  def qPsiDrift(spark: SparkSession, d: String): DataFrame = {
+    val bins = Tables.events(spark, d)
+      .select(col("event_type"), col("value"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("is_b"))
+      .withColumn("bin", least(greatest(floor(col("value") / 50.0), lit(0L)), lit(9L)))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(!col("is_b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_b"))
+      .persist() // per-type totals re-aggregate the bin frame
+    val totals = bins.groupBy("event_type")
+      .agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    bins.join(broadcast(totals), "event_type")
+      .withColumn("term", expr(
+        """(CAST(n_b + 1 AS DOUBLE) / (tb + 10) - CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+          | * ln(CAST((n_b + 1) * (ta + 10) AS DOUBLE) / ((tb + 10) * (n_a + 1)))"""
+          .stripMargin))
+      .groupBy("event_type")
+      .agg(max("ta").as("n_a_total"), max("tb").as("n_b_total"),
+        sum(col("term").cast("decimal(18,12)")).cast("double").as("psi_nats"))
+      .orderBy("event_type")
+  }
+
   /** First-digit (Benford) audit of order totals — the forensic
     * profile that flags fabricated or re-scaled monetary data: natural
     * multi-scale amounts lead with 1 ~30% of the time (log10(1+1/d));

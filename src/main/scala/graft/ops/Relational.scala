@@ -607,4 +607,65 @@ object Relational {
         sum("rev").cast("double").as("top3_revenue"))
       .orderBy("r_name")
   }
+
+  /** Gini concentration of customer order value per market segment —
+    * the inequality audit behind "a handful of whales carry this
+    * segment" (Gini→0: uniform book; →1: one account is the
+    * business; it reframes qPareto's deciles as one comparable
+    * scalar). G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) with ascending value ranks
+    * (ties on custkey). Numerator/denominator are exact
+    * DECIMAL×integer sums floored to BIGINT before ONE integer ppm
+    * division — no decimal division, no double accumulation. Ranks
+    * come from a per-segment window over the |customers|-sized
+    * aggregate, not the order stream. */
+  def qGiniConcentration(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    val perCust = Tables.orders(spark, d).select("o_custkey", "o_totalprice")
+      .join(Tables.customer(spark, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    perCust.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        floor(sum(col("rev") * (lit(2) * col("i") - col("n") - lit(1))))
+          .cast("long").as("num_int"),
+        floor(sum("rev") * count(lit(1))).cast("long").as("den_int"))
+      // num·10⁶ would overflow int64 at sf≥0.1 (den ~ n²·x̄ ≈ 1e14);
+      // splitting the scale 10³/10⁻³ keeps every operand ≤ ~1e18 at
+      // the 3× probe while preserving ppm resolution
+      .withColumn("gini_ppm",
+        expr("(num_int * 1000) div greatest(den_int div 1000, 1L)"))
+      .select("c_mktsegment", "n_customers", "gini_ppm")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Herfindahl–Hirschman supplier-concentration index per part type:
+    * Σ share² of each supplier's revenue within the type, in ppm of
+    * 10⁶ (antitrust convention: >2500 points ≙ >250 000 ppm is
+    * "highly concentrated" — here it flags part types whose supply a
+    * single vendor could hold hostage). Shares derive from
+    * floor-to-unit integer revenues so every step after the decimal
+    * aggregate is 64-bit integer; the square-sum collapses over the
+    * ≤|types|×|suppliers| frame. */
+  def qHhiConcentration(spark: SparkSession, d: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "l_suppkey")
+      .agg(floor(sum(dec(col("l_extendedprice"))
+        * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))).cast("long")
+        .as("rev_int"))
+      .persist() // type totals re-aggregate the supplier frame
+    val totals = perSupp.groupBy("p_type").agg(sum("rev_int").as("type_rev"))
+    perSupp.join(broadcast(totals), "p_type")
+      .withColumn("share_ppm", expr("(rev_int * 1000000) div type_rev"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_suppliers"),
+        max("share_ppm").as("top_share_ppm"),
+        expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").as("hhi_ppm"))
+      .orderBy("p_type")
+  }
 }

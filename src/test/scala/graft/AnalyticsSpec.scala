@@ -683,6 +683,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).sum == ev.length - ev.distinct.length)
   }
 
+  test("psi drift: per-type smoothed PSI replays scala and is non-negative") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0L), 9L)").as("bin"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val got = Analytics.qPsiDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == ev.map(_._1).toSet)
+    got.foreach { case (t, ta, tb, psi) =>
+      val rows = ev.filter(_._1 == t)
+      assert(ta == rows.count(!_._3) && tb == rows.count(_._3))
+      val ref = rows.map(_._2).distinct.map { bin =>
+        val na = rows.count(r => r._2 == bin && !r._3).toLong
+        val nb = rows.count(r => r._2 == bin && r._3).toLong
+        val pa = (na + 1).toDouble / (ta + 10)
+        val pb = (nb + 1).toDouble / (tb + 10)
+        (pb - pa) * math.log(((nb + 1) * (ta + 10)).toDouble / ((tb + 10) * (na + 1)))
+      }.sum
+      assert(math.abs(psi - ref) < 1e-9 && psi >= -1e-9)
+    }
+  }
+
   test("cohort ltv: cumulative telescopes per cohort; week-0 users equal cohort size") {
     val got = Analytics.qCohortLtv(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),

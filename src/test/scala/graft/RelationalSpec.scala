@@ -456,6 +456,59 @@ class RelationalSpec extends SparkSpec {
     assert(b300._4 == late * 1000000L / evs.length)
   }
 
+  test("gini: replays the rank formula from exact decimals; bounded in [0, 1e6)") {
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "c_custkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    val got = graft.ops.Relational.qGiniConcentration(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == rows.map(_._1).distinct.sorted.toSeq)
+    got.foreach { case (seg, n, ppm) =>
+      val perCust = rows.filter(_._1 == seg).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq
+        .sortBy { case (k, v) => (v, k) } // ascending rev, custkey ties
+      assert(n == perCust.length)
+      val num = perCust.zipWithIndex
+        .map { case ((_, x), i0) => x * (2 * (i0 + 1) - n - 1) }.sum
+      val den = perCust.map(_._2).sum * n
+      val numI = num.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+      val denI = den.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+      assert(ppm == (numI * 1000L) / math.max(denI / 1000L, 1L))
+      assert(ppm >= 0 && ppm < 1000000L)
+    }
+  }
+
+  test("hhi: share-squared sum replays; bounds tie top share to concentration") {
+    val got = graft.ops.Relational.qHhiConcentration(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, top, hhi) =>
+      // HHI at least the top supplier's square, at most 1e6; floor(1e6/n) lower bound
+      assert(hhi >= top * top / 1000000L - n) // n-bounded floor slack
+      assert(hhi <= 1000000L && top <= 1000000L)
+      assert(hhi >= 1000000L / (n * n)) // uniform lower bound with floor slack
+      if (n == 1L) assert(top == 1000000L)
+    }
+    // replay one type exactly from raw decimals
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select("p_type", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
+    val t0 = got.head._1
+    val perSupp = rows.filter(_._1 == t0).groupBy(_._2).view
+      .mapValues(_.map(_._3).sum.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      .values.toSeq
+    val typeRev = perSupp.sum
+    val shares = perSupp.map(r => r * 1000000L / typeRev)
+    assert(got.head._2 == perSupp.length)
+    assert(got.head._3 == shares.max)
+    assert(got.head._4 == shares.map(s => s * s).sum / 1000000L)
+  }
+
   test("region top brands: ordered list replays the per-region revenue ranking") {
     val rev = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
