@@ -231,6 +231,9 @@ object SparkEntry {
     "q_ivf_balance" -> (Similarity.qIvfBalance _),
     "q_ivf_margin" -> (Similarity.qIvfMargin _),
     "q_degree_dist" -> (Mining.qDegreeDist _),
+    "q_assortativity" -> (Mining.qAssortativity _),
+    "q_source_jaccard" -> (Quality.qSourceJaccard _),
+    "q_user_entropy" -> (Analytics.qUserEntropy _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -3886,6 +3889,76 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nodes_ge,
         |  CAST((n_nodes * 1000000) // n_total AS BIGINT) AS share_ppm
         |FROM hist CROSS JOIN t ORDER BY degree""".stripMargin,
+
+    // Degree assortativity of the lift graph; signed milli division
+    // spelled out as truncation-toward-zero in both engines.
+    "q_assortativity" ->
+      """WITH bb AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM bb),
+        |m AS (SELECT p_brand, count(*) AS n_x FROM bb GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.p_brand AS a, y.p_brand AS b, count(*) AS n_ab
+        |  FROM bb x JOIN bb y
+        |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT a, b FROM pairs
+        |  JOIN m ma ON ma.p_brand = a JOIN m mb ON mb.p_brand = b CROSS JOIN n
+        |  WHERE n_ab * n_orders > ma.n_x * mb.n_x),
+        |deg AS (
+        |  SELECT v, count(*) AS dg FROM (
+        |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        |  GROUP BY v),
+        |e2 AS (
+        |  SELECT da.dg AS x, db.dg AS y
+        |  FROM edges JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+        |  UNION ALL
+        |  SELECT db.dg, da.dg
+        |  FROM edges JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        |s AS (
+        |  SELECT count(*) AS n_pairs, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM e2)
+        |SELECT n_pairs, sx, sxy, sxx,
+        |  CAST(CASE WHEN n_pairs * sxy - sx * sx >= 0
+        |    THEN (1000 * (n_pairs * sxy - sx * sx)) // (n_pairs * sxx - sx * sx)
+        |    ELSE -((1000 * (sx * sx - n_pairs * sxy)) // (n_pairs * sxx - sx * sx))
+        |  END AS BIGINT) AS assort_milli
+        |FROM s""".stripMargin,
+
+    // All-pairs source vocabulary Jaccard (inverted-index shape).
+    "q_source_jaccard" ->
+      """WITH stc AS (
+        |  SELECT DISTINCT source, term FROM (
+        |    SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+        |    FROM documents)),
+        |v AS (SELECT source, count(*) AS n_terms FROM stc GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |  FROM stc a JOIN stc b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |  CAST(va.n_terms + vb.n_terms - n_common AS BIGINT) AS n_union,
+        |  CAST((n_common * 1000000) // (va.n_terms + vb.n_terms - n_common)
+        |    AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |JOIN v va ON va.source = source_a JOIN v vb ON vb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Per-user behavioral entropy over event types (qEntropy recipe).
+    "q_user_entropy" ->
+      """WITH cells AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+        |SELECT c.user_id, max(t.n) AS n_events, count(*) AS n_types,
+        |  - CAST(sum(CAST((c.c / t.n) * ln(c.c / t.n) AS DECIMAL(18,12))) AS DOUBLE)
+        |    AS entropy,
+        |  CAST((CAST(max(c.c) AS BIGINT) * 1000000) // max(t.n) AS BIGINT)
+        |    AS top_share_ppm
+        |FROM cells c JOIN t ON c.user_id = t.user_id
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "q_ann_lsh" ->
       """WITH v AS (

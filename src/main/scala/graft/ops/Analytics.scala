@@ -906,6 +906,31 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Per-user behavioral entropy over event types — the bot/script
+    * detector next to volume-based profiling: a human mixes
+    * browse/click/purchase (entropy near ln k); a scraper fires one
+    * type (entropy near 0 with high volume — exactly the flagged
+    * quadrant). Shannon entropy from exact per-user type counts via
+    * the qEntropy decimal-pin recipe; top-type share in integer ppm.
+    * One |users|×|types| aggregate, then a per-user rollup. */
+  def qUserEntropy(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(spark, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .persist() // per-user totals re-aggregate the cell frame
+    val totals = cells.groupBy("user_id").agg(sum("c").cast("long").as("n"))
+    cells.join(totals, "user_id")
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"),
+        count(lit(1)).as("n_types"),
+        max("c").cast("long").as("top_c"),
+        (-sum(((col("c") / col("n")) * log(col("c") / col("n")))
+          .cast("decimal(18,12)")).cast("double")).as("entropy"))
+      .withColumn("top_share_ppm", expr("(top_c * 1000000) div n_events"))
+      .select("user_id", "n_events", "n_types", "entropy", "top_share_ppm")
+      .orderBy("user_id")
+  }
+
   /** First-digit (Benford) audit of order totals — the forensic
     * profile that flags fabricated or re-scaled monetary data: natural
     * multi-scale amounts lead with 1 ~30% of the time (log10(1+1/d));

@@ -551,4 +551,56 @@ object Mining {
       .select("degree", "n_nodes", "nodes_ge", "share_ppm")
       .orderBy("degree")
   }
+
+  /** Degree assortativity of the lift graph — do hubs connect to
+    * hubs (r>0) or to the periphery (r<0)? The one scalar that picks
+    * between [[qDegreeDist]]'s two partitioning strategies (strongly
+    * disassortative hub-spoke graphs NEED hub replication; assortative
+    * cores hash fine). Pearson over symmetric edge-endpoint degree
+    * pairs degenerates to all-integer arithmetic (Sx=Sy, Sxx=Syy kill
+    * the sqrt), with truncation-toward-zero spelled out as a CASE so
+    * the signed milli division is identical across engines (Spark
+    * `div` truncates, DuckDB `//` floors — they differ on negatives).
+    * Edge and degree frames are |nodes|/|edges|-sized. */
+  def qAssortativity(spark: SparkSession, d: String): DataFrame = {
+    val bk = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("p_brand")).as("basket"))
+      .persist() // pair expansion + marginals + order total share it
+    val pairs = bk.select(explode(col("basket")).as("a"), col("basket"))
+      .select(col("a"), explode(col("basket")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val marg = bk.select(explode(col("basket")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_x"))
+    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
+    val edges = pairs
+      .join(broadcast(marg.select(col("brand").as("a"), col("n_x").as("n_a"))), "a")
+      .join(broadcast(marg.select(col("brand").as("b"), col("n_x").as("n_b"))), "b")
+      .crossJoin(broadcast(nOrders)) // 1-row order total (allowlisted)
+      .filter(col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
+      .select("a", "b")
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    edges
+      .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
+      // symmetric orientation: each edge contributes (da,db) and (db,da)
+      .select(col("da").as("x"), col("db").as("y"))
+      .union(edges
+        .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
+        .select(col("db").as("x"), col("da").as("y")))
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .withColumn("num", expr("n_pairs * sxy - sx * sx"))
+      .withColumn("den", expr("n_pairs * sxx - sx * sx"))
+      .withColumn("assort_milli", expr(
+        """CASE WHEN num >= 0 THEN (1000 * num) div den
+          |ELSE -((1000 * -num) div den) END""".stripMargin))
+      .select("n_pairs", "sx", "sxy", "sxx", "assort_milli")
+  }
 }

@@ -1901,6 +1901,38 @@ object Quality {
       .orderBy("source")
   }
 
+  /** All-pairs vocabulary Jaccard between sources — the corpus
+    * similarity matrix that catches mirrored/syndicated FEEDS (doc
+    * dedup catches copied documents; two feeds can share 90% of
+    * their vocabulary while sharing no exact document). Inverted-
+    * index shape: each term emits its sorted ≤|sources| source list
+    * once, pair expansion is a map-side double-explode of that
+    * constant-bounded array — never a sources×sources×vocab join;
+    * union sizes derive from broadcast per-source vocabulary counts.
+    * |sources|²/2 output rows, exact integers + ppm. */
+  def qSourceJaccard(spark: SparkSession, d: String): DataFrame = {
+    val stc = Tables.documentsSpread(spark, d)
+      .select(col("source"), explode(expr(toks)).as("term"))
+      .distinct()
+      .persist() // per-source vocab counts + inverted index share it
+    val vocab = stc.groupBy("source").agg(count(lit(1)).as("n_terms"))
+    val common = stc.groupBy("term")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(vocab.select(col("source").as("source_a"), col("n_terms").as("na"))),
+        "source_a")
+      .join(broadcast(vocab.select(col("source").as("source_b"), col("n_terms").as("nb"))),
+        "source_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_common"))
+      .withColumn("jaccard_ppm", expr("(n_common * 1000000) div n_union"))
+      .select("source_a", "source_b", "n_common", "n_union", "jaccard_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
   /** LSH parameter planner: for every (bands b, rows r) factoring of a
     * 128-hash MinHash signature and a grid of Jaccard levels, the
     * candidate probability 1−(1−s^r)^b and the S-curve threshold

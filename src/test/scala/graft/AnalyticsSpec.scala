@@ -683,6 +683,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).sum == ev.length - ev.distinct.length)
   }
 
+  test("user entropy: per-user shannon replay; single-type users sit at exactly zero") {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Analytics.qUserEntropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == ev.map(_._1).distinct.length)
+    got.foreach { case (u, n, k, h, topPpm) =>
+      val cs = ev.filter(_._1 == u).groupBy(_._2).values.map(_.size.toLong).toSeq
+      assert(n == cs.sum && k == cs.length)
+      assert(topPpm == cs.max * 1000000L / n)
+      val ref = -cs.map { c =>
+        BigDecimal((c.toDouble / n) * math.log(c.toDouble / n))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(h - ref) < 1e-9)
+      if (k == 1) assert(h == 0.0)
+      assert(h <= math.log(k.toDouble) + 1e-9) // bounded by ln k
+    }
+  }
+
   test("psi drift: per-type smoothed PSI replays scala and is non-negative") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"),

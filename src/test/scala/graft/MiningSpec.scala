@@ -301,6 +301,32 @@ class MiningSpec extends SparkSpec {
     assert(sizes.size > 1)
   }
 
+  test("assortativity: integer Pearson replays the lift-graph edge degrees; |r| ≤ 1") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = rows.map(_._1).distinct.length.toLong
+    val marg = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val coCount = rows.groupBy(_._1).values.map(_.map(_._2).sorted)
+      .flatMap(bs => for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = coCount.filter { case ((a, b), nab) => nab * nOrders > marg(a) * marg(b) }
+      .keys.toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xy = edges.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val (n, sx) = (xy.length.toLong, xy.map(_._1).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val r = Mining.qAssortativity(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, sx, sxy, sxx)))
+    val num = n * sxy - sx * sx; val den = n * sxx - sx * sx
+    val ref = if (num >= 0) 1000 * num / den else -(1000 * -num / den)
+    assert(r.getLong(4) == ref && math.abs(r.getLong(4)) <= 1000)
+    spark.catalog.clearCache()
+  }
+
   test("degree dist: histogram replays the lift-graph degrees; cumulative telescopes") {
     val rows = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))

@@ -1039,6 +1039,29 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("source jaccard: inverted-index pairs replay the exact vocabulary set math") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split("\\s+")).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val ref = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      inter = (vocab(srcs(i)) & vocab(srcs(j))).size.toLong
+      if inter > 0
+    } yield ((srcs(i), srcs(j)),
+      (inter, (vocab(srcs(i)) | vocab(srcs(j))).size.toLong))).toMap
+    val got = Quality.qSourceJaccard(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.length == ref.size && got.nonEmpty)
+    got.foreach { case (k, (common, union, ppm)) =>
+      val (ci, cu) = ref(k)
+      assert(common == ci && union == cu && ppm == common * 1000000L / union)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("lsh planner: 40-row grid replays the closed form; S-curve monotone in s and in bands") {
     val got = Quality.qLshPlanner(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
