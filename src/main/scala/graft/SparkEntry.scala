@@ -234,6 +234,8 @@ object SparkEntry {
     "q_assortativity" -> (Mining.qAssortativity _),
     "q_source_jaccard" -> (Quality.qSourceJaccard _),
     "q_user_entropy" -> (Analytics.qUserEntropy _),
+    "q_backfill_chunks" -> (Acquisition.qBackfillChunks _),
+    "q_daily_close" -> (Analytics.qDailyClose _),
     // Multimodal binary columns (north star; features = stubbed decode)
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
@@ -3946,6 +3948,57 @@ object SparkEntry {
         |FROM pairs
         |JOIN v va ON va.source = source_a JOIN v vb ON vb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Gap-driven hourly backfill plan with buffered query bounds.
+    "q_backfill_chunks" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(prev_ts AS TIMESTAMP)) // 3600000000 AS h0,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h1
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events)
+        |  WHERE prev_ts IS NOT NULL
+        |    AND epoch_us(CAST(ts AS TIMESTAMP))
+        |      - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 300000000),
+        |c AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_idx FROM g),
+        |a AS (
+        |  SELECT user_id, hour_idx, count(*) AS n_gaps_covered
+        |  FROM c GROUP BY 1, 2)
+        |SELECT user_id,
+        |  make_timestamp(hour_idx * 3600000000) AS chunk_start,
+        |  make_timestamp((hour_idx + 1) * 3600000000 - 1) AS chunk_end_inc,
+        |  make_timestamp(hour_idx * 3600000000 - 120000000) AS query_start,
+        |  make_timestamp((hour_idx + 1) * 3600000000 + 120000000) AS query_end,
+        |  n_gaps_covered
+        |FROM a ORDER BY user_id, chunk_start""".stripMargin,
+
+    // Daily close with carry-forward over the user × day grid.
+    "q_daily_close" ->
+      """WITH pd AS (
+        |  SELECT user_id, day, value AS close FROM (
+        |    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |grid AS (
+        |  SELECT u.user_id, dd.day
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |    (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |     FROM events) dd),
+        |f AS (
+        |  SELECT g.user_id, g.day, pd.close,
+        |    last_value(pd.close IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day)
+        |SELECT user_id, day,
+        |  CAST(floor(filled * 1000) AS BIGINT) AS close_milli,
+        |  close IS NULL AS is_carried
+        |FROM f WHERE filled IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin,
 
     // Per-user behavioral entropy over event types (qEntropy recipe).
     "q_user_entropy" ->

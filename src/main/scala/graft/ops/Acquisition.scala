@@ -76,6 +76,35 @@ object Acquisition {
           col("chunk_start") + expr("INTERVAL 1 HOUR 2 MINUTES")).as("query_end"))
       .orderBy("event_id")
 
+  /** Gap-driven backfill plan: the hourly re-request chunks (the
+    * reference's chunksize=1h grid, app.py:336-353) that COVER every
+    * detected per-user silence from [[Inventory.qGapDetect]] — i.e.
+    * the work list the reference's daily loop would issue to refill
+    * exactly the holes, rather than re-crawling whole days. Each gap
+    * explodes to its covering hour chunks (bounded: gaps are
+    * intra-stream, so the sequence is small); chunks dedup per user
+    * with the covered-gap count, and carry the ±120 s buffered query
+    * bounds ([[qBufferedBounds]]' clamp-free form — backfills may
+    * cross day edges). Integer epoch-hour arithmetic end to end. */
+  def qBackfillChunks(spark: SparkSession, d: String): DataFrame =
+    Inventory.qGapDetect(spark, d)
+      .select(col("user_id"),
+        (floor(unix_micros(col("prev_ts")) / (3600L * 1000000L))).as("h0"),
+        (floor(unix_micros(col("ts")) / (3600L * 1000000L))).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour_idx"))
+      .groupBy("user_id", "hour_idx")
+      .agg(count(lit(1)).as("n_gaps_covered"))
+      .select(col("user_id"),
+        timestamp_micros(col("hour_idx") * 3600L * 1000000L).as("chunk_start"),
+        timestamp_micros((col("hour_idx") + 1L) * 3600L * 1000000L
+          - lit(1L)).as("chunk_end_inc"),
+        timestamp_micros(col("hour_idx") * 3600L * 1000000L
+          - 120L * 1000000L).as("query_start"),
+        timestamp_micros((col("hour_idx") + 1L) * 3600L * 1000000L
+          + 120L * 1000000L).as("query_end"),
+        col("n_gaps_covered"))
+      .orderBy("user_id", "chunk_start")
+
   /** E4: NSLC-style key build + parse round trip (reference filename
     * projection app.py:257-268 and its inverse parse app.py:451-454).
     * `location` carries the event_id so every filename is unique. */

@@ -906,6 +906,37 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Daily close with carry-forward: each user's LAST event value per
+    * calendar day, forward-filled across silent days on the observed
+    * day grid — the end-of-day balance table every financial/metrics
+    * mart materializes (reads join on (user, day) instead of running
+    * an as-of scan per query). Last-of-day is max_by on (ts,
+    * event_id) — deterministic under timestamp ties; the fill is
+    * last(ignoreNulls) over the per-user day-ordered frame of the
+    * |users|×|days| grid, never over the event stream; values
+    * floor-pinned to milli. is_carried marks filled rows. Grid rows
+    * before a user's first event stay null-valued and are dropped
+    * (the account does not exist yet). */
+  def qDailyClose(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val perDay = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.select(to_date(col("ts")).as("day")).distinct()))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDay, Seq("user_id", "day"), "left")
+      .withColumn("filled", last("close", ignoreNulls = true).over(wFill))
+      .filter(col("filled").isNotNull)
+      .select(col("user_id"), col("day"),
+        expr("CAST(floor(filled * 1000) AS BIGINT)").as("close_milli"),
+        col("close").isNull.as("is_carried"))
+      .orderBy("user_id", "day")
+  }
+
   /** Per-user behavioral entropy over event types — the bot/script
     * detector next to volume-based profiling: a human mixes
     * browse/click/purchase (entropy near ln k); a scraper fires one

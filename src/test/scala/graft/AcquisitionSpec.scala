@@ -178,4 +178,30 @@ class AcquisitionSpec extends SparkSpec {
       .map(_._2).toSet
     assert(rows.map(_._1).toSet == expectedLabels)
   }
+
+  test("backfill chunks: every detected gap fully covered by its hour chunks, buffers ±120s") {
+    val gaps = graft.ops.Inventory.qGapDetect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime * 1000, r.getTimestamp(3).getTime * 1000))
+    val got = Acquisition.qBackfillChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000,
+        r.getTimestamp(3).getTime * 1000, r.getTimestamp(4).getTime * 1000, r.getLong(5)))
+    assert(got.nonEmpty)
+    val hour = 3600L * 1000000
+    val byUser = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // coverage: each gap's endpoints' hours (and all between) are planned
+    gaps.foreach { case (u, p, t) =>
+      val h0 = Math.floorDiv(p, hour); val h1 = Math.floorDiv(t, hour)
+      (h0 to h1).foreach(h => assert(byUser(u).contains(h * hour)))
+    }
+    // chunk grid + buffers + covered-gap accounting
+    val refCount = gaps.flatMap { case (u, p, t) =>
+      (Math.floorDiv(p, hour) to Math.floorDiv(t, hour)).map(h => (u, h * hour)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (u, cs, qs, qe, n) =>
+      assert(cs % hour == 0 && qs == cs - 120L * 1000000 && qe == cs + hour + 120L * 1000000)
+      assert(n == refCount((u, cs)))
+    }
+    assert(got.map(_._5).sum == gaps.map { case (_, p, t) =>
+      Math.floorDiv(t, hour) - Math.floorDiv(p, hour) + 1 }.sum)
+  }
 }

@@ -683,6 +683,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).sum == ev.length - ev.distinct.length)
   }
 
+  test("daily close: carry-forward replays per user; carried rows repeat the prior close") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        (r.getTimestamp(2).getTime, r.getLong(3)), r.getDouble(4)))
+    val days = ev.map(_._2).distinct.sortBy(_.toEpochDay)
+    val got = Analytics.qDailyClose(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toLocalDate), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val byUser = ev.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val lastPerDay = rows.groupBy(_._2).view
+        .mapValues(rs => rs.maxBy(r => r._3)._4).toMap
+      val firstDay = rows.map(_._2).minBy(_.toEpochDay)
+      var carried = Option.empty[Double]
+      days.foreach { d =>
+        if (d.isBefore(firstDay)) assert(!got.contains((u, d)))
+        else {
+          val fresh = lastPerDay.get(d)
+          val expected = fresh.orElse(carried).get
+          carried = Some(expected)
+          val (milli, isCarried) = got((u, d))
+          assert(milli == math.floor(expected * 1000).toLong)
+          assert(isCarried == fresh.isEmpty)
+        }
+      }
+    }
+    assert(got.values.exists(_._2)) // carry-forward actually fires somewhere
+  }
+
   test("user entropy: per-user shannon replay; single-type users sit at exactly zero") {
     val ev = Tables.events(spark, sfDir).select("user_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getString(1)))

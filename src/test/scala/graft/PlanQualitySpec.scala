@@ -92,7 +92,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_path_trigrams",     // 1-row trigram total broadcast
     "q_temporal_split",    // 1-row cutoff + 1-row event totals broadcast
     "q_woe_encode",        // 1-row label totals broadcast
-    "q_assortativity")     // 1-row order total broadcast (lift-edge filter)
+    "q_assortativity",     // 1-row order total broadcast (lift-edge filter)
+    "q_daily_close")       // |users| × observed-day-grid enumeration
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
