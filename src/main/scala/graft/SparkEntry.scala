@@ -148,6 +148,7 @@ object SparkEntry {
     "q_semdedup_sweep" -> (Similarity.qSemdedupSweep _),
     "q_ivf_probe_sweep" -> (Similarity.qIvfProbeSweep _),
     "q_label_prop" -> (Mining.qLabelProp _),
+    "q_graph_insights" -> (Mining.qGraphInsights _),
     "q_quality_sweep" -> (Quality.qQualitySweep _),
     "q_tok_efficiency" -> (Quality.qTokEfficiency _),
     "q_curation_funnel" -> (Pipeline.qCurationFunnel _),
@@ -2564,7 +2565,7 @@ object SparkEntry {
         |  CAST(n_lsh_pairs + n_simhash_pairs - n_common_pairs AS BIGINT)
         |    AS n_union_pairs,
         |  CAST((n_common_pairs * 1000000)
-        |    // (n_lsh_pairs + n_simhash_pairs - n_common_pairs) AS BIGINT)
+        |    // greatest(n_lsh_pairs + n_simhash_pairs - n_common_pairs, 1) AS BIGINT)
         |    AS overlap_ppm
         |FROM a, b, c""".stripMargin,
 
@@ -2634,8 +2635,8 @@ object SparkEntry {
         |    sum(x_m * y_m) AS sxy, sum(x_m * x_m) AS sxx
         |  FROM m GROUP BY source)
         |SELECT source, n_terms, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
-        |  CAST((1000 * (sx * sy - n_terms * sxy)) // (n_terms * sxx - sx * sx)
-        |    AS BIGINT) AS slope_neg_milli
+        |  CAST((1000 * (sx * sy - n_terms * sxy))
+        |    // greatest(n_terms * sxx - sx * sx, 1) AS BIGINT) AS slope_neg_milli
         |FROM s ORDER BY source""".stripMargin,
 
     // Per-source KL vs the corpus top-100 unigram distribution,
@@ -3133,7 +3134,7 @@ object SparkEntry {
         |  SELECT brand_a, brand_b, n_ab FROM pairs
         |  JOIN m ma ON ma.p_brand = brand_a JOIN m mb ON mb.p_brand = brand_b
         |  CROSS JOIN no
-        |  WHERE (n_ab * n_orders * 1000000) // (ma.n_x * mb.n_x) > 1000000),
+        |  WHERE n_ab * n_orders > ma.n_x * mb.n_x),
         |e2 AS (SELECT brand_a AS u, brand_b AS v, n_ab FROM ed
         |  UNION ALL SELECT brand_b, brand_a, n_ab FROM ed),
         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2),
@@ -3155,6 +3156,58 @@ object SparkEntry {
         |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
         |SELECT node AS p_brand, l3.lbl AS community, sz.community_size
         |FROM l3 JOIN sz USING (lbl) ORDER BY p_brand""".stripMargin,
+
+    // Composed graph flagship: lift edges -> 3-round LPA communities
+    // -> per-community member/edge/weight/density report.
+    "q_graph_insights" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |m AS (SELECT p_brand, count(*) AS n_x FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT brand_a, brand_b, n_ab FROM pairs
+        |  JOIN m ma ON ma.p_brand = brand_a JOIN m mb ON mb.p_brand = brand_b
+        |  CROSS JOIN no
+        |  WHERE n_ab * n_orders > ma.n_x * mb.n_x),
+        |e2 AS (SELECT brand_a AS u, brand_b AS v, n_ab FROM ed
+        |  UNION ALL SELECT brand_b, brand_a, n_ab FROM ed),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2),
+        |s0 AS (SELECT e2.u AS node, l0.lbl, sum(e2.n_ab) AS w
+        |  FROM e2 JOIN l0 ON e2.v = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |  row_number() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn FROM s0)
+        |  WHERE rn = 1),
+        |s1 AS (SELECT e2.u AS node, l1.lbl, sum(e2.n_ab) AS w
+        |  FROM e2 JOIN l1 ON e2.v = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |  row_number() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |s2 AS (SELECT e2.u AS node, l2.lbl, sum(e2.n_ab) AS w
+        |  FROM e2 JOIN l2 ON e2.v = l2.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |  row_number() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |sz AS (SELECT lbl, count(*) AS n_members FROM l3 GROUP BY lbl),
+        |ie AS (
+        |  SELECT la.lbl AS community, count(*) AS n_internal_edges,
+        |    CAST(sum(ed.n_ab) AS BIGINT) AS internal_weight
+        |  FROM ed JOIN l3 la ON la.node = ed.brand_a
+        |  JOIN l3 lb ON lb.node = ed.brand_b
+        |  WHERE la.lbl = lb.lbl GROUP BY 1)
+        |SELECT sz.lbl AS community, sz.n_members,
+        |  coalesce(ie.n_internal_edges, 0) AS n_internal_edges,
+        |  coalesce(ie.internal_weight, 0) AS internal_weight,
+        |  CAST((2 * coalesce(ie.n_internal_edges, 0) * 1000000)
+        |    // greatest(sz.n_members * (sz.n_members - 1), 1) AS BIGINT)
+        |    AS density_ppm
+        |FROM sz LEFT JOIN ie ON ie.community = sz.lbl
+        |ORDER BY community""".stripMargin,
 
     // Connected components over the MinHash-LSH near-dup pairs
     // (q_minhash_neardup's pair semantics — band-bucketed candidates,

@@ -24,6 +24,77 @@ import graft.Tables
   */
 object Mining {
 
+  /** The shared brand co-purchase basket frame: distinct brands per
+    * order, built with ONE shuffle (collect_set dedups in the agg).
+    * Persisted — callers that build it fresh have 3 consumers (pair
+    * stream, marginals, basket count); the landing path unpersists it
+    * after the artifact write. */
+  private def basketFrame(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("p_brand")).as("basket"))
+      .persist()
+
+  /** Basket frame → the full co-purchase pair table with marginals:
+    * (a, b, n_ab, n_a, n_b, n_orders, pos_lift). Pair expansion
+    * happens MAP-SIDE by double-exploding the ≤17-brand basket array,
+    * so the quadratic blow-up never touches an exchange — only
+    * collapsed (a, b) counts shuffle; the marginals and the 1-row
+    * basket total are second aggregates over the persisted baskets,
+    * broadcast back. `pos_lift` is THE one positive-lift predicate
+    * every graph-family consumer shares — the exact integer
+    * cross-multiply n_ab·N > n_a·n_b (lift > 1), not a floored-ppm
+    * approximation: one predicate, one graph, and no ×1e6 factor
+    * eating int64 headroom at scale. */
+  private def brandPairsOf(bk: DataFrame): DataFrame = {
+    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
+    val marginals = bk
+      .select(explode(col("basket")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_x"))
+    val pairs = bk
+      .select(explode(col("basket")).as("a"), col("basket"))
+      .select(col("a"), explode(col("basket")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("brand").as("a"), col("n_x").as("n_a"))), "a")
+      .join(broadcast(marginals.select(col("brand").as("b"), col("n_x").as("n_b"))), "b")
+      // 1-row order total broadcast (PlanQualitySpec-allowlisted)
+      .crossJoin(broadcast(nOrders))
+      .withColumn("pos_lift",
+        col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
+  }
+
+  /** Landed co-purchase graph artifact (`lift_edges_v1`): the full
+    * pair+marginal table materialized ONCE per corpus through the same
+    * write-once Landing pattern as the dedup family's lsh_pairs_v1
+    * (Quality.neardupPairs) — the graph family (label propagation,
+    * degree distribution, assortativity, triangles, the composed
+    * graph flagship) previously recomputed the basket→pairs→marginals
+    * →lift pipeline ≥5× per round, ~22 s of the sf0.1 bench. This
+    * mirrors production at 100 TB: the co-occurrence mining run WRITES
+    * its edge list and every downstream graph analytic reads the
+    * artifact. The declared q_market_basket stays self-contained so
+    * the oracle surface still verifies the full pipeline; the Landing
+    * key folds in the corpus fingerprint, so a regenerated corpus
+    * re-lands automatically. Dim-bounded output (≤ |brands|² rows) —
+    * coalesce(1) keeps the artifact a single small file. */
+  private[graft] def liftEdges(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Landing.dir(d, "lift_edges_v1") { path =>
+      val bk = basketFrame(spark, d)
+      brandPairsOf(bk)
+        .select("a", "b", "n_ab", "n_a", "n_b", "n_orders", "pos_lift")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      bk.unpersist(blocking = false)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** Association mining over order baskets at the brand granularity:
     * support and lift for every co-purchased brand pair. Brand-level
     * (not part-level) because the pair support at part granularity is
@@ -34,43 +105,16 @@ object Mining {
     * l_orderkey, so pair expansion is bounded by (basket size)² per
     * order — ≤ 17 items here, a constant — never corpus². Distinct
     * (order, brand) collapses map-side BEFORE the join, and only
-    * (order, brand) pairs ever shuffle. The marginals and the 1-row
-    * basket total are second aggregates over the collapsed stream and
-    * broadcast back — one fact scan total. */
-  def qMarketBasket(spark: SparkSession, d: String): DataFrame = {
-    // ONE shuffle builds the baskets (collect_set dedups in the agg —
-    // no separate distinct pass); pair expansion then happens
-    // MAP-SIDE by double-exploding the basket array, so the quadratic
-    // blow-up (bounded by basket size² ≤ 17² per order) never touches
-    // an exchange — only collapsed (brand_a, brand_b) counts shuffle.
-    // The relational self-join formulation costs two more full
-    // exchanges of the item stream for identical output.
-    val baskets = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("p_brand")).as("basket"))
-      .persist() // 3 consumers: pair stream, marginals, basket count
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val marginals = baskets
-      .select(explode(col("basket")).as("p_brand"))
-      .groupBy("p_brand").agg(count(lit(1)).as("n_x"))
-    val pairs = baskets
-      .select(explode(col("basket")).as("brand_a"), col("basket"))
-      .select(col("brand_a"), explode(col("basket")).as("brand_b"))
-      .filter(col("brand_a") < col("brand_b"))
-      .groupBy("brand_a", "brand_b")
-      .agg(count(lit(1)).as("n_ab"))
-    pairs
-      .join(broadcast(marginals.select(col("p_brand").as("brand_a"), col("n_x").as("n_a"))), "brand_a")
-      .join(broadcast(marginals.select(col("p_brand").as("brand_b"), col("n_x").as("n_b"))), "brand_b")
-      .crossJoin(broadcast(nOrders))
+    * (order, brand) pairs ever shuffle. Stays SELF-CONTAINED (fresh
+    * pipeline, not the landed artifact) so the declared oracle keeps
+    * verifying the full basket→pair→lift construction end to end. */
+  def qMarketBasket(spark: SparkSession, d: String): DataFrame =
+    brandPairsOf(basketFrame(spark, d))
       // lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), floored to ppm
       .withColumn("lift_ppm", expr("(n_ab * n_orders * 1000000) div (n_a * n_b)"))
-      .select("brand_a", "brand_b", "n_ab", "n_a", "n_b", "lift_ppm")
+      .select(col("a").as("brand_a"), col("b").as("brand_b"),
+        col("n_ab"), col("n_a"), col("n_b"), col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
-  }
 
   /** Triangle counting over the brand co-purchase graph — the classic
     * graph-analytics companion to [[qMarketBasket]]'s pair mining
@@ -90,20 +134,10 @@ object Mining {
     * comparisons use (degree, name) struct ordering, identical in the
     * oracle's row-value comparison. */
   def qTriangles(spark: SparkSession, d: String): DataFrame = {
-    // One shuffle builds the baskets (qMarketBasket's shape); pair
-    // expansion happens MAP-SIDE by double-exploding the ≤17-brand
-    // basket array — the equivalent item-stream self-join costs two
-    // more full exchanges for the same edge set.
-    val edges = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("p_brand")).as("basket"))
-      .select(explode(col("basket")).as("a"), col("basket"))
-      .select(col("a"), explode(col("basket")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    // The raw co-occurrence edge set is the landed artifact's pair
+    // table unfiltered (a pair row exists iff the brands co-occur in
+    // ≥1 basket) — one tiny parquet scan replaces the basket rebuild.
+    val edges = liftEdges(spark, d).select("a", "b")
       .persist() // degree pass + orientation share it
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -462,31 +496,32 @@ object Mining {
     * edge-sized persists across rounds. The display join for
     * community size is a broadcast of the |V|-row result. */
   def qLabelProp(spark: SparkSession, d: String): DataFrame = {
-    val bk = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("p_brand")).as("basket"))
-      .persist() // pair expansion + marginals + order total share it
-    val pairs = bk.select(explode(col("basket")).as("brand_a"), col("basket"))
-      .select(col("brand_a"), explode(col("basket")).as("brand_b"))
-      .filter(col("brand_a") < col("brand_b"))
-      .groupBy("brand_a", "brand_b")
-      .agg(count(lit(1)).as("n_ab"))
-    val marg = bk.select(explode(col("basket")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_x"))
-    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
-    val ed = pairs
-      .join(broadcast(marg.select(col("brand").as("brand_a"), col("n_x").as("n_a"))), "brand_a")
-      .join(broadcast(marg.select(col("brand").as("brand_b"), col("n_x").as("n_b"))), "brand_b")
-      // 1-row order total broadcast (PlanQualitySpec-allowlisted)
-      .crossJoin(broadcast(nOrders))
-      .filter(expr("(n_ab * n_orders * 1000000) div (n_a * n_b) > 1000000"))
-      .select("brand_a", "brand_b", "n_ab")
-    val e2 = ed.select(col("brand_a").as("u"), col("brand_b").as("v"), col("n_ab"))
+    val labels = lpa3(liftGraph(spark, d))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("node").as("p_brand"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("p_brand")
+  }
+
+  /** The symmetric weighted positive-lift edge frame (u, v, n_ab) —
+    * the landed artifact filtered on the ONE shared predicate and
+    * unioned in both orientations. Persisted: LPA reads it once per
+    * round plus the vertex seed. */
+  private def liftGraph(spark: SparkSession, d: String): DataFrame = {
+    val ed = liftEdges(spark, d).filter(col("pos_lift"))
+      .select(col("a").as("brand_a"), col("b").as("brand_b"), col("n_ab"))
+    ed.select(col("brand_a").as("u"), col("brand_b").as("v"), col("n_ab"))
       .unionByName(ed.select(col("brand_b").as("u"), col("brand_a").as("v"), col("n_ab")))
-      .persist() // 3 rounds + the vertex seed read it
+      .persist() // 3 LPA rounds + the vertex seed read it
+  }
+
+  /** 3 synchronous rounds of weighted label propagation over a
+    * symmetric weighted edge frame (u, v, n_ab): adopt the label with
+    * the largest incident weight, ties to the smaller label. Shared by
+    * [[qLabelProp]] and the composed [[qGraphInsights]] flagship so
+    * "community" means the same thing everywhere. */
+  private def lpa3(e2: DataFrame): DataFrame = {
     var labels = e2.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to 3) {
@@ -500,11 +535,44 @@ object Mining {
         .select("node", "lbl")
         .localCheckpoint() // |V|-row frame; cuts the per-round lineage
     }
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-    labels.join(broadcast(sizes), "lbl")
-      .select(col("node").as("p_brand"), col("lbl").as("community"),
-        col("community_size"))
-      .orderBy("p_brand")
+    labels
+  }
+
+  /** The composed GRAPH FLAGSHIP (the q_training_pipeline /
+    * q_curation_funnel pattern applied to the graph family): landed
+    * lift-edge artifact → 3-round weighted label propagation →
+    * per-community structural report, all in ONE declared plan under
+    * one oracle. Per community: member count, internal edge count and
+    * weight (both endpoints inside), and the internal density in ppm
+    * (2·E_in / (n·(n−1)), the clustering report a community detector
+    * ships). Proves the landed artifact COMPOSES: the plan scans
+    * lift_edges_v1 (twice — the LPA graph and the internal-edge join)
+    * and never rebuilds the basket pipeline; communities mean exactly
+    * what [[qLabelProp]] declares because both call the same [[lpa3]].
+    *
+    * 100 TB shape: LPA is |V|-row state over the artifact scan; the
+    * community stats are one broadcast join of the |V|-row label frame
+    * against the artifact edge list plus a |V|-row aggregate — the
+    * whole report is artifact-sized, fact tables never rescanned. */
+  def qGraphInsights(spark: SparkSession, d: String): DataFrame = {
+    val edges = liftEdges(spark, d).filter(col("pos_lift"))
+      .select("a", "b", "n_ab")
+    val labels = lpa3(liftGraph(spark, d)).persist() // sizes + 2 endpoint joins
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    val internal = edges
+      .join(broadcast(labels.select(col("node").as("a"), col("lbl").as("la"))), "a")
+      .join(broadcast(labels.select(col("node").as("b"), col("lbl").as("lb"))), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl"))
+      .agg(count(lit(1)).as("n_internal_edges"), sum("n_ab").as("internal_weight"))
+    sizes.join(internal, Seq("lbl"), "left")
+      .select(col("lbl").as("community"), col("n_members"),
+        coalesce(col("n_internal_edges"), lit(0L)).as("n_internal_edges"),
+        coalesce(col("internal_weight"), lit(0L)).as("internal_weight"))
+      // singleton guard: n·(n−1) = 0 for a 1-member community
+      .withColumn("density_ppm", expr(
+        "(2 * n_internal_edges * 1000000) div greatest(n_members * (n_members - 1), 1)"))
+      .orderBy("community")
   }
 
   /** Degree distribution of the positive-lift brand co-purchase graph
@@ -521,26 +589,7 @@ object Mining {
   def qDegreeDist(spark: SparkSession, d: String): DataFrame = {
     val wCum = Window.orderBy(col("degree").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bk = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("p_brand")).as("basket"))
-      .persist() // pair expansion + marginals + order total share it
-    val pairs = bk.select(explode(col("basket")).as("a"), col("basket"))
-      .select(col("a"), explode(col("basket")).as("b"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    val marg = bk.select(explode(col("basket")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_x"))
-    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
-    val edges = pairs
-      .join(broadcast(marg.select(col("brand").as("a"), col("n_x").as("n_a"))), "a")
-      .join(broadcast(marg.select(col("brand").as("b"), col("n_x").as("n_b"))), "b")
-      .crossJoin(broadcast(nOrders)) // 1-row order total (allowlisted)
-      .filter(col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
-      .select("a", "b")
+    val edges = liftEdges(spark, d).filter(col("pos_lift")).select("a", "b")
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("degree"))
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
@@ -563,39 +612,20 @@ object Mining {
     * `div` truncates, DuckDB `//` floors — they differ on negatives).
     * Edge and degree frames are |nodes|/|edges|-sized. */
   def qAssortativity(spark: SparkSession, d: String): DataFrame = {
-    val bk = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("p_brand")).as("basket"))
-      .persist() // pair expansion + marginals + order total share it
-    val pairs = bk.select(explode(col("basket")).as("a"), col("basket"))
-      .select(col("a"), explode(col("basket")).as("b"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    val marg = bk.select(explode(col("basket")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_x"))
-    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
-    val edges = pairs
-      .join(broadcast(marg.select(col("brand").as("a"), col("n_x").as("n_a"))), "a")
-      .join(broadcast(marg.select(col("brand").as("b"), col("n_x").as("n_b"))), "b")
-      .crossJoin(broadcast(nOrders)) // 1-row order total (allowlisted)
-      .filter(col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
-      .select("a", "b")
+    val edges = liftEdges(spark, d).filter(col("pos_lift")).select("a", "b")
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
+    // The symmetric-orientation moments follow from ONE orientation —
+    // n_pairs = 2|E|, sx = Σ(da+db), sxx = Σ(da²+db²), sxy = 2Σ(da·db)
+    // — so the degree-joined edge frame aggregates in a single pass
+    // instead of a union that executed the whole subtree twice.
     edges
       .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
       .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
-      // symmetric orientation: each edge contributes (da,db) and (db,da)
-      .select(col("da").as("x"), col("db").as("y"))
-      .union(edges
-        .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
-        .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
-        .select(col("db").as("x"), col("da").as("y")))
-      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"),
-        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .agg((count(lit(1)) * 2).as("n_pairs"),
+        sum(expr("da + db")).as("sx"),
+        (sum(expr("da * db")) * 2).as("sxy"),
+        sum(expr("da * da + db * db")).as("sxx"))
       .withColumn("num", expr("n_pairs * sxy - sx * sx"))
       .withColumn("den", expr("n_pairs * sxx - sx * sx"))
       .withColumn("assort_milli", expr(

@@ -1783,8 +1783,11 @@ object Quality {
     nA.crossJoin(broadcast(nB)).crossJoin(broadcast(nC))
       .withColumn("n_union_pairs",
         col("n_lsh_pairs") + col("n_simhash_pairs") - col("n_common_pairs"))
+      // greatest(den, 1): when NEITHER detector finds a pair the union
+      // is 0 — the guard emits a defined 0 ppm on a degenerate corpus
+      // instead of null/ANSI-throw (oracle guards identically).
       .withColumn("overlap_ppm",
-        expr("(n_common_pairs * 1000000) div n_union_pairs"))
+        expr("(n_common_pairs * 1000000) div greatest(n_union_pairs, 1)"))
   }
 
   /** CDC dedup savings by source: [[qCdcChunks]]' per-document
@@ -1853,8 +1856,12 @@ object Quality {
         sum("x_m").as("sx"), sum("y_m").as("sy"),
         sum(col("x_m") * col("y_m")).as("sxy"),
         sum(col("x_m") * col("x_m")).as("sxx"))
+      // greatest(den, 1): a source with ONE distinct term has sx=sxx=0
+      // (ln 1 = 0) so the OLS denominator is exactly 0 — the guard makes
+      // the degenerate fit a defined 0 instead of null/ANSI-throw, in
+      // lockstep with the oracle's identical greatest().
       .withColumn("slope_neg_milli",
-        expr("(1000 * (sx * sy - n_terms * sxy)) div (n_terms * sxx - sx * sx)"))
+        expr("(1000 * (sx * sy - n_terms * sxy)) div greatest(n_terms * sxx - sx * sx, 1)"))
       .select("source", "n_terms", "sx", "sy", "slope_neg_milli")
       .orderBy("source")
   }

@@ -518,4 +518,120 @@ object Streams {
       .transformWithState(new ThrottleProcessor(gapUs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Stream-stream AS-OF correlation — the one join shape Spark's
+    * built-in stream-stream joins cannot express: each LEFT event
+    * enriched with the LATEST right event at-or-before its own event
+    * time, BOTH sides unbounded ([[correlateWithinTimeout]] covers
+    * interval correlation; [[asofEnrich]] covers stream-static; this is
+    * the missing both-unbounded as-of). Built on `transformWithState`
+    * with a per-key ordered buffer bounded by the watermark horizon:
+    *
+    *  - A left at time t cannot emit until the WATERMARK passes t —
+    *    before that, an earlier right (r_ts ≤ t) could still arrive and
+    *    change the answer. Emission is therefore watermark-gated, from
+    *    `handleInputRows` when the key sees traffic and from an
+    *    event-time TIMER (armed at the earliest pending left) when it
+    *    does not.
+    *  - Rights older than the watermark COMPACT TO ONE ROW: every left
+    *    still pending has l_ts > wm, so among rights with r_ts ≤ wm
+    *    only the latest can ever win — the buffer holds (one compacted
+    *    right) + (rights inside the horizon) + (lefts inside the
+    *    horizon). State is bounded by the lateness horizon × per-key
+    *    rate, never by stream length — the same eviction contract as
+    *    Spark's own stream-stream join state.
+    *
+    * Ties on right event time break to the larger event id (the later
+    * writer wins), matching the batch operator's (ts, id) tiebreak the
+    * spec replays. Emits (key, left_id, left_ms, right_id, right_ms,
+    * right_value) with None when no right precedes the left. */
+  class AsOfStreamProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Int, Double),
+        (Long, Long, Long, Option[Long], Option[Long], Option[Double])] {
+    import org.apache.spark.sql.streaming.ListState
+    @transient private var lefts: ListState[(Long, Long)] = _ // (ms, id)
+    @transient private var rights: ListState[(Long, Long, Double)] = _ // (ms, id, value)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getListState[(Long, Long)]("lefts",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      rights = getHandle.getListState[(Long, Long, Double)]("rights",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    }
+
+    /** Emit every buffered left the watermark has passed, compact the
+      * right buffer against the watermark, and re-arm the timer at the
+      * earliest still-pending left. Shared by the input and timer
+      * paths — both are "the watermark moved" events. */
+    private def flush(key: Long, wmMs: Long)
+        : Iterator[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+      val ls = lefts.get().toArray.sortBy(identity)
+      val rs = rights.get().toArray.sortBy(r => (r._1, r._2))
+      val (emit, pending) = ls.partition(_._1 <= wmMs)
+      val out = emit.iterator.map { case (lms, lid) =>
+        // latest right at-or-before the left; ties to the larger id
+        val best = rs.takeWhile(_._1 <= lms).lastOption
+        (key, lid, lms, best.map(_._2), best.map(_._1), best.map(_._3))
+      }
+      // rights ≤ wm compact to their max: every pending left is > wm
+      val (below, above) = rs.partition(_._1 <= wmMs)
+      val keptRights = below.lastOption.toSeq ++ above
+      if (keptRights.length != rs.length) {
+        rights.clear()
+        if (keptRights.nonEmpty) rights.appendList(keptRights.toArray)
+      }
+      if (emit.nonEmpty) {
+        lefts.clear()
+        if (pending.nonEmpty) lefts.appendList(pending)
+      }
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      if (pending.nonEmpty) getHandle.registerTimer(pending.head._1)
+      out
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, Int, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+      rows.foreach {
+        case (_, t, id, 0, _) => lefts.appendValue((t.getTime, id))
+        case (_, t, id, _, v) => rights.appendValue((t.getTime, id, v))
+      }
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  /** Binds [[AsOfStreamProcessor]] to two streams: left probes
+    * (key, ts, id) and right versions (key, ts, id, value). The two
+    * sides UNION into one keyed stream with a side tag — the standard
+    * way to feed two streams through one stateful operator — and the
+    * single watermark after the union is the horizon that both gates
+    * emission and bounds the buffers. */
+  def asofCorrelate(
+      leftEvents: DataFrame, // (key, ts, id)
+      rightEvents: DataFrame, // (key, ts, id, value)
+      lateness: String = "10 minutes")
+      : Dataset[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+    val spark = leftEvents.sparkSession
+    import spark.implicits._
+    val l = leftEvents.toDF("key", "ts", "id")
+      .select(col("key").cast("long"), col("ts"), col("id").cast("long"),
+        lit(0).as("side"), lit(0.0).as("value"))
+    val r = rightEvents.toDF("key", "ts", "id", "value")
+      .select(col("key").cast("long"), col("ts"), col("id").cast("long"),
+        lit(1).as("side"), col("value").cast("double"))
+    l.unionByName(r)
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp, Long, Int, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AsOfStreamProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

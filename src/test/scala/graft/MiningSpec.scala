@@ -281,7 +281,7 @@ class MiningSpec extends SparkSpec {
         pairCnt((x, y)) = pairCnt.getOrElse((x, y), 0L) + 1
     }
     val edges = pairCnt.toSeq.filter { case ((a, b), nab) =>
-      nab * nOrders * 1000000L / (marg(a) * marg(b)) > 1000000L
+      nab * nOrders > marg(a) * marg(b) // the ONE shared exact predicate
     }
     val adj = (edges.map { case ((a, b), w) => (a, b, w) } ++
       edges.map { case ((a, b), w) => (b, a, w) })
@@ -299,6 +299,38 @@ class MiningSpec extends SparkSpec {
     assert(got == lbl.map { case (n, l) => (n, (l, sizes(l))) })
     // communities are non-trivial: more than one label survives
     assert(sizes.size > 1)
+  }
+
+  test("graph insights: communities match label prop, internal stats replay from the edge set") {
+    val lp = Mining.qLabelProp(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap // node -> community
+    val gi = Mining.qGraphInsights(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    spark.catalog.clearCache()
+    // community axis = exactly label prop's labels with their sizes
+    val sizesRef = lp.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(gi.map(_._1).toSet == sizesRef.keySet && gi.length == sizesRef.size)
+    gi.foreach { case (c, (n, _, _, _)) => assert(n == sizesRef(c)) }
+    // internal edges/weight replay from the lift edge set from first principles
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = rows.map(_._1).distinct.length.toLong
+    val marg = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val coCount = rows.groupBy(_._1).values.map(_.map(_._2).sorted)
+      .flatMap(bs => for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = coCount.filter { case ((a, b), nab) => nab * nOrders > marg(a) * marg(b) }
+    val internRef = edges.toSeq.filter { case ((a, b), _) => lp(a) == lp(b) }
+      .groupBy { case ((a, _), _) => lp(a) }
+      .view.mapValues(es => (es.size.toLong, es.map(_._2).sum)).toMap
+    gi.foreach { case (c, (n, ne, wt, dens)) =>
+      val (refE, refW) = internRef.getOrElse(c, (0L, 0L))
+      assert((ne, wt) == ((refE, refW)), s"community $c internal stats diverge")
+      assert(dens == 2 * ne * 1000000L / math.max(n * (n - 1), 1L))
+    }
+    spark.catalog.clearCache()
   }
 
   test("assortativity: integer Pearson replays the lift-graph edge degrees; |r| ≤ 1") {

@@ -507,4 +507,87 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("stream-stream as-of equals the batch as-of under adversarial micro-batch chopping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Deterministic corpus: 5 keys × (20 lefts, 15 rights) over one
+      // hour, second granularity — ts collisions included on purpose
+      // (the (ts, id) tiebreak must agree with the batch operator).
+      val rnd = new scala.util.Random(42)
+      val base = ts("2024-01-01 10:00:00").getTime
+      val leftRows = for (k <- 1L to 5L; i <- 0 until 20)
+        yield (k, new Timestamp(base + rnd.nextInt(3600) * 1000L), 1000L + k * 100 + i)
+      val rightRows = for (k <- 1L to 5L; i <- 0 until 15)
+        yield (k, new Timestamp(base + rnd.nextInt(3600) * 1000L),
+          2000L + k * 100 + i, rnd.nextInt(1000).toDouble)
+      // Batch truth: graft's own as-of operator, (ts, id) tiebreak.
+      val bl = leftRows.toDF("key", "ts", "id")
+      val br = rightRows.toDF("r_key", "r_ts", "r_id", "value")
+      val truth = graft.plans.AsOf.joinLatest(bl, br,
+          Seq("key"), Seq("r_key"), "ts", "r_ts", Seq("r_id"))
+        .select("key", "id", "r_id", "r_ts", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getTimestamp(3).getTime),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      assert(truth.values.exists(_._1.isEmpty) && truth.values.exists(_._1.nonEmpty))
+
+      // Three adversarial batchings of the SAME tagged event sequence:
+      // one giant batch; event-time-ordered thirds with within-batch
+      // shuffle; a full random shuffle chopped unevenly. Lateness (2 h)
+      // exceeds the data span, so no chop makes anything late.
+      val tagged =
+        leftRows.map(r => (r._1, r._2, r._3, 0, 0.0)) ++
+          rightRows.map(r => (r._1, r._2, r._3, 1, r._4))
+      val sentinel1 = (99L, ts("2024-01-02 10:00:00"), 9001L, 0, 0.0)
+      val sentinel2 = (99L, ts("2024-01-02 11:00:00"), 9002L, 0, 0.0)
+      val chops: Seq[Seq[Seq[(Long, Timestamp, Long, Int, Double)]]] = Seq(
+        Seq(tagged),
+        tagged.sortBy(r => (r._2.getTime, r._4, r._3)).grouped(60)
+          .map(b => rnd.shuffle(b.toSeq)).toSeq,
+        rnd.shuffle(tagged).grouped(47).map(_.toSeq).toSeq)
+      chops.zipWithIndex.foreach { case (batches, ci) =>
+        val lIn = MemoryStream[(Long, Timestamp, Long)]
+        val rIn = MemoryStream[(Long, Timestamp, Long, Double)]
+        val q = Streams.asofCorrelate(
+            lIn.toDF(), rIn.toDF(), lateness = "2 hours")
+          .writeStream.format("memory").queryName(s"asof_ss_$ci")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          (batches :+ Seq(sentinel1) :+ Seq(sentinel2)).foreach { b =>
+            val ls = b.filter(_._4 == 0).map(r => (r._1, r._2, r._3))
+            val rs = b.filter(_._4 == 1).map(r => (r._1, r._2, r._3, r._5))
+            if (ls.nonEmpty) lIn.addData(ls)
+            if (rs.nonEmpty) rIn.addData(rs)
+            q.processAllAvailable()
+          }
+          val got = spark.table(s"asof_ss_$ci").collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> (
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              if (r.isNullAt(4)) None else Some(r.getLong(4)),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+            .filter(_._1._1 != 99L)
+          // exactly-once per left, and value-identical to the batch as-of
+          assert(got.length == got.map(_._1).distinct.length, s"chop $ci emitted dups")
+          assert(got.toMap == truth, s"chop $ci diverged from the batch as-of")
+          // state bounded: after the flush the store holds the compacted
+          // rights (≤1 per drained key) + the sentinel lefts — nowhere
+          // near the 175 buffered events a horizonless buffer would keep
+          val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          assert(stateRows <= 20, s"chop $ci state not compacted: $stateRows rows")
+        } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
