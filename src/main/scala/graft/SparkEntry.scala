@@ -157,6 +157,7 @@ object SparkEntry {
     "q_vocab_growth" -> (Quality.qVocabGrowth _),
     "q_key_width" -> (Quality.qKeyWidth _),
     "q_detector_agreement" -> (Quality.qDetectorAgreement _),
+    "q_band_load" -> (Quality.qBandLoad _),
     "q_cdc_savings" -> (Quality.qCdcSavings _),
     "q_zipf_slope" -> (Quality.qZipfSlope _),
     "q_kl_drift" -> (Quality.qKlDrift _),
@@ -2506,6 +2507,29 @@ object SparkEntry {
         |  count(DISTINCT substr(h, 1, w)) AS n_keys, count(*) AS n_texts,
         |  count(*) - count(DISTINCT substr(h, 1, w)) AS n_collisions
         |FROM t, w GROUP BY w ORDER BY w""".stripMargin,
+
+    // LSH band-load audit: per band, buckets, max bucket, exact
+    // candidate-pair volume, and doc mass past the hot-band cap.
+    "q_band_load" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      for i in range(1, len(tk) - 1)]) AS s
+        |  FROM tkt WHERE len(tk) >= 3),
+        |bands AS (
+        |  SELECT doc_id, b AS band_idx,
+        |    list_min([substr(md5(x), 8*b + 1, 4) for x in s])
+        |      || list_min([substr(md5(x), 8*b + 5, 4) for x in s]) AS band_val
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS b)),
+        |bk AS (SELECT band_idx, band_val, count(*) AS sz FROM bands GROUP BY 1, 2)
+        |SELECT CAST(band_idx AS BIGINT) AS band_idx, count(*) AS n_buckets,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs, CAST(max(sz) AS BIGINT) AS max_bucket,
+        |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+        |  CAST(sum(CASE WHEN sz > 1000 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_docs_capped
+        |FROM bk GROUP BY band_idx ORDER BY band_idx""".stripMargin,
 
     // Cross-detector pair agreement: q_minhash_neardup's verified
     // pairs vs q_simhash_neardup's hamming<=1 pairs.

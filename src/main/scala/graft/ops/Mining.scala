@@ -445,7 +445,13 @@ object Mining {
     * stream, so scoring never shuffles more than |ownership| ×
     * avg-neighbors rows. The per-customer top-3 is a row_number window
     * partitioned by CUSTOMER — millions of partitions, the scalable
-    * window orientation (unlike a per-probe window over 5 probes). */
+    * window orientation (unlike a per-probe window over 5 probes).
+    *
+    * Evaluated against [[liftEdges]] and deliberately NOT a consumer:
+    * the CF co-matrix counts CUSTOMER co-ownership (distinct customers
+    * owning both brands), a different measure than the artifact's
+    * per-ORDER basket co-occurrence — sharing it would silently change
+    * recommendation semantics. */
   def qRecommend(spark: SparkSession, d: String): DataFrame = {
     val owned = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey")

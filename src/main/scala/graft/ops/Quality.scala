@@ -491,6 +491,32 @@ object Quality {
       (0 until 4).map(b => concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
       .as(Seq("band_idx", "band_val")))
 
+  /** LSH band-load audit — the governance table behind the hot-band
+    * cap every bucketed near-dup pass depends on at 100 TB: per band,
+    * the bucket count, the largest bucket, the CANDIDATE-PAIR volume
+    * the band contributes (Σ sz·(sz−1)/2 — the LSH self-join's exact
+    * output size, the number that predicts the verify stage's cost),
+    * and the doc mass sitting in buckets past `maxBandGroup` (what the
+    * cap would drop). A band whose max bucket approaches the cap, or
+    * whose pair volume dwarfs its siblings', signals a degenerate
+    * slice (boilerplate-dominated shingles) before a full pass is
+    * paid. Bucket sizes collapse map-side; the audit itself is
+    * |buckets|-sized, never pair-sized — it PRICES the pair join
+    * without running it. */
+  def qBandLoad(spark: SparkSession, d: String): DataFrame =
+    minhashBands(minhashSigFused(spark, d))
+      .groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("sz").as("n_docs"),
+        max("sz").as("max_bucket"),
+        // sz·(sz−1) is even, so floor division is exact division
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"),
+        sum(when(col("sz") > maxBandGroup, col("sz")).otherwise(lit(0L)))
+          .as("n_docs_capped"))
+      .orderBy("band_idx")
+
   def qMinhashNeardup(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = minhashSigFused(spark, d).persist()

@@ -937,6 +937,28 @@ class QualitySpec extends SparkSpec {
     assert(got.map(_._5).toSeq.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
   }
 
+  test("band load: per-band bucket stats replay from the declared band stream") {
+    val sizes = Quality.minhashBands(Quality.minhashSigFused(spark, sfDir))
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._1._1).view.mapValues(_.map(_._2)).toMap // band -> bucket sizes
+    val got = Quality.qBandLoad(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.foreach { case (b, (nBuckets, nDocs, maxB, pairs, capped)) =>
+      val szs = sizes(b.toInt)
+      assert(nBuckets == szs.length.toLong, s"band $b bucket count")
+      assert(nDocs == szs.sum, s"band $b doc mass")
+      assert(maxB == szs.max, s"band $b max bucket")
+      assert(pairs == szs.map(s => s * (s - 1) / 2).sum, s"band $b pair volume")
+      assert(capped == szs.filter(_ > Quality.maxBandGroup).sum, s"band $b capped mass")
+    }
+    // every band carries the same docs (one row per doc per band)
+    assert(got.values.map(_._2).toSet.size == 1)
+    spark.catalog.clearCache()
+  }
+
   test("key width: prefix collision table replays from MessageDigest") {
     val hs = Tables.documents(spark, sfDir).select("text").collect()
       .map(r => md5hex(r.getString(0))).distinct

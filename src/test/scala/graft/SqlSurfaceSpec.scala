@@ -44,6 +44,116 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  /** The two front doors pinned together: for each sampled declared
+    * query, the equivalent ANSI SQL typed by a user against
+    * `Tables.createViews` must return EXACTLY the DataFrame API's
+    * rows — same Catalyst underneath, so any divergence means a view
+    * definition, a registered function, or an operator's SQL story
+    * broke. The SQL texts mirror each operator's documented semantics
+    * (decimal-staged sums, (ts, key) tiebreaks, floor division). */
+  private val sqlMirrors: Map[String, String] = Map(
+    "q_group_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+    "q_rollup" ->
+      """SELECT CAST(grouping_id(o_year, o_month) AS BIGINT) AS gid,
+        |  o_year, o_month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM (SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        |        o_totalprice FROM orders)
+        |GROUP BY ROLLUP(o_year, o_month)
+        |ORDER BY gid, o_year NULLS FIRST, o_month NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT CAST(grouping_id(o_year, o_month) AS BIGINT) AS gid,
+        |  o_year, o_month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM (SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        |        o_totalprice FROM orders)
+        |GROUP BY CUBE(o_year, o_month)
+        |ORDER BY gid, o_year NULLS FIRST, o_month NULLS FIRST""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q_union_except" ->
+      """(SELECT o_orderkey, 'live' AS status FROM orders WHERE o_orderstatus <> 'F'
+        | UNION ALL
+        | SELECT o_orderkey, 'dead' AS status FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_orderkey, 'live' AS status FROM orders WHERE o_totalprice > 200000.0
+        |ORDER BY o_orderkey, status""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus <> 'F'
+        |INTERSECT
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY o_orderkey, o_orderpriority""".stripMargin,
+    "q_brand_sales" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  test("SQL-surface parity: 12 declared queries return identical rows through plain SQL") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    sqlMirrors.foreach { case (name, sqlText) =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(sqlText)
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq,
+        s"$name: column names diverge (${viaApi.columns.mkString(",")} vs ${viaSql.columns.mkString(",")})")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length, s"$name: ${a.length} vs ${b.length} rows")
+      assert(a.sameElements(b), s"$name: SQL surface diverged from the DataFrame result")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("the SQL user can express an ad-hoc skyline against the views and match the operator") {
     Tables.createViews(spark, sfDir)
     val viaSql = spark.sql(
