@@ -225,6 +225,7 @@ object SparkEntry {
     "q_knn_classify" -> (Similarity.qKnnClassify _),
     "q_embedding_stats" -> (Similarity.qEmbeddingStats _),
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _),
+    "q_label_separability" -> (Similarity.qLabelSeparability _),
     "q_rand_project" -> (Similarity.qRandProject _),
     "q_scalar_quant" -> (Similarity.qScalarQuant _),
     "q_mmr_rerank" -> (Similarity.qMmrRerank _),
@@ -3666,6 +3667,35 @@ object SparkEntry {
         |  FROM p)
         |SELECT probe_id, vec_id, round(c, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    // Pairwise cosine between per-label embedding centroids (the
+    // class-confusability matrix); q_embed_outliers' centroid recipe.
+    "q_label_separability" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, s.dim, s.x FROM (
+        |    SELECT label,
+        |      unnest([{'dim': i, 'x': e[i + 1]} for i in range(0, len(e))]) AS s
+        |    FROM v)),
+        |cm AS (
+        |  SELECT label, dim,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM x GROUP BY label, dim),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS c FROM cm GROUP BY label),
+        |cnt AS (SELECT label, count(*) AS n_vecs FROM v GROUP BY label),
+        |cc AS (
+        |  SELECT cent.label, cent.c,
+        |    sqrt(list_sum([y * y for y in cent.c])) AS cn, cnt.n_vecs
+        |  FROM cent JOIN cnt USING (label))
+        |SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+        |  a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |  round(list_sum([a.c[i] * b.c[i] for i in range(1, len(a.c) + 1)])
+        |    / (a.cn * b.cn), 4) AS cent_cos
+        |FROM cc a JOIN cc b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH v AS (

@@ -1038,6 +1038,43 @@ object Similarity {
     * The per-vector top-2 is a map-side sort of the constant 8-entry
     * (−cos, centroid) array — the ivfAssignedK shape, no window over
     * the expanded corpus; the average is decimal-pinned. */
+  /** Label-separability audit: the pairwise cosine between per-label
+    * embedding CENTROIDS — the class-confusability matrix a labeled
+    * training corpus is triaged with (two labels whose centroids sit
+    * at cos ≥ ~0.9 are either synonyms to merge or a labeling-noise
+    * hotspot for [[qKnnClassify]]'s noise audit to drill into; a label
+    * whose nearest neighbor is far is safely separable). Centroid
+    * parity uses [[qEmbedOutliers]]' exact recipe: per-dim means from
+    * DECIMAL(18,6) sums routed through a STRING before the double
+    * cast, reassembled in dim order so the vec_dot fold sees identical
+    * operands in identical order on both engines.
+    *
+    * Scale shape: the corpus collapses to |labels|×|dims| rows in one
+    * aggregate — the pairwise grid is |labels|² (≤100 here, ≤ a few
+    * thousand for any real label set), a broadcast enumeration that
+    * never touches corpus-sized data again. */
+  def qLabelSeparability(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+    val comp = v.select(col("label"), posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("string").cast("double")
+        / count(lit(1))).as("m"))
+    val cent = comp.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label"), expr("transform(dm, s -> s.m)").as("c"))
+      .withColumn("cn", expr("sqrt(vec_dot(c, c))"))
+      .join(v.groupBy("label").agg(count(lit(1)).as("n_vecs")), "label")
+    val a = cent.select(col("label").cast("long").as("label_a"),
+      col("c").as("ca"), col("cn").as("cna"), col("n_vecs").as("n_a"))
+    val b = cent.select(col("label").cast("long").as("label_b"),
+      col("c").as("cb"), col("cn").as("cnb"), col("n_vecs").as("n_b"))
+    // |labels|² centroid grid (PlanQualitySpec-allowlisted enumeration)
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("cent_cos", round(expr("vec_dot(ca, cb) / (cna * cnb)"), 4))
+      .select("label_a", "label_b", "n_a", "n_b", "cent_cos")
+      .orderBy("label_a", "label_b")
+  }
+
   def qIvfMargin(spark: SparkSession, d: String): DataFrame = {
     val v = withNorm(spark, Tables.embeddings(spark, d))
     val centroids = v.filter(col("vec_id") < 8)

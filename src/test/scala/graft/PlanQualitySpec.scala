@@ -56,6 +56,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_gap_fill",          // 1-row calendar-bounds broadcast (obs filter + grid)
     "q_skew_profile",      // 1-row key-count total broadcast
     "q_market_basket",     // 1-row basket-universe count broadcast
+    "q_label_separability", // |labels|² centroid grid: both sides label-dim-sized (≤10 rows)
     "q_impute",            // 1-row global-median fallback broadcast
     "q_rfm",               // 1-row ref-date + quartile-threshold broadcasts
     "q_curriculum",        // 1-row length-quartile thresholds broadcast

@@ -481,4 +481,32 @@ class SimilaritySpec extends SparkSpec {
       assert(avg <= 2.0 && mn <= 2.0) // cosine gap bounded
     }
   }
+
+  test("label separability: full pair grid, one pair's centroid cosine replayed from raw vectors") {
+    val got = Similarity.qLabelSeparability(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getInt(2).toLong, r.getSeq[Float](1).map(_.toDouble).toArray))
+    spark.catalog.clearCache()
+    val labels = vecs.map(_._1).distinct.sorted
+    // complete upper-triangle grid with the true per-label counts
+    assert(got.length == labels.length * (labels.length - 1) / 2)
+    val counts = vecs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.foreach { case ((a, b), (na, nb, cos)) =>
+      assert(a < b && na == counts(a) && nb == counts(b))
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    // one pair replayed: centroid = per-dim mean, cosine of the means
+    val (la, lb) = (labels(0), labels(1))
+    def centroid(l: Long): Array[Double] = {
+      val vs = vecs.filter(_._1 == l).map(_._2)
+      Array.tabulate(vs.head.length)(i => vs.map(_(i)).sum / vs.length)
+    }
+    val (ca, cb) = (centroid(la), centroid(lb))
+    def dotp(x: Array[Double], y: Array[Double]) = x.zip(y).map(p => p._1 * p._2).sum
+    val ref = dotp(ca, cb) / (math.sqrt(dotp(ca, ca)) * math.sqrt(dotp(cb, cb)))
+    val gotCos = got.toMap.apply((la, lb))._3
+    assert(math.abs(gotCos - ref) < 1e-3, s"centroid cosine $gotCos vs replay $ref")
+  }
 }
