@@ -544,11 +544,17 @@ object Inventory {
     * the |types|² tiny result — the corpus is scanned ONCE and only
     * kilobyte sketches ever shuffle. Theta unions/intersections are
     * order-independent (retained set = hashes below min θ), so the
-    * result is deterministic under any partitioning. At test SF the
-    * sketches sit in exact mode (< 4096 entries) so the estimate
-    * equals the truth; the declared surface keeps the sketch-oracle
-    * pattern regardless: exact overlap + an `_ok` flag with a ±2%
-    * (min 1) band. */
+    * result is deterministic under any partitioning. The declared
+    * surface is the exact overlap plus an `est_ok` flag asserting the
+    * truth lies inside the INTERSECTION SKETCH'S OWN 3σ confidence
+    * interval (getLowerBound/getUpperBound(3)) — in exact mode
+    * (< 4096 retained) the CI collapses to the estimate itself, and
+    * past it the CI widens with the overlap-to-union ratio exactly as
+    * theta theory says it must. (The round-6 10× probe killed the
+    * previous FIXED ±2% band: once the per-type user sets left exact
+    * mode the intersection's relative error — which scales like
+    * √(|A∪B|/(k·|A∩B|)) — legitimately exceeded any fixed
+    * percentage. A fixture-calibrated constant, not a sketch bug.) */
   def qThetaOverlap(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import org.apache.datasketches.memory.Memory
@@ -570,24 +576,24 @@ object Inventory {
     val merged = partials.groupBy("event_type")
       .agg(collect_list("sk").as("sks"))
       .select(col("event_type"), unionUdf(col("sks")).as("sk"))
-    val estUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val boundsUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
       val i = SetOperation.builder().buildIntersection()
       i.intersect(Sketches.wrapSketch(Memory.wrap(a)))
       i.intersect(Sketches.wrapSketch(Memory.wrap(b)))
-      math.round(i.getResult.getEstimate)
+      val r = i.getResult
+      (math.floor(r.getLowerBound(3)).toLong, math.ceil(r.getUpperBound(3)).toLong)
     }
     val est = merged.toDF("type_a", "sk_a")
       .join(broadcast(merged.toDF("type_b", "sk_b")), col("type_a") < col("type_b"))
-      .select(col("type_a"), col("type_b"),
-        estUdf(col("sk_a"), col("sk_b")).as("est"))
+      .select(col("type_a"), col("type_b"), boundsUdf(col("sk_a"), col("sk_b")).as("ci"))
     val exact = ut.distinct().toDF("type_a", "user_id")
       .join(ut.distinct().toDF("type_b", "ub"),
         col("user_id") === col("ub") && col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_overlap"))
     exact.join(broadcast(est), Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("exact_overlap"),
-        (abs(col("est") - col("exact_overlap")) <=
-          greatest(lit(1L), (col("exact_overlap") * 2) / 100)).as("est_ok"))
+        (col("ci._1") <= col("exact_overlap") &&
+          col("exact_overlap") <= col("ci._2")).as("est_ok"))
       .orderBy("type_a", "type_b")
   }
 
