@@ -312,6 +312,15 @@ object SparkEntry {
     "q_readability" -> (Quality.qReadability _),
     "q_bigram_lm" -> (Quality.qBigramLm _),
     "q_ab_test" -> (Analytics.qAbTest _),
+    "q_rag_chunks" -> (Packing.qRagChunks _),
+    "q_batch_buckets" -> (Packing.qBatchBuckets _),
+    "q_compaction_plan" -> (Inventory.qCompactionPlan _),
+    "q_ks_test" -> (Quality.qKsTest _),
+    "q_merge_stats" -> (Quality.qMergeStats _),
+    "q_binary_ingest" -> (Multimodal.qBinaryIngest _),
+    "q_mannwhitney" -> (Quality.qMannWhitney _),
+    "q_bootstrap_ci" -> (Quality.qBootstrapCi _),
+    "q_spearman" -> (Analytics.qSpearman _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -5582,6 +5591,195 @@ object SparkEntry {
         |  CAST(max(abs(u.s)) AS BIGINT) AS peak,
         |  CAST(sum(u.s * u.s) AS BIGINT) < 64 AS is_silent
         |FROM px GROUP BY doc_id, u.fr ORDER BY doc_id, fr""".stripMargin,
+
+    "q_rag_chunks" ->
+      """WITH tkt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(1, len(tk), 48)) AS tok_start
+        |  FROM tkt),
+        |ch AS (
+        |  SELECT doc_id, tok_start, tk[tok_start:tok_start+63] AS chunk FROM st)
+        |SELECT doc_id, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS fp
+        |FROM ch WHERE len(chunk) >= 16 OR tok_start = 1
+        |ORDER BY doc_id, tok_start""".stripMargin,
+
+    "q_batch_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
+        |    md5('batch:' || doc_id) AS ord
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'bucket_' || length(bin(n)) AS scope, source, n, ord, doc_id FROM d
+        |  UNION ALL
+        |  SELECT 'naive' AS scope, source, n, ord, doc_id FROM d),
+        |r AS (
+        |  SELECT scope, source, n,
+        |    (row_number() OVER (PARTITION BY scope, source ORDER BY ord, doc_id) - 1)
+        |      // 32 AS batch
+        |  FROM u),
+        |b AS (
+        |  SELECT scope, source, batch, count(*) AS n_docs, max(n) AS max_n,
+        |    CAST(sum(n) AS BIGINT) AS sum_n
+        |  FROM r GROUP BY scope, source, batch)
+        |SELECT scope, count(*) AS n_batches, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(sum_n) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_docs * max_n - sum_n) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(n_docs * max_n - sum_n) AS BIGINT) * 1000000
+        |    // (CAST(sum(n_docs * max_n - sum_n) AS BIGINT)
+        |        + CAST(sum(sum_n) AS BIGINT)) AS waste_ppm
+        |FROM b GROUP BY scope ORDER BY scope""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |    CAST(sum(length(props)) + 64 * count(*) AS BIGINT) AS bytes
+        |  FROM events GROUP BY day, event_type),
+        |a AS (
+        |  SELECT day, bytes,
+        |    COALESCE(CAST(sum(bytes) OVER (PARTITION BY day
+        |      ORDER BY bytes DESC, event_type
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      // 4096 AS bin
+        |  FROM f)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_files,
+        |  max(bin) + 1 AS n_bins, CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |FROM a GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT s.source, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN (SELECT DISTINCT n_chars FROM documents) g
+        |  LEFT JOIN c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cdf AS (
+        |  SELECT f.source, f.n_chars,
+        |    CAST(sum(f.c) OVER (PARTITION BY f.source ORDER BY f.n_chars)
+        |      AS BIGINT) AS cum,
+        |    t.n_total
+        |  FROM filled f
+        |  JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+        |        FROM documents GROUP BY source) t ON f.source = t.source)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  CAST(max(abs(x.cum * y.n_total - y.cum * x.n_total)) AS BIGINT) * 1000000
+        |    // (max(x.n_total) * max(y.n_total)) AS ks_ppm
+        |FROM cdf x JOIN cdf y
+        |  ON x.n_chars = y.n_chars AND x.source < y.source
+        |GROUP BY x.source, y.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_merge_stats" ->
+      """WITH s AS (
+        |  SELECT ascii(substr(md5('stats:' || doc_id), 1, 1)) % 8 AS shard,
+        |    count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY shard),
+        |u AS (
+        |  SELECT 'shard_' || shard AS scope, n, sx, sxx FROM s
+        |  UNION ALL
+        |  SELECT 'merged' AS scope, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sxx) AS BIGINT) AS sxx
+        |  FROM s)
+        |SELECT scope, n, sx, sxx, sx // n AS mean_int,
+        |  (n * sxx - sx * sx) // (n * n) AS var_int
+        |FROM u ORDER BY scope""".stripMargin,
+
+    "q_binary_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 13 = 0 AND doc_id < 5000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT s.source, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN (SELECT DISTINCT n_chars FROM documents) g
+        |  LEFT JOIN c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cdf AS (
+        |  SELECT f.source, f.n_chars, f.c,
+        |    CAST(sum(f.c) OVER (PARTITION BY f.source ORDER BY f.n_chars)
+        |      AS BIGINT) AS cum,
+        |    t.n_total
+        |  FROM filled f
+        |  JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+        |        FROM documents GROUP BY source) t ON f.source = t.source),
+        |a AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |    CAST(sum(x.c * (2 * (x.cum - x.c + y.cum - y.c) + x.c + y.c + 1))
+        |      AS BIGINT) AS r2a,
+        |    max(x.n_total) AS na, max(y.n_total) AS nb
+        |  FROM cdf x JOIN cdf y
+        |    ON x.n_chars = y.n_chars AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, r2a - na * (na + 1) AS u2,
+        |  ((r2a - na * (na + 1)) * 1000000) // (2 * na * nb) AS auc_ppm
+        |FROM a ORDER BY source_a, source_b""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT d.source, d.n_chars, r.r,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |             substr(md5('boot:' || r.r || ':' || d.doc_id), i, 1)) - 1)
+        |           * pow(16.0, 8 - i) for i in range(1, 9)]) AS BIGINT) AS u
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 32)) AS r) r),
+        |w AS (
+        |  SELECT source, r, n_chars,
+        |    CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+        |    + CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END
+        |    + CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END
+        |    + CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END
+        |    + CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END
+        |    + CASE WHEN u >= 4292415291 THEN 1 ELSE 0 END AS w
+        |  FROM reps),
+        |cell AS (
+        |  SELECT source, r, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w * n_chars) AS BIGINT) AS swx
+        |  FROM w GROUP BY source, r),
+        |m AS (
+        |  SELECT source, swx // greatest(sw, 1) AS mean_r,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY swx // greatest(sw, 1), r) AS rn
+        |  FROM cell)
+        |SELECT source, count(*) AS n_reps,
+        |  max(CASE WHEN rn = 2 THEN mean_r END) AS boot_lo,
+        |  max(CASE WHEN rn = 16 THEN mean_r END) AS boot_med,
+        |  max(CASE WHEN rn = 31 THEN mean_r END) AS boot_hi
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT event_type, value, CAST(length(props) AS BIGINT) AS plen
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1
+        |      - (count(*) OVER (PARTITION BY event_type) + 1) AS cx,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY plen)
+        |      + count(*) OVER (PARTITION BY event_type, plen) - 1
+        |      - (count(*) OVER (PARTITION BY event_type) + 1) AS cy
+        |  FROM b),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cx * cy) AS BIGINT) AS sxy,
+        |    CAST(sum(cx * cx) AS BIGINT) AS sxx,
+        |    CAST(sum(cy * cy) AS BIGINT) AS syy
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |    ELSE CAST(sxy AS DOUBLE)
+        |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |  END, 6) AS spearman
+        |FROM a ORDER BY event_type""".stripMargin,
   )
 
   /** Two unrolled Lloyd rounds + final assignment (see

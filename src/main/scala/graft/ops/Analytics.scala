@@ -1174,4 +1174,49 @@ object Analytics {
         col("dau_wau_ppm"), col("wau_mau_ppm"))
       .orderBy("day")
   }
+
+  /** Spearman rank correlation per event type between the event value
+    * and its payload size — the MONOTONE-association companion to
+    * [[qCorrGroup]]'s Pearson: rank-based, so invariant to any
+    * monotone rescaling of either axis and robust to the heavy tails
+    * both axes have. Ties get average ranks, kept exact by DOUBLING
+    * (a tie-averaged rank is always a multiple of ½): 2·avgrank =
+    * 2·rank() + tiecount − 1 via two windows per axis, then Spearman
+    * is Pearson over the doubled ranks with EXACT int64 moment sums —
+    * only the final ratio is floating (rounded to 6dp, the qCorrGroup
+    * pin). Magnitude ceiling: Σ(2r)² ≤ 4n³ — int64-safe to n ≈ 1.3e6
+    * rows per group (documented; ~10× the K=10 probe's largest type).
+    *
+    * Plan shape for 100 TB: two rank windows + one aggregate, all
+    * partitioned by event_type — no global sort, no driver loop; for
+    * a skewed type the rank window is the classic sort-within-group
+    * and would salt the same way qGroupAggSalted does. */
+  def qSpearman(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(spark, d)
+      .select(col("event_type"), col("value"),
+        length(col("props")).cast("long").as("plen"))
+    // doubled tie-averaged rank, CENTERED by its exact group mean n+1
+    // (Σ avgrank = n(n+1)/2, so Σ2r = n(n+1)): zero-mean integers keep
+    // every moment sum ≤ n³/3 — int64-safe to n ≈ 3e6 rows per group
+    // instead of the raw formula's 4n⁴ blowup
+    def rank2c(v: String) =
+      lit(2L) * rank().over(Window.partitionBy("event_type").orderBy(col(v))) +
+        count(lit(1)).over(Window.partitionBy("event_type", v)) - 1L -
+        (count(lit(1)).over(Window.partitionBy("event_type")) + 1L)
+    base
+      .withColumn("cx", rank2c("value"))
+      .withColumn("cy", rank2c("plen"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("event_type"), col("n"),
+        // degenerate-axis guard (all-tied values): NULL, not NaN/Inf
+        round(when(col("sxx") === 0L || col("syy") === 0L, lit(null))
+          .otherwise(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double")))), 6)
+          .as("spearman"))
+      .orderBy("event_type")
+  }
 }

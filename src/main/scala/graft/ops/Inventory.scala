@@ -848,4 +848,39 @@ object Inventory {
         Tables.part(spark, d), "p_partkey"))
       .orderBy("join_name")
   }
+
+  /** Small-file compaction planner: given a per-partition file
+    * inventory (here: one "file" per (ingest day, event type), sized
+    * by its payload bytes — the shape [[qFilenameInventory]] lists),
+    * assign files to compaction bins targeting 4 KiB output objects
+    * with NEXT-FIT-DECREASING: files sorted largest-first inside
+    * their day, bin = floor(running-bytes-before / target). The
+    * lakehouse maintenance op every small-file-heavy ingest needs —
+    * the reference's per-chunk uploads (app.py:449-459) produce
+    * exactly this inventory shape at one object per station-hour.
+    *
+    * Plan shape for 100 TB: bin assignment is a WINDOW CUMSUM per
+    * day-partition — no driver loop, no global sort; each day's file
+    * list (dim-bounded: types × 1) sorts independently, so a million
+    * partition-days plan in one shuffle. NFD's bound is classic:
+    * every bin except possibly one per day is ≥ half full, so the
+    * plan never exceeds 2·OPT bins. Integer bytes end-to-end. */
+  def qCompactionPlan(spark: SparkSession, d: String): DataFrame = {
+    val target = 4096L
+    val files = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("bytes").desc, col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_files"),
+        (max("bin") + 1).as("n_bins"),
+        sum("bytes").as("total_bytes"))
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("day")
+  }
 }

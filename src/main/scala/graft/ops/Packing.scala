@@ -477,4 +477,78 @@ object Packing {
         expr("((padded_slots - kept_tokens) * 1000000) div padded_slots"))
       .orderBy("policy", "bucket_len")
   }
+
+  /** RAG chunk explosion: every document split into overlapping
+    * token windows (chunk 64, stride 48 → 16-token overlap), the
+    * retrieval-index prep step that turns a document corpus into an
+    * embeddable passage table. Each chunk carries its start offset,
+    * its actual token count (trailing chunks are shorter), and a
+    * content fingerprint — the key a chunk-level dedup or an
+    * embedding cache joins on. Sub-minimum trailing fragments
+    * (< 16 tokens) are dropped unless they are the document's only
+    * chunk, the standard indexing guard against near-empty passages.
+    *
+    * Plan shape for 100 TB: the explode is MAP-SIDE — `sequence` +
+    * `explode` + `slice` run inside the scan projection with no
+    * shuffle anywhere (the output is a pure fan-out of the input
+    * partitioning), so chunking 100 TB is one embarrassingly
+    * parallel pass; fan-out is n_tokens/stride per doc, bounded by
+    * document length, never corpus-sized. */
+  def qRagChunks(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")), lit(48))).as("tok_start"))
+      .withColumn("chunk", slice(col("tk"), col("tok_start"), lit(64)))
+      .withColumn("chunk_tokens", size(col("chunk")).cast("long"))
+      .filter(col("chunk_tokens") >= 16 || col("tok_start") === 1)
+      .select(col("doc_id"), col("tok_start").cast("long").as("tok_start"),
+        col("chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("fp"))
+      .orderBy("doc_id", "tok_start")
+
+  /** Length-bucketed batch assignment: the constructive counterpart
+    * to [[qPadWaste]]'s audit — actually ASSIGN documents to fixed-
+    * size (32-doc) training batches inside power-of-two length
+    * buckets, with a content-stable intra-bucket order (md5 of the
+    * doc id, the q_data_split determinism contract: re-ingestion
+    * never moves a doc to a different batch). Reports per bucket the
+    * batch count and the realized pad waste (each batch pads to ITS
+    * OWN max length — tighter than the bucket ceiling), plus a
+    * `naive` scope row batching the same corpus in content-hash
+    * order with no length bucketing: the two waste_ppm numbers are
+    * the measured value of bucketing on this corpus.
+    *
+    * Plan shape for 100 TB: both policies assign batches WITHIN a
+    * (policy, source) shard — the production layout, where each
+    * ingest shard batches its own documents — so no window is ever a
+    * single global partition; the row_number shuffles on a key whose
+    * cardinality grows with the corpus. Downstream: map-side-
+    * combining aggregates over (scope, source, batch) — fixed-size
+    * groups, no skew by construction. Integer ppm end-to-end. */
+  def qBatchBuckets(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), size(tokens).cast("long").as("n"))
+      .withColumn("ord", md5(concat(lit("batch:"), col("doc_id"))))
+    val bucketed = docs
+      .withColumn("scope", concat(lit("bucket_"), length(bin(col("n")))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("scope", "source").orderBy("ord", "doc_id")))
+    val naive = docs
+      .withColumn("scope", lit("naive"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("scope", "source").orderBy("ord", "doc_id")))
+    bucketed.unionByName(naive)
+      .withColumn("batch", expr("(rn - 1) div 32"))
+      .groupBy("scope", "source", "batch")
+      .agg(count(lit(1)).as("n_docs"), max("n").as("max_n"), sum("n").as("sum_n"))
+      .groupBy("scope")
+      .agg(count(lit(1)).as("n_batches"),
+        sum("n_docs").as("n_docs"),
+        sum("sum_n").as("sum_tokens"),
+        sum(col("n_docs") * col("max_n") - col("sum_n")).as("pad_tokens"))
+      .withColumn("waste_ppm",
+        expr("(pad_tokens * 1000000) div (pad_tokens + sum_tokens)"))
+      .orderBy("scope")
+  }
 }

@@ -1992,4 +1992,175 @@ object Quality {
         expr("CAST(floor(pow(1.0 / n_bands, 1.0 / rows_per_band) * 1000) AS BIGINT)"))
       .orderBy("n_bands", "s_pct")
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between every pair of
+    * sources on the document-length distribution — the CDF-shaped
+    * drift detector that complements [[qKlDrift]] (token-histogram
+    * KL) and q_psi_drift (fixed-bin PSI): KS needs no binning and no
+    * smoothing, and is the standard "did this source's length profile
+    * shift" gate before mixing a new crawl into the corpus.
+    * D = max over x of |F1(x) − F2(x)|, reported in exact ppm via the
+    * integer cross-multiply |cum1·N2 − cum2·N1|·10⁶ div (N1·N2) — no
+    * floating CDF, so the checked surface is integer-exact at any SF
+    * (cum ≤ N ≤ corpus size: the product tops out at N²·10⁶ ≈ 1e22
+    * ppm-scaled only AFTER the div; both operands stay < 2⁶³ for
+    * N ≤ 3e6 per source — documented ceiling, 60× the 10× probe).
+    *
+    * Plan shape for 100 TB: lengths collapse to a (source × distinct
+    * length) grid FIRST — value-domain-bounded, not corpus-sized —
+    * then one window cumsum per source over its own grid rows, a
+    * broadcast of per-source totals, and a grid self-join on length
+    * for the pairwise compare (sources² × |grid|, both dims bounded).
+    * The corpus is scanned exactly once. */
+  def qKsTest(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(spark, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    // every source must have a CDF value at every pooled grid point:
+    // dim×grid enumeration (value-domain-bounded), zero-filled
+    val grid = counts.select("n_chars").distinct()
+    val sources = counts.select("source").distinct()
+    val filled = sources.crossJoin(grid) // dim×grid enumeration (allowlisted)
+      .join(counts, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("n_chars")))
+    val totals = counts.groupBy("source").agg(sum("c").as("n_total"))
+    val cdf = filled.join(broadcast(totals), "source")
+    cdf.as("x").join(cdf.as("y"),
+        col("x.n_chars") === col("y.n_chars") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n_chars").as("n_chars"),
+        abs(col("x.cum") * col("y.n_total") - col("y.cum") * col("x.n_total")).as("dnum"),
+        (col("x.n_total") * col("y.n_total")).as("dden"))
+      .groupBy("source_a", "source_b")
+      .agg(max("dnum").as("dnum"), max("dden").as("dden"))
+      .withColumn("ks_ppm", expr("(dnum * 1000000) div dden"))
+      .select("source_a", "source_b", "ks_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Shard-merged sufficient statistics: the corpus length moments
+    * (n, Σx, Σx²) computed per content-hash shard and then MERGED by
+    * plain addition, proving the merge reproduces the direct global
+    * mean and variance exactly — the algebraic contract every
+    * incremental/streaming stats pipeline rests on (a new shard
+    * arrives → add its sums, never rescan). Mean and variance are
+    * floor-pinned integers from the exact int64 sums:
+    * var = (n·Σx² − (Σx)²) div n² (population form).
+    *
+    * Plan shape for 100 TB: ONE map-side-combining aggregate over
+    * (shard) — 8 groups — then an 8-row rollup; the corpus is scanned
+    * once and nothing but 8 triples ever shuffles. Magnitude ceiling:
+    * n·Σx² < 2⁶³ holds to ~2e9 docs at n_chars ≤ 4e3 (documented;
+    * beyond that the sums stage to DECIMAL(38,0) unchanged in shape). */
+  def qMergeStats(spark: SparkSession, d: String): DataFrame = {
+    val perShard = Tables.documents(spark, d)
+      // content-stable shard: code point of the md5's first hex char
+      // mod 8 — same expression both engines, no base conversion
+      .withColumn("shard",
+        expr("ascii(substr(md5(concat('stats:', doc_id)), 1, 1)) % 8"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("sx"),
+        sum(col("n_chars") * col("n_chars")).cast("long").as("sxx"))
+    val shardRows = perShard
+      .select(concat(lit("shard_"), col("shard")).as("scope"),
+        col("n"), col("sx"), col("sxx"))
+    val merged = perShard
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sxx").as("sxx"))
+      .select(lit("merged").as("scope"), col("n"), col("sx"), col("sxx"))
+    shardRows.unionByName(merged)
+      .withColumn("mean_int", expr("sx div n"))
+      .withColumn("var_int", expr("(n * sxx - sx * sx) div (n * n)"))
+      .orderBy("scope")
+  }
+
+  /** Mann–Whitney U (rank-sum) test between every source pair on the
+    * document-length distribution — the LOCATION-shift drift gate
+    * beside [[qKsTest]]'s shape gate: U/(n_a·n_b) is the probability a
+    * random doc from a is longer than one from b (the AUC / common-
+    * language effect size), robust to outliers where a mean compare is
+    * not. Exact integers throughout via DOUBLED ranks (ties average to
+    * halves, so 2·rank is integral): per pooled value v,
+    * 2R_a += c_a(v)·(2·below(v) + c_a(v) + c_b(v) + 1), then
+    * u2 = 2R_a − n_a(n_a+1) and auc_ppm = u2·10⁶ div (2·n_a·n_b).
+    * Magnitude ceiling: 2R_a ≤ 2·n_a·(n_a+n_b) — int64-safe past 10⁹
+    * docs/source; the ppm numerator u2·10⁶ caps at 2·n_a·n_b·10⁶,
+    * int64-safe to ~2e6 docs/source (documented, 10× the K=10 probe).
+    *
+    * Plan shape for 100 TB: identical to [[qKsTest]] — the corpus
+    * collapses to a (source × distinct-length) grid FIRST, one window
+    * cumsum per source over its own grid rows, then a grid self-join
+    * bounded by sources² × |grid|. One corpus scan. */
+  def qMannWhitney(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(spark, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val grid = counts.select("n_chars").distinct()
+    val sources = counts.select("source").distinct()
+    val filled = sources.crossJoin(grid) // dim×grid enumeration (allowlisted)
+      .join(counts, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("n_chars")))
+    val totals = counts.groupBy("source").agg(sum("c").as("n_total"))
+    val cdf = filled.join(broadcast(totals), "source")
+    cdf.as("x").join(cdf.as("y"),
+        col("x.n_chars") === col("y.n_chars") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n_total").as("na"), col("y.n_total").as("nb"),
+        // pooled count strictly below v + the tie-averaged doubled rank
+        (col("x.c") * (lit(2L) * (col("x.cum") - col("x.c") + col("y.cum") - col("y.c"))
+          + col("x.c") + col("y.c") + 1L)).as("r2part"))
+      .groupBy("source_a", "source_b")
+      .agg(sum("r2part").as("r2a"), max("na").as("na"), max("nb").as("nb"))
+      .withColumn("u2", expr("r2a - na * (na + 1)"))
+      .withColumn("auc_ppm", expr("(u2 * 1000000) div (2 * na * nb)"))
+      .select("source_a", "source_b", "u2", "auc_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Poisson-bootstrap confidence band for the per-source mean doc
+    * length — THE bootstrap that scales: classic resampling needs n
+    * draws per replicate coordinated across the cluster, but for large
+    * n the multinomial resample converges to independent Poisson(1)
+    * counts per row, so every row computes its own 32 replicate
+    * weights from a content hash and the whole bootstrap is ONE
+    * map-side-combined aggregate (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012). Weights are
+    * deterministic: u = first 8 md5 hex chars of ("boot:" r ":" doc_id)
+    * as a 32-bit integer, w = #{thresholds ≤ u} against the Poisson(1)
+    * CDF scaled to 2³² — identical integers on any engine, so the
+    * oracle reproduces the "randomness" exactly. Reports the 2nd/16th/
+    * 31st ordered replicate means (≈ p5/p50/p95 of the bootstrap
+    * distribution) as floor-pinned integers.
+    *
+    * Plan shape for 100 TB: the ×32 fan-out happens INSIDE the scan
+    * projection (explode of a literal range); everything downstream is
+    * a (source × 32)-cell map-side-combining aggregate — no shuffle of
+    * row-level data, one corpus scan, replicate count is a constant. */
+  def qBootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    // Poisson(1) CDF at k=0..5, scaled to 2^32 (w=6 beyond: P < 1e-4)
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+    val reps = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(0), lit(31))).as("r"))
+      .withColumn("u", conv(substring(
+        md5(concat(lit("boot:"), col("r"), lit(":"), col("doc_id"))), 1, 8),
+        16, 10).cast("long"))
+      .withColumn("w",
+        ts.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy("source", "r")
+      .agg(sum("w").as("sw"), sum(col("w") * col("n_chars")).as("swx"))
+      .withColumn("mean_r", expr("swx div greatest(sw, 1)"))
+    reps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("mean_r", "r")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("rn") === 2, col("mean_r"))).as("boot_lo"),
+        max(when(col("rn") === 16, col("mean_r"))).as("boot_med"),
+        max(when(col("rn") === 31, col("mean_r"))).as("boot_hi"))
+      .orderBy("source")
+  }
 }

@@ -812,4 +812,35 @@ class AnalyticsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("spearman: one row per event type, rho in [-1,1], one type replayed from driver-side ranks") {
+    val out = Analytics.qSpearman(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val types = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == types.keySet)
+    out.foreach { case (t, n, rho) =>
+      assert(n == types(t), t)
+      assert(rho.isNaN || (rho >= -1.0 && rho <= 1.0), s"$t rho=$rho")
+    }
+    // replay the smallest type exactly: centered doubled ranks on the driver
+    val t0 = types.minBy(_._2)._1
+    val rows = Tables.events(spark, sfDir).filter(col("event_type") === t0)
+      .select(col("value"), length(col("props")).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    def cranks[A: Ordering](xs: Seq[A]): Seq[Long] = {
+      val n = xs.length.toLong
+      val minRank = xs.map(v => xs.count(implicitly[Ordering[A]].lt(_, v)) + 1L)
+      val ties = xs.map(v => xs.count(_ == v).toLong)
+      minRank.zip(ties).map { case (r, c) => 2 * r + c - 1 - (n + 1) }
+    }
+    val cx = cranks(rows.map(_._1).toSeq); val cy = cranks(rows.map(_._2).toSeq)
+    val sxy = cx.zip(cy).map { case (a, b) => a * b }.sum
+    val sxx = cx.map(a => a * a).sum; val syy = cy.map(a => a * a).sum
+    val want = BigDecimal(sxy.toDouble / (math.sqrt(sxx.toDouble) * math.sqrt(syy.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(_._1 == t0).get._3
+    assert(math.abs(got - want) < 1e-9, s"$t0: $got vs $want")
+  }
 }

@@ -409,4 +409,29 @@ class InventorySpec extends SparkSpec {
     val lo = got.find(_._1 == "lineitem_orders").get
     assert(lo._7 == li && lo._3 == ord && lo._5 == ord && lo._8 == 0L)
   }
+
+  test("compaction plan: per-day bins respect the NFD byte bound and conserve the inventory") {
+    val out = Inventory.qCompactionPlan(spark, sfDir).cache()
+    val target = 4096L
+    // the inventory it plans over: one file per (day, event_type)
+    val files = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+    val expect = files.groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.collect().foreach { r =>
+      val (day, nFiles, nBins, total) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(expect(day) == ((nFiles, total)), day)
+      // bin index = floor(preceding bytes / target): never more bins than
+      // files, never more than total/target + 1, and at least ceil(total/target)
+      // bins cannot be beaten when every file <= target... but files may
+      // exceed target, so the sound lower bound is 1
+      assert(nBins >= 1 && nBins <= nFiles, day)
+      assert(nBins <= total / target + 1, day)
+    }
+    assert(out.count() == expect.size)
+    out.unpersist()
+  }
 }

@@ -288,4 +288,47 @@ class PackingSpec extends SparkSpec {
     assert(rows.keys.count(_._1 == "fixed_128") == 1)
     assert(rows(("fixed_128", 128L))._1 == ns.length.toLong)
   }
+
+  test("rag chunks: stride-48 starts, 64-cap sizes, full token coverage per doc") {
+    val out = Packing.qRagChunks(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n"))
+    // every doc contributes a tok_start=1 chunk (even sub-minimum ones)
+    assert(out.filter(col("tok_start") === 1).count() == docs.count())
+    // sizes: capped at 64; sub-16 only allowed at tok_start=1
+    assert(out.filter(col("chunk_tokens") > 64).count() == 0)
+    assert(out.filter(col("chunk_tokens") < 16 && col("tok_start") =!= 1).count() == 0)
+    // starts are the arithmetic grid 1 + 48k
+    assert(out.filter((col("tok_start") - 1) % 48 =!= 0).count() == 0)
+    // coverage is exact: the furthest kept chunk ends at the doc's last token
+    val cover = out.groupBy("doc_id")
+      .agg(max(col("tok_start") + col("chunk_tokens") - 1).as("covered"))
+      .join(docs, "doc_id")
+    assert(cover.filter(col("covered") =!= col("n")).count() == 0)
+    out.unpersist()
+  }
+
+  test("batch buckets: both policies cover the corpus once; accounting is internally consistent") {
+    val out = Packing.qBatchBuckets(spark, sfDir).cache()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // the naive scope holds every doc; the bucket_* scopes partition the same corpus
+    assert(rows("naive")._2 == nDocs)
+    assert(rows.filter(_._1 != "naive").values.map(_._2).sum == nDocs)
+    // token mass conserved across policies
+    val bucketTokens = rows.filter(_._1 != "naive").values.map(_._3).sum
+    assert(bucketTokens == rows("naive")._3)
+    rows.foreach { case (scope, (nb, nd, st, pad, ppm)) =>
+      assert(nb >= 1 && pad >= 0, scope)
+      // waste_ppm is the integer-div image of pad/(pad+tokens)
+      assert(ppm == pad * 1000000L / (pad + st), scope)
+      // each batch holds at most 32 docs
+      assert(nd <= nb * 32, scope)
+    }
+    // bucketing strictly reduces aggregate padding on this corpus
+    val bucketPad = rows.filter(_._1 != "naive").values.map(_._4).sum
+    assert(bucketPad < rows("naive")._4)
+    out.unpersist()
+  }
 }

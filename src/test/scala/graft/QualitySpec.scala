@@ -1117,4 +1117,127 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(j * 1000000L - jppm) <= 100)
     }
   }
+
+  test("ks test: one row per unordered source pair, D in [0, 1e6] ppm, zero iff identical CDFs") {
+    val out = Quality.qKsTest(spark, sfDir).cache()
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    val k = sources.length.toLong
+    assert(out.count() == k * (k - 1) / 2)
+    // pairs are ordered a < b, each exactly once
+    assert(out.filter(col("source_a") >= col("source_b")).count() == 0)
+    assert(out.select("source_a", "source_b").distinct().count() == k * (k - 1) / 2)
+    assert(out.filter(col("ks_ppm") < 0 || col("ks_ppm") > 1000000L).count() == 0)
+    // replay one pair from first principles on the driver (dim-bounded)
+    val Array(sa, sb) = sources.take(2)
+    val lens = Tables.documents(spark, sfDir)
+      .filter(col("source").isin(sa, sb))
+      .groupBy("source", "n_chars").count()
+      .select(col("source"), col("n_chars").cast("long"), col("count"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def cdf(s: String) = {
+      val m = lens.filter(_._1 == s).map(t => t._2 -> t._3).toMap
+      val total = m.values.sum
+      (m, total)
+    }
+    val (ma, na) = cdf(sa); val (mb, nb) = cdf(sb)
+    val grid = (ma.keySet ++ mb.keySet).toSeq.sorted
+    var (ca, cb, best) = (0L, 0L, 0L)
+    grid.foreach { x =>
+      ca += ma.getOrElse(x, 0L); cb += mb.getOrElse(x, 0L)
+      best = math.max(best, math.abs(ca * nb - cb * na))
+    }
+    val want = best * 1000000L / (na * nb)
+    val got = out.filter(col("source_a") === sa && col("source_b") === sb)
+      .select("ks_ppm").collect().head.getLong(0)
+    assert(got == want, s"$sa vs $sb")
+    out.unpersist()
+  }
+
+  test("merge stats: shard sums add to the merged row; merged matches a direct global scan") {
+    val out = Quality.qMergeStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val shards = out.filter(_._1 != "merged").values
+    val merged = out("merged")
+    assert(shards.map(_._1).sum == merged._1)
+    assert(shards.map(_._2).sum == merged._2)
+    assert(shards.map(_._3).sum == merged._3)
+    // merged n is the corpus size; direct global moments agree
+    val direct = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), sum("n_chars"), sum(col("n_chars") * col("n_chars")))
+      .collect().head
+    assert(merged._1 == direct.getLong(0) && merged._2 == direct.getLong(1) &&
+      merged._3 == direct.getLong(2))
+    // mean/var are the floor images of the exact sums; var nonnegative
+    out.foreach { case (scope, (n, sx, sxx, mean, v)) =>
+      assert(mean == sx / n, scope)
+      assert(v == (n * sxx - sx * sx) / (n * n) && v >= 0, scope)
+    }
+  }
+
+  test("mann-whitney: U bounds and AUC ppm hold; one pair replayed from driver-side ranks") {
+    val out = Quality.qMannWhitney(spark, sfDir).cache()
+    val totals = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = totals.size.toLong
+    assert(out.count() == k * (k - 1) / 2)
+    out.collect().foreach { r =>
+      val (a, b, u2, auc) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      // 0 <= U <= na*nb, doubled; AUC is its ppm image
+      assert(u2 >= 0 && u2 <= 2 * totals(a) * totals(b), s"$a/$b")
+      assert(auc == u2 * 1000000L / (2 * totals(a) * totals(b)), s"$a/$b")
+    }
+    // replay one pair: U_a = #{(i,j): x_i > y_j} + #ties/2, doubled
+    val Seq(sa, sb) = totals.keys.toSeq.sorted.take(2)
+    val xs = Tables.documents(spark, sfDir).filter(col("source") === sa)
+      .select(col("n_chars").cast("long")).collect().map(_.getLong(0))
+    val ys = Tables.documents(spark, sfDir).filter(col("source") === sb)
+      .select(col("n_chars").cast("long")).collect().map(_.getLong(0))
+    val u2want = xs.map(x => 2L * ys.count(x > _) + ys.count(x == _)).sum
+    val got = out.filter(col("source_a") === sa && col("source_b") === sb)
+      .select("u2").collect().head.getLong(0)
+    assert(got == u2want, s"$sa vs $sb")
+    out.unpersist()
+  }
+
+  test("bootstrap ci: 32 deterministic replicates per source, ordered band, weights replayed") {
+    val out = Quality.qBootstrapCi(spark, sfDir).cache()
+    val ranges = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(min("n_chars").cast("long"), max("n_chars").cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.count() == ranges.size)
+    out.collect().foreach { r =>
+      val (s, nr, lo, med, hi) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nr == 32, s)
+      assert(lo <= med && med <= hi, s)
+      // every replicate mean is a weighted mean of in-range lengths
+      assert(lo >= ranges(s)._1 && hi <= ranges(s)._2, s)
+    }
+    // determinism: the hash-derived weights make the whole result pure
+    assert(Quality.qBootstrapCi(spark, sfDir).exceptAll(out).count() == 0)
+    // replay one (source, replicate) cell weight from MessageDigest
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s0 = docs.head._2
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+    def weight(r: Int, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"boot:$r:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16)
+      ts.count(u >= _).toLong
+    }
+    val cell = docs.filter(_._2 == s0)
+    val means = (0 until 32).map { r =>
+      val sw = cell.map(d => weight(r, d._1)).sum
+      val swx = cell.map(d => weight(r, d._1) * d._3).sum
+      swx / math.max(sw, 1L)
+    }.sorted
+    val row = out.filter(col("source") === s0).collect().head
+    assert(row.getLong(2) == means(1) && row.getLong(4) == means(30), s0)
+    out.unpersist()
+  }
 }

@@ -347,4 +347,19 @@ class SinkSourceSpec extends SparkSpec {
     val ((a, b), n) = pairs.head
     assert(n == (kept(a) intersect kept(b)).size.toLong)
   }
+
+  test("binary ingest: binaryFile scan round-trips the landed objects byte-exactly") {
+    val out = graft.ops.Multimodal.qBinaryIngest(spark, sfDir).cache()
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("content_md5"))
+    // one row per landed object, every column reproduced from the source text
+    assert(out.count() == want.count() && out.count() > 0)
+    assert(out.exceptAll(want).count() == 0)
+    // idempotent: a second call scans the same landed artifact (write-once)
+    assert(graft.ops.Multimodal.qBinaryIngest(spark, sfDir).exceptAll(out).count() == 0)
+    out.unpersist()
+  }
 }
