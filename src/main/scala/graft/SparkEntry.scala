@@ -321,6 +321,7 @@ object SparkEntry {
     "q_mannwhitney" -> (Quality.qMannWhitney _),
     "q_bootstrap_ci" -> (Quality.qBootstrapCi _),
     "q_spearman" -> (Analytics.qSpearman _),
+    "q_bpe_merge" -> (Quality.qBpeMerge _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -5780,6 +5781,33 @@ object SparkEntry {
         |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
         |  END, 6) AS spearman
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_bpe_merge" ->
+      """WITH w AS (
+        |  SELECT source, word, count(*) AS n FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY source, word),
+        |g AS (
+        |  SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w GROUP BY word),
+        |p AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM g WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |a AS (
+        |  SELECT w.source, p.pair,
+        |    CAST(sum(w.n * length(w.word)) AS BIGINT) AS tokens_before,
+        |    CAST(sum(w.n * ((length(w.word)
+        |      - length(replace(w.word, p.pair, ''))) // 2)) AS BIGINT) AS merges
+        |  FROM w CROSS JOIN p GROUP BY 1, 2)
+        |SELECT source, pair, tokens_before, merges,
+        |  tokens_before - merges AS tokens_after,
+        |  (merges * 1000000) // greatest(tokens_before, 1) AS saved_ppm
+        |FROM a ORDER BY source""".stripMargin,
   )
 
   /** Two unrolled Lloyd rounds + final assignment (see

@@ -2163,4 +2163,48 @@ object Quality {
         max(when(col("rn") === 31, col("mean_r"))).as("boot_hi"))
       .orderBy("source")
   }
+
+  /** One BPE training round APPLIED: pick the globally most frequent
+    * character pair (the [[qBpePairs]] table's head — count desc, pair
+    * asc tiebreak) and merge its non-overlapping leftmost occurrences
+    * in every vocabulary word, reporting the realized per-source token
+    * compression — the constructive half of the tokenizer story
+    * (qBpePairs counts candidates; this prices the winning merge).
+    * Merges per word = (len − len(replace(word, pair, ''))) / 2, exact
+    * because each occurrence removes exactly 2 chars; `replace` is
+    * leftmost non-overlapping on both engines (Java String semantics),
+    * which IS BPE's within-round application order.
+    *
+    * Plan shape for 100 TB: the corpus collapses to a per-(source,
+    * word) VOCABULARY first — the only corpus-sized pass; the pair
+    * table is vocabulary-sized, the winning pair is a 1-row broadcast
+    * crossed back over the vocabulary, and the report is |sources|
+    * rows. A full BPE training loop is this plan iterated with the
+    * vocabulary kept persisted; one round is the oracle-checkable
+    * unit. */
+  def qBpeMerge(spark: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(spark, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    val top = words.groupBy("word").agg(sum("n").as("wn"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wn").as("pc"))
+      .orderBy(col("pc").desc, col("pair")).limit(1)
+      .select("pair")
+    words.crossJoin(broadcast(top)) // 1-row winning-pair broadcast (allowlisted)
+      .withColumn("occ",
+        expr("(length(word) - length(replace(word, pair, ''))) div 2"))
+      .groupBy("source", "pair")
+      .agg(sum(col("n") * length(col("word"))).cast("long").as("tokens_before"),
+        sum(col("n") * col("occ")).cast("long").as("merges"))
+      .withColumn("tokens_after", expr("tokens_before - merges"))
+      .withColumn("saved_ppm",
+        expr("(merges * 1000000) div greatest(tokens_before, 1)"))
+      .select("source", "pair", "tokens_before", "merges", "tokens_after", "saved_ppm")
+      .orderBy("source")
+  }
 }

@@ -94,7 +94,10 @@ class PlanQualitySpec extends SparkSpec {
     "q_temporal_split",    // 1-row cutoff + 1-row event totals broadcast
     "q_woe_encode",        // 1-row label totals broadcast
     "q_assortativity",     // 1-row order total broadcast (lift-edge filter)
-    "q_daily_close")       // |users| × observed-day-grid enumeration
+    "q_daily_close",       // |users| × observed-day-grid enumeration
+    "q_ks_test",           // |sources| × distinct-length grid enumeration (CDF zero-fill)
+    "q_mannwhitney",       // |sources| × distinct-length grid enumeration (rank zero-fill)
+    "q_bpe_merge")         // 1-row winning-pair broadcast over the vocabulary
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1240,4 +1240,30 @@ class QualitySpec extends SparkSpec {
     assert(row.getLong(2) == means(1) && row.getLong(4) == means(30), s0)
     out.unpersist()
   }
+
+  test("bpe merge: the winning pair is qBpePairs' head; one source's merge count replayed") {
+    val out = Quality.qBpeMerge(spark, sfDir).cache()
+    val topPair = Quality.qBpePairs(spark, sfDir).select("pair")
+      .collect().head.getString(0)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.forall(_._2 == topPair))
+    rows.foreach { case (s, _, before, merges, after, ppm) =>
+      assert(after == before - merges && merges >= 0 && merges * 2 <= before, s)
+      assert(ppm == merges * 1000000L / math.max(before, 1L), s)
+    }
+    // replay one source on the driver: java String.replace IS the
+    // leftmost non-overlapping merge order both engines implement
+    val s0 = rows.head._1
+    val texts = Tables.documents(spark, sfDir).filter(col("source") === s0)
+      .select("text").collect().map(_.getString(0))
+    var (before, merges) = (0L, 0L)
+    texts.flatMap(_.toLowerCase.split("[^a-z]+")).filter(_.nonEmpty).foreach { w =>
+      before += w.length
+      merges += (w.length - w.replace(topPair, "").length) / 2
+    }
+    val got = rows.find(_._1 == s0).get
+    assert(got._3 == before && got._4 == merges, s0)
+    out.unpersist()
+  }
 }
