@@ -527,9 +527,14 @@ object Packing {
     * combining aggregates over (scope, source, batch) — fixed-size
     * groups, no skew by construction. Integer ppm end-to-end. */
   def qBatchBuckets(spark: SparkSession, d: String): DataFrame = {
+    // persisted: both policy branches batch the same docs — the cache
+    // holds only 4 narrow columns (text is dropped at the projection),
+    // so ONE text scan feeds both windows instead of two (callers own
+    // clearCache — SURVEY §7 cache contract)
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), size(tokens).cast("long").as("n"))
       .withColumn("ord", md5(concat(lit("batch:"), col("doc_id"))))
+      .persist()
     val bucketed = docs
       .withColumn("scope", concat(lit("bucket_"), length(bin(col("n")))))
       .withColumn("rn", row_number().over(

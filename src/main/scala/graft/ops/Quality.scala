@@ -2013,8 +2013,13 @@ object Quality {
     * for the pairwise compare (sources² × |grid|, both dims bounded).
     * The corpus is scanned exactly once. */
   def qKsTest(spark: SparkSession, d: String): DataFrame = {
+    // persisted: 4 consumers (grid, sources, totals, filled) would each
+    // rescan the corpus otherwise; counts is (sources × distinct
+    // lengths)-bounded, so the cache is value-domain-sized, never
+    // corpus-sized (callers own clearCache — SURVEY §7 cache contract)
     val counts = Tables.documents(spark, d)
       .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .persist()
     // every source must have a CDF value at every pooled grid point:
     // dim×grid enumeration (value-domain-bounded), zero-filled
     val grid = counts.select("n_chars").distinct()
@@ -2063,6 +2068,9 @@ object Quality {
       .agg(count(lit(1)).as("n"),
         sum("n_chars").cast("long").as("sx"),
         sum(col("n_chars") * col("n_chars")).cast("long").as("sxx"))
+      // persisted: the 8-row aggregate feeds both the shard rows and
+      // the merged rollup — one corpus scan, not two
+      .persist()
     val shardRows = perShard
       .select(concat(lit("shard_"), col("shard")).as("scope"),
         col("n"), col("sx"), col("sxx"))
@@ -2093,8 +2101,11 @@ object Quality {
     * cumsum per source over its own grid rows, then a grid self-join
     * bounded by sources² × |grid|. One corpus scan. */
   def qMannWhitney(spark: SparkSession, d: String): DataFrame = {
+    // persisted for the same 4-consumer reason as qKsTest: one corpus
+    // scan builds the value-domain-bounded counts table
     val counts = Tables.documents(spark, d)
       .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .persist()
     val grid = counts.select("n_chars").distinct()
     val sources = counts.select("source").distinct()
     val filled = sources.crossJoin(grid) // dim×grid enumeration (allowlisted)
@@ -2183,11 +2194,15 @@ object Quality {
     * vocabulary kept persisted; one round is the oracle-checkable
     * unit. */
   def qBpeMerge(spark: SparkSession, d: String): DataFrame = {
+    // persisted: both the pair pick and the merge application read the
+    // vocabulary — without the cache each would rescan + re-tokenize
+    // the corpus (callers own clearCache — SURVEY §7 cache contract)
     val words = Tables.documents(spark, d)
       .select(col("source"),
         explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .persist()
     val top = words.groupBy("word").agg(sum("n").as("wn"))
       .filter(length(col("word")) >= 2)
       .select(col("wn"), explode(expr(
