@@ -322,6 +322,7 @@ object SparkEntry {
     "q_bootstrap_ci" -> (Quality.qBootstrapCi _),
     "q_spearman" -> (Analytics.qSpearman _),
     "q_bpe_merge" -> (Quality.qBpeMerge _),
+    "q_js_divergence" -> (Quality.qJsDivergence _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -5808,6 +5809,43 @@ object SparkEntry {
         |  tokens_before - merges AS tokens_after,
         |  (merges * 1000000) // greatest(tokens_before, 1) AS saved_ppm
         |FROM a ORDER BY source""".stripMargin,
+
+    "q_js_divergence" ->
+      """WITH tf AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |stc AS (SELECT source, term, count(*) AS c FROM tf GROUP BY 1, 2),
+        |corpus AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM stc GROUP BY term
+        |  ORDER BY cc DESC, term LIMIT 100),
+        |grid AS (
+        |  SELECT s.source, t.term
+        |  FROM (SELECT DISTINCT source FROM documents) s, corpus t),
+        |j AS (
+        |  SELECT g.source, g.term, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN stc c ON g.source = c.source AND g.term = c.term),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns, count(*) AS n_univ
+        |        FROM j GROUP BY source),
+        |side AS (
+        |  SELECT j.source, j.term, j.c, t.ns, t.n_univ
+        |  FROM j JOIN tot t ON j.source = t.source)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  CAST(sum(CAST(
+        |    0.5 * (CAST(x.c + 1 AS DOUBLE) / (x.ns + x.n_univ))
+        |      * ln((CAST(x.c + 1 AS DOUBLE) / (x.ns + x.n_univ))
+        |            / ((CAST(x.c + 1 AS DOUBLE) / (x.ns + x.n_univ)
+        |                + CAST(y.c + 1 AS DOUBLE) / (y.ns + y.n_univ))
+        |               / CAST(2 AS DOUBLE)))
+        |    + 0.5 * (CAST(y.c + 1 AS DOUBLE) / (y.ns + y.n_univ))
+        |      * ln((CAST(y.c + 1 AS DOUBLE) / (y.ns + y.n_univ))
+        |            / ((CAST(x.c + 1 AS DOUBLE) / (x.ns + x.n_univ)
+        |                + CAST(y.c + 1 AS DOUBLE) / (y.ns + y.n_univ))
+        |               / CAST(2 AS DOUBLE)))
+        |  AS DECIMAL(18,12))) AS DOUBLE) AS js_nats
+        |FROM side x JOIN side y
+        |  ON x.term = y.term AND x.source < y.source
+        |GROUP BY x.source, y.source
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 
   /** Two unrolled Lloyd rounds + final assignment (see

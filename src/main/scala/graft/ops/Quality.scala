@@ -2175,6 +2175,57 @@ object Quality {
       .orderBy("source")
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions over the corpus top-100 vocabulary — the SYMMETRIC,
+    * BOUNDED (≤ ln 2) member that completes the drift family: KL
+    * ([[qKlDrift]]) is asymmetric and unbounded, PSI needs fixed bins,
+    * KS/Mann–Whitney see only the length axis, χ² only categories.
+    * JS(a,b) = ½Σp·ln(p/m) + ½Σq·ln(q/m) with m=(p+q)/2, add-1
+    * smoothing over the shared 100-term universe — qKlDrift's exact
+    * smoothing recipe, so the two scores are comparable. Per-term
+    * doubles are IEEE-identical on both engines over exact integer
+    * inputs; the SUM is order-pinned by casting each term to
+    * DECIMAL(18,12) before summing (decimal addition is exact and
+    * commutative — float summation order is the cross-engine trap).
+    *
+    * Plan shape for 100 TB: the corpus collapses to (source, term)
+    * counts once (persisted, value-domain-bounded); the top-100 pick,
+    * grid zero-fill, and sources²×100 pair join are all vocabulary-
+    * sized. One corpus scan. */
+  def qJsDivergence(spark: SparkSession, d: String): DataFrame = {
+    val stc = Tables.documentsSpread(spark, d)
+      .select(col("source"), explode(expr(toks)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .persist() // top-100 rollup + grid join share it (callers clearCache)
+    val top = stc.groupBy("term").agg(sum("c").cast("long").as("cc"))
+      .orderBy(col("cc").desc, col("term")).limit(100)
+    val grid = stc.select("source").distinct()
+      .crossJoin(broadcast(top.select("term"))) // |sources|×100 enumeration (allowlisted)
+    val filled = grid.join(stc, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), coalesce(col("c"), lit(0L)).as("c"))
+    val ns = filled.groupBy("source")
+      .agg(sum("c").cast("long").as("ns"), count(lit(1)).as("n_univ"))
+    val side = filled.join(broadcast(ns), "source")
+    val a = side.select(col("source").as("source_a"), col("term"),
+      col("c").as("ca"), col("ns").as("na"), col("n_univ").as("ua"))
+    val b = side.select(col("source").as("source_b"), col("term"),
+      col("c").as("cb"), col("ns").as("nb"), col("n_univ").as("ub"))
+    a.join(b, Seq("term")).filter(col("source_a") < col("source_b"))
+      .withColumn("term_js", expr(
+        """0.5 * (CAST(ca + 1 AS DOUBLE) / (na + ua))
+          |  * ln((CAST(ca + 1 AS DOUBLE) / (na + ua))
+          |        / ((CAST(ca + 1 AS DOUBLE) / (na + ua)
+          |            + CAST(cb + 1 AS DOUBLE) / (nb + ub)) / CAST(2 AS DOUBLE)))
+          |+ 0.5 * (CAST(cb + 1 AS DOUBLE) / (nb + ub))
+          |  * ln((CAST(cb + 1 AS DOUBLE) / (nb + ub))
+          |        / ((CAST(ca + 1 AS DOUBLE) / (na + ua)
+          |            + CAST(cb + 1 AS DOUBLE) / (nb + ub)) / CAST(2 AS DOUBLE)))"""
+          .stripMargin))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("term_js").cast("decimal(18,12)")).cast("double").as("js_nats"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** One BPE training round APPLIED: pick the globally most frequent
     * character pair (the [[qBpePairs]] table's head — count desc, pair
     * asc tiebreak) and merge its non-overlapping leftmost occurrences

@@ -97,7 +97,8 @@ class PlanQualitySpec extends SparkSpec {
     "q_daily_close",       // |users| × observed-day-grid enumeration
     "q_ks_test",           // |sources| × distinct-length grid enumeration (CDF zero-fill)
     "q_mannwhitney",       // |sources| × distinct-length grid enumeration (rank zero-fill)
-    "q_bpe_merge")         // 1-row winning-pair broadcast over the vocabulary
+    "q_bpe_merge",         // 1-row winning-pair broadcast over the vocabulary
+    "q_js_divergence")     // |sources| × top-100 vocab grid enumeration (zero-fill)
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1241,6 +1241,47 @@ class QualitySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("js divergence: C(k,2) pairs bounded by ln 2; one pair replayed with decimal-pinned summation") {
+    val out = Quality.qJsDivergence(spark, sfDir).cache()
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    val k = sources.length.toLong
+    assert(out.count() == k * (k - 1) / 2)
+    out.collect().foreach { r =>
+      val js = r.getDouble(2)
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"${r.getString(0)}/${r.getString(1)}: $js")
+    }
+    // replay one pair from first principles: same top-100 universe,
+    // add-1 smoothing, per-term doubles, DECIMAL(18,12)-pinned sum
+    val termCounts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy("source", "term").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val top = termCounts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(100).map(_._1)
+    val Array(sa, sb) = sources.take(2)
+    def cnt(s: String) = {
+      val m = termCounts.filter(_._1 == s).map(t => t._2 -> t._3).toMap
+      top.map(t => m.getOrElse(t, 0L))
+    }
+    val (ca, cb) = (cnt(sa), cnt(sb))
+    // the universe is min(|vocab|, 100) terms — tiny fixtures have <100
+    val u = top.size.toLong
+    val (na, nb) = (ca.sum + u, cb.sum + u)
+    val terms = ca.zip(cb).map { case (x, y) =>
+      val p = (x + 1).toDouble / na; val q = (y + 1).toDouble / nb
+      val m = (p + q) / 2.0
+      0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    }
+    val want = terms.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val got = out.filter(col("source_a") === sa && col("source_b") === sb)
+      .collect().head.getDouble(2)
+    assert(math.abs(got - want) < 1e-12, s"$sa vs $sb: $got vs $want")
+    out.unpersist()
+  }
+
   test("bpe merge: the winning pair is qBpePairs' head; one source's merge count replayed") {
     val out = Quality.qBpeMerge(spark, sfDir).cache()
     val topPair = Quality.qBpePairs(spark, sfDir).select("pair")
