@@ -136,9 +136,69 @@ class SqlSurfaceSpec extends SparkSpec {
         |  GROUP BY c_custkey)
         |SELECT c_count, count(*) AS custdist
         |FROM co GROUP BY c_count
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_merge_stats" ->
+      """WITH s AS (
+        |  SELECT ascii(substr(md5(concat('stats:', doc_id)), 1, 1)) % 8 AS shard,
+        |    count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY shard),
+        |u AS (
+        |  SELECT concat('shard_', shard) AS scope, n, sx, sxx FROM s
+        |  UNION ALL
+        |  SELECT 'merged', CAST(sum(n) AS BIGINT), CAST(sum(sx) AS BIGINT),
+        |    CAST(sum(sxx) AS BIGINT) FROM s)
+        |SELECT scope, n, sx, sxx, sx div n AS mean_int,
+        |  (n * sxx - sx * sx) div (n * n) AS var_int
+        |FROM u ORDER BY scope""".stripMargin,
+    "q_ks_test" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents
+        |  GROUP BY source, n_chars),
+        |filled AS (
+        |  SELECT s.source, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN (SELECT DISTINCT n_chars FROM documents) g
+        |  LEFT JOIN c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cdf AS (
+        |  SELECT f.source, f.n_chars,
+        |    sum(f.c) OVER (PARTITION BY f.source ORDER BY f.n_chars) AS cum,
+        |    t.n_total
+        |  FROM filled f
+        |  JOIN (SELECT source, count(*) AS n_total FROM documents
+        |        GROUP BY source) t ON f.source = t.source)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  (max(abs(x.cum * y.n_total - y.cum * x.n_total)) * 1000000)
+        |    div (max(x.n_total) * max(y.n_total)) AS ks_ppm
+        |FROM cdf x JOIN cdf y
+        |  ON x.n_chars = y.n_chars AND x.source < y.source
+        |GROUP BY x.source, y.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT event_type, value, CAST(length(props) AS BIGINT) AS plen
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1
+        |      - (count(*) OVER (PARTITION BY event_type) + 1) AS cx,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY plen)
+        |      + count(*) OVER (PARTITION BY event_type, plen) - 1
+        |      - (count(*) OVER (PARTITION BY event_type) + 1) AS cy
+        |  FROM b),
+        |a AS (
+        |  SELECT event_type, count(*) AS n, sum(cx * cy) AS sxy,
+        |    sum(cx * cx) AS sxx, sum(cy * cy) AS syy
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |    ELSE CAST(sxy AS DOUBLE)
+        |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |  END, 6) AS spearman
+        |FROM a ORDER BY event_type""".stripMargin)
 
-  test("SQL-surface parity: 12 declared queries return identical rows through plain SQL") {
+  test("SQL-surface parity: 15 declared queries return identical rows through plain SQL") {
     Tables.createViews(spark, sfDir)
     graft.functions.GraftFunctions.register(spark)
     sqlMirrors.foreach { case (name, sqlText) =>
