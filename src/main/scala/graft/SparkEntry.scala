@@ -38,6 +38,7 @@ object SparkEntry {
     "q_asof_nearest" -> (Acquisition.qAsofNearest _),
     "q_asof_window" -> (Acquisition.qAsofWindow _),
     "q_asof_dim_enrich" -> (Acquisition.qAsofDimEnrich _),
+    "q_asof_stream_twin" -> (Acquisition.qAsofStreamTwin _),
     "q_range_join" -> (Acquisition.qRangeJoin _),
     "q_completeness" -> (Acquisition.qCompleteness _),
     "q_skew_join_salted" -> (Acquisition.qSkewJoinSalted _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "q_bootstrap_ci" -> (Quality.qBootstrapCi _),
     "q_spearman" -> (Analytics.qSpearman _),
     "q_bpe_merge" -> (Quality.qBpeMerge _),
+    "q_bpe_train3" -> (Quality.qBpeTrain3 _),
     "q_js_divergence" -> (Quality.qJsDivergence _),
   )
 
@@ -500,6 +502,35 @@ object SparkEntry {
         |    AND h.eff_from <= CAST(e.ts AS TIMESTAMP))
         |SELECT event_id, eff_from, CAST(n_day AS BIGINT) AS dim_n_day
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Stream-stream as-of batch twin: union-and-carry formulation —
+    // at equal ts rights sort before lefts (inclusive <=) and equal-ts
+    // rights sort by id asc so the larger id is carried last (the
+    // processor's (ts, id) tiebreak).
+    "q_asof_stream_twin" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id,
+        |    NULL::BIGINT AS rid, NULL::DOUBLE AS rval FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, event_id, value FROM r),
+        |c AS (
+        |  SELECT user_id, ts, side, event_id,
+        |    last_value(rid IGNORE NULLS) OVER w AS right_id,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER w AS right_ts,
+        |    last_value(rval IGNORE NULLS) OVER w AS right_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, side, coalesce(rid, event_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id AS key, event_id AS left_id, epoch_ms(ts) AS left_ms,
+        |  right_id, epoch_ms(right_ts) AS right_ms, right_value
+        |FROM c WHERE side = 1 ORDER BY key, left_id""".stripMargin,
 
     // Expected grid = distinct channels × distinct days; missing slots
     // surface as n_landed = 0 rows, never as absent rows.
@@ -5809,6 +5840,84 @@ object SparkEntry {
         |  tokens_before - merges AS tokens_after,
         |  (merges * 1000000) // greatest(tokens_before, 1) AS saved_ppm
         |FROM a ORDER BY source""".stripMargin,
+
+    // Three iterated BPE rounds, unrolled: each round re-picks the top
+    // adjacent symbol pair over the CURRENT vocabulary and rewrites it
+    // to a fresh marker char — same pick/apply recipe as q_bpe_merge.
+    "q_bpe_train3" ->
+      """WITH w0 AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY source, word),
+        |p1 AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM (SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w0 GROUP BY word)
+        |      WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |w1 AS (
+        |  SELECT source, word, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT source, replace(word, (SELECT pair FROM p1), '0') AS word, n
+        |    FROM w0)
+        |  GROUP BY source, word),
+        |p2 AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM (SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w1 GROUP BY word)
+        |      WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |w2 AS (
+        |  SELECT source, word, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT source, replace(word, (SELECT pair FROM p2), '1') AS word, n
+        |    FROM w1)
+        |  GROUP BY source, word),
+        |p3 AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM (SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w2 GROUP BY word)
+        |      WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |w3 AS (
+        |  SELECT source, word, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT source, replace(word, (SELECT pair FROM p3), '2') AS word, n
+        |    FROM w2)
+        |  GROUP BY source, word),
+        |t0 AS (SELECT source, CAST(sum(n * length(word)) AS BIGINT) AS t
+        |       FROM w0 GROUP BY source),
+        |t1 AS (SELECT source, CAST(sum(n * length(word)) AS BIGINT) AS t
+        |       FROM w1 GROUP BY source),
+        |t2 AS (SELECT source, CAST(sum(n * length(word)) AS BIGINT) AS t
+        |       FROM w2 GROUP BY source),
+        |t3 AS (SELECT source, CAST(sum(n * length(word)) AS BIGINT) AS t
+        |       FROM w3 GROUP BY source)
+        |SELECT source, round, pair, tokens_before, tokens_after,
+        |  tokens_before - tokens_after AS merges,
+        |  ((tokens_before - tokens_after) * 1000000)
+        |    // greatest(tokens_before, 1) AS saved_ppm
+        |FROM (
+        |  SELECT t0.source, CAST(1 AS BIGINT) AS round,
+        |    (SELECT pair FROM p1) AS pair,
+        |    t0.t AS tokens_before, t1.t AS tokens_after
+        |  FROM t0 JOIN t1 USING (source)
+        |  UNION ALL
+        |  SELECT t1.source, CAST(2 AS BIGINT), (SELECT pair FROM p2),
+        |    t1.t, t2.t
+        |  FROM t1 JOIN t2 USING (source)
+        |  UNION ALL
+        |  SELECT t2.source, CAST(3 AS BIGINT), (SELECT pair FROM p3),
+        |    t2.t, t3.t
+        |  FROM t2 JOIN t3 USING (source))
+        |ORDER BY source, round""".stripMargin,
 
     "q_js_divergence" ->
       """WITH tf AS (

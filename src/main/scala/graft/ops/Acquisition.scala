@@ -234,6 +234,29 @@ object Acquisition {
       .orderBy("event_id")
   }
 
+  /** The stream-stream as-of's declared BATCH TWIN: click events
+    * (left probes) enriched with the latest purchase event (right
+    * versions) of the same user at-or-before the click — exactly
+    * [[graft.streaming.Streams.asofCorrelate]]'s semantics and output
+    * shape, expressed through [[graft.streaming.Streams.asofBatchTwin]]
+    * so the oracle gate and the streaming adversarial-chop spec
+    * (StreamingSpec) pin the same form from both sides: stream ≡ this
+    * declared batch query ≡ DuckDB.
+    *
+    * Plan shape for 100 TB: one co-partitioned as-of merge on user_id
+    * (graft's AsOfJoinExec — sort each side once, two-pointer merge,
+    * one buffered right row of state per key); both sides prune to
+    * their event-type partition at the scan. */
+  def qAsofStreamTwin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    graft.streaming.Streams.asofBatchTwin(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+      .orderBy("key", "left_id")
+  }
+
   /** E8 (native, merge path pinned): [[qAsofNative]] with the
     * broadcast hint forced OFF, so the driver's oracle gate exercises
     * the co-partitioned sort-merge exec too — at real scale orders is

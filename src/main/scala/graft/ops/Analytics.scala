@@ -1184,8 +1184,11 @@ object Analytics {
     * 2·rank() + tiecount − 1 via two windows per axis, then Spearman
     * is Pearson over the doubled ranks with EXACT int64 moment sums —
     * only the final ratio is floating (rounded to 6dp, the qCorrGroup
-    * pin). Magnitude ceiling: Σ(2r)² ≤ 4n³ — int64-safe to n ≈ 1.3e6
-    * rows per group (documented; ~10× the K=10 probe's largest type).
+    * pin). Magnitude ceiling: the doubled ranks are CENTERED by their
+    * exact group mean (see inline comment), so every moment sum is
+    * ≤ n³/3 — int64-safe to n ≈ 3e6 rows per group (~20× the K=10
+    * probe's largest type); past that, stage per-group scaling of the
+    * centered ranks before the moment aggregate.
     *
     * Plan shape for 100 TB: two rank windows + one aggregate, all
     * partitioned by event_type — no global sort, no driver loop; for

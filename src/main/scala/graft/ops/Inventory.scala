@@ -853,18 +853,24 @@ object Inventory {
     * inventory (here: one "file" per (ingest day, event type), sized
     * by its payload bytes — the shape [[qFilenameInventory]] lists),
     * assign files to compaction bins targeting 4 KiB output objects
-    * with NEXT-FIT-DECREASING: files sorted largest-first inside
-    * their day, bin = floor(running-bytes-before / target). The
-    * lakehouse maintenance op every small-file-heavy ingest needs —
-    * the reference's per-chunk uploads (app.py:449-459) produce
-    * exactly this inventory shape at one object per station-hour.
+    * by OFFSET-BASED CONCATENATION SPLITTING: files sorted
+    * largest-first inside their day, bin = floor(running-bytes-before
+    * / target) — i.e. the day's files are laid out as one byte stream
+    * and cut at target boundaries, with each file assigned wholly to
+    * the bin its start offset falls in (a file larger than the target
+    * therefore owns its bin and may exceed the target; no file is
+    * split). The lakehouse maintenance op every small-file-heavy
+    * ingest needs — the reference's per-chunk uploads (app.py:449-459)
+    * produce exactly this inventory shape at one object per
+    * station-hour.
     *
     * Plan shape for 100 TB: bin assignment is a WINDOW CUMSUM per
     * day-partition — no driver loop, no global sort; each day's file
     * list (dim-bounded: types × 1) sorts independently, so a million
-    * partition-days plan in one shuffle. NFD's bound is classic:
-    * every bin except possibly one per day is ≥ half full, so the
-    * plan never exceeds 2·OPT bins. Integer bytes end-to-end. */
+    * partition-days plan in one shuffle. The scheme's bound (asserted
+    * by InventorySpec) is n_bins ≤ floor(total/target) + 1 per day —
+    * offsets only cross a target boundary once per target of bytes.
+    * Integer bytes end-to-end. */
   def qCompactionPlan(spark: SparkSession, d: String): DataFrame = {
     val target = 4096L
     val files = Tables.events(spark, d)

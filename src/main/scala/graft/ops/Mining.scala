@@ -430,6 +430,42 @@ object Mining {
       .orderBy("node")
   }
 
+  /** Distinct (customer, brand) ownership — the base stream of the CF
+    * recommender: facts join to brand + customer, then collapse to the
+    * customers × |brand dim|-bounded distinct pairs (map-side partial
+    * distinct before the exchange). */
+  private def ownedFrame(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
+      .distinct()
+
+  /** Landed customer co-ownership matrix (`own_pairs_v1`): distinct
+    * customers owning both brands, for every ordered brand pair —
+    * [[qRecommend]]'s scoring weights, materialized ONCE per corpus
+    * through the same fingerprint-keyed Landing pattern as
+    * lift_edges_v1. Semantically DISTINCT from lift_edges_v1
+    * (customer co-ownership ≠ per-order basket co-occurrence), hence
+    * its own artifact. ≤ |brands|² rows — coalesce(1) keeps it one
+    * small file; consumers broadcast it. */
+  private[graft] def ownPairs(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Landing.dir(d, "own_pairs_v1") { path =>
+      ownedFrame(spark, d)
+        .groupBy("custkey").agg(collect_set("brand").as("basket"))
+        .select(explode(col("basket")).as("b1"), col("basket"))
+        .select(col("b1"), explode(col("basket")).as("b2"))
+        .filter(col("b1") =!= col("b2"))
+        .groupBy("b1", "b2").agg(count(lit(1)).as("co"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** Item-based collaborative filtering: for every customer, the top-3
     * brands they have NOT bought, scored by co-ownership with the
     * brands they have — the classic "customers who bought X also
@@ -451,22 +487,14 @@ object Mining {
     * the CF co-matrix counts CUSTOMER co-ownership (distinct customers
     * owning both brands), a different measure than the artifact's
     * per-ORDER basket co-occurrence — sharing it would silently change
-    * recommendation semantics. */
+    * recommendation semantics. It therefore carries its OWN landed
+    * artifact, [[ownPairs]] (`own_pairs_v1`): the co-matrix was the
+    * last heavy pair table still rebuilt per run (5.1 s at the r6
+    * driver bench, the surface's slowest query). */
   def qRecommend(spark: SparkSession, d: String): DataFrame = {
-    val owned = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
-      .distinct()
-      .persist() // 3 consumers: co-counts, scoring stream, owned-filter
-    val co = owned.groupBy("custkey").agg(collect_set("brand").as("basket"))
-      .select(explode(col("basket")).as("b1"), col("basket"))
-      .select(col("b1"), explode(col("basket")).as("b2"))
-      .filter(col("b1") =!= col("b2"))
-      .groupBy("b1", "b2").agg(count(lit(1)).as("co"))
+    val owned = ownedFrame(spark, d)
+      .persist() // 2 consumers: scoring stream + owned-filter
+    val co = ownPairs(spark, d)
     val scores = owned
       .join(broadcast(co), col("brand") === col("b1"))
       .groupBy(col("custkey"), col("b2"))

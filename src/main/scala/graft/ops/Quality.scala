@@ -2141,9 +2141,14 @@ object Quality {
     * deterministic: u = first 8 md5 hex chars of ("boot:" r ":" doc_id)
     * as a 32-bit integer, w = #{thresholds ≤ u} against the Poisson(1)
     * CDF scaled to 2³² — identical integers on any engine, so the
-    * oracle reproduces the "randomness" exactly. Reports the 2nd/16th/
-    * 31st ordered replicate means (≈ p5/p50/p95 of the bootstrap
-    * distribution) as floor-pinned integers.
+    * oracle reproduces the "randomness" exactly. Two deliberate
+    * approximations, both deterministic and oracle-mirrored: the
+    * Poisson(1) weight is TRUNCATED at w = 6 (the ≈1e-4 tail mass
+    * above 6 folds into w = 6), and the reported order statistics are
+    * the 2nd/16th/31st of the 32 ordered replicate means — boot_med
+    * is the LOWER-middle order statistic (≈ p48), not an interpolated
+    * median, and boot_lo/boot_hi are ≈ p5/p95. Floor-pinned integers
+    * throughout.
     *
     * Plan shape for 100 TB: the ×32 fan-out happens INSIDE the scan
     * projection (explode of a literal range); everything downstream is
@@ -2187,6 +2192,15 @@ object Quality {
     * inputs; the SUM is order-pinned by casting each term to
     * DECIMAL(18,12) before summing (decimal addition is exact and
     * commutative — float summation order is the cross-engine trap).
+    * Residual libm assumption, stated: exactness of the per-term
+    * double rests on JVM Math.log and DuckDB's std::log agreeing to
+    * the last ulp on these inputs (they do here — both are
+    * correctly-rounded-or-adjacent on this platform); the
+    * DECIMAL(18,12) cast absorbs a last-ulp disagreement except in
+    * the measure-zero case where a term lands within ~1e-17 of a
+    * 1e-12 rounding boundary. If a cross-platform oracle run ever
+    * reds here, widen the pin by rounding each term at 1e-9 before
+    * the decimal cast.
     *
     * Plan shape for 100 TB: the corpus collapses to (source, term)
     * counts once (persisted, value-domain-bounded); the top-100 pick,
@@ -2272,5 +2286,67 @@ object Quality {
         expr("(merges * 1000000) div greatest(tokens_before, 1)"))
       .select("source", "pair", "tokens_before", "merges", "tokens_after", "saved_ppm")
       .orderBy("source")
+  }
+
+  /** THREE iterated BPE training rounds — [[qBpeMerge]]'s claim
+    * ("full BPE training = that plan iterated with the vocabulary kept
+    * persisted") made good as a declared, oracle-unrolled query. Words
+    * live as single-character symbol strings: round r picks the
+    * globally most frequent adjacent symbol pair (count desc, pair asc
+    * tiebreak — over 2-char substrings, exact because every symbol is
+    * one char) and rewrites it to a fresh marker character ('0','1',
+    * '2' — disjoint from the [a-z] alphabet, so rewriting is injective
+    * and later rounds can merge marker-containing pairs, exactly BPE's
+    * growing symbol alphabet). `replace` is leftmost non-overlapping
+    * on both engines — BPE's within-round application order. Reports
+    * per (source, round): the merged pair and the before/after token
+    * counts.
+    *
+    * Plan shape for 100 TB: the corpus is scanned ONCE (the round-0
+    * vocabulary build); every round is vocabulary-sized — a pair
+    * count, a 1-row argmax broadcast back, a rewrite+re-aggregate —
+    * with the vocabulary localCheckpointed per round (the lpa3
+    * discipline: bounded iterations, no lineage growth, no corpus
+    * rescan). A production tokenizer run is this loop at 10k-50k
+    * rounds over the SAME vocabulary frame; 3 rounds is the
+    * oracle-checkable unit. */
+  def qBpeTrain3(spark: SparkSession, d: String): DataFrame = {
+    val markers = Seq("0", "1", "2")
+    val snaps = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    val picks = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    snaps += Tables.documents(spark, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // the ONLY corpus-sized pass
+    for (r <- 0 until 3) {
+      val top = snaps(r).groupBy("word").agg(sum("n").as("wn"))
+        .filter(length(col("word")) >= 2)
+        .select(col("wn"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wn").as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .select("pair")
+        .localCheckpoint() // 1-row winning pair, materialized per round
+      picks += top
+      snaps += snaps(r)
+        .crossJoin(broadcast(top)) // 1-row pair broadcast (allowlisted)
+        .withColumn("word", expr(s"replace(word, pair, '${markers(r)}')"))
+        .groupBy("source", "word").agg(sum("n").as("n"))
+        .localCheckpoint() // vocabulary-sized; cuts per-round lineage
+    }
+    def toks(w: DataFrame, as: String): DataFrame = w.groupBy("source")
+      .agg(sum(col("n") * length(col("word"))).cast("long").as(as))
+    (0 until 3).map { r =>
+      toks(snaps(r), "tokens_before")
+        .join(toks(snaps(r + 1), "tokens_after"), "source")
+        .crossJoin(broadcast(picks(r))) // 1-row pair broadcast (allowlisted)
+        .select(col("source"), lit(r + 1L).as("round"), col("pair"),
+          col("tokens_before"), col("tokens_after"),
+          (col("tokens_before") - col("tokens_after")).as("merges"),
+          expr("((tokens_before - tokens_after) * 1000000)" +
+            " div greatest(tokens_before, 1)").as("saved_ppm"))
+    }.reduce(_ union _).orderBy("source", "round")
   }
 }

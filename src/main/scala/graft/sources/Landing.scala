@@ -50,12 +50,22 @@ object Landing {
 
   /** Returns the landing directory for (sfDir, kind), running `write`
     * first iff this (JVM, disk) has not landed it for the CURRENT
-    * corpus content yet. */
+    * corpus content yet. Landing under a NEW fingerprint first deletes
+    * every sibling directory for the same sfDir with a different
+    * fingerprint: a regenerated corpus re-keys the landing (the r5
+    * staleness fix), and without the sweep each regeneration stranded
+    * a full artifact set (lsh_pairs, lift_edges, ngram_pairs, format
+    * fixtures) under the dead key — bounded per round but monotone
+    * across rounds on a long-lived machine. */
   def dir(sfDir: String, kind: String)(write: String => Unit): String = synchronized {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_landing/$safe-${fingerprint(sfDir)}/$kind"
+    val fpDir = s"$safe-${fingerprint(sfDir)}"
+    val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_landing")
+    val path = s"$root/$fpDir/$kind"
     if (!landed(path)) {
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$safe-") && f.getName != fpDir)
+        .foreach(deleteRecursively)
       val marker = new java.io.File(path, "_LANDED")
       if (!marker.exists()) {
         write(path)
@@ -65,5 +75,11 @@ object Landing {
       landed += path
     }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -634,4 +634,26 @@ object Streams {
       .transformWithState(new AsOfStreamProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** The DECLARED batch twin of [[asofCorrelate]] — same input shapes,
+    * same output shape, same answer: every left (key, ts, id) enriched
+    * with the latest right (key, ts, id, value) at-or-before its event
+    * time, ties on right time to the larger right id. This is exactly
+    * the compacted-right-state semantics the stream processor
+    * maintains (among rights ≤ t only the max-(ts, id) can ever win a
+    * left at t — the compaction invariant), expressed through graft's
+    * batch as-of operator so the oracle-gated batch row and the
+    * adversarial-chop streaming spec pin the SAME form from both
+    * sides. Epoch-millis longs in the output mirror the processor's
+    * wire tuple. */
+  def asofBatchTwin(leftEvents: DataFrame, rightEvents: DataFrame): DataFrame = {
+    val l = leftEvents.toDF("key", "ts", "id")
+    val r = rightEvents.toDF("r_key", "r_ts", "r_id", "right_value")
+    graft.plans.AsOf.joinLatest(l, r,
+        Seq("key"), Seq("r_key"), "ts", "r_ts", rightTiebreaks = Seq("r_id"))
+      .select(col("key"), col("id").as("left_id"),
+        unix_millis(col("ts")).as("left_ms"),
+        col("r_id").as("right_id"), unix_millis(col("r_ts")).as("right_ms"),
+        col("right_value"))
+  }
 }

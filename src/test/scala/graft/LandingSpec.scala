@@ -52,6 +52,31 @@ class LandingSpec extends SparkSpec {
     assert(new File(dir, "_LANDED").exists())
   }
 
+  test("regeneration leaves exactly one fingerprint directory per sfDir") {
+    val sf = freshSfDir()
+    val root = new File(s"${sys.props("java.io.tmpdir")}/graft_landing")
+    def fpDirs() = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(sf.replaceAll("[^A-Za-z0-9.]", "_") + "-"))
+      .map(_.getName).toSeq
+    def land() = Landing.dir(sf, "spec_prune") { path =>
+      Tables.region(spark, sfDir).write.mode("overwrite").parquet(path)
+    }
+    land()
+    val before = fpDirs()
+    assert(before.size == 1)
+    // regenerate the corpus: touching a file bumps its mtime, which
+    // re-keys the fingerprint; the stale sibling must be swept
+    val probe = new File(sf, "regen_probe.parquet")
+    probe.createNewFile()
+    probe.setLastModified(System.currentTimeMillis() + 5000)
+    land()
+    val after = fpDirs()
+    assert(after.size == 1, s"stale fingerprint dirs not pruned: $after")
+    assert(after.head != before.head, "fingerprint did not re-key on regeneration")
+    assert(new File(new File(root, after.head), "spec_prune/_LANDED").exists())
+  }
+
   test("the landed dedup pair artifact equals the live pair pipeline output") {
     // the contract the dedup family relies on: reading the artifact is
     // indistinguishable from running qMinhashNeardup

@@ -372,6 +372,29 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_recommend scores from the landed own_pairs_v1 artifact; artifact equals live co-matrix") {
+    // contract of own_pairs_v1: the plan reads the artifact for its
+    // co-ownership weights (the ownership stream still scans facts —
+    // that part is per-run by design), and the artifact's content is
+    // indistinguishable from the live pipeline
+    val paths = scanPaths(Mining.qRecommend(spark, sf01))
+    assert(paths.exists(_.contains("own_pairs_v1")),
+      s"plan must scan the own_pairs_v1 artifact: ${paths.mkString(";")}")
+    val live = Tables.lineitem(spark, sf01)
+      .join(Tables.part(spark, sf01), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf01), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byCust = live.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val liveCo = byCust.toSeq
+      .flatMap(bs => for (a <- bs; b <- bs if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val landed = Mining.ownPairs(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(landed == liveCo, "own_pairs_v1 diverges from the live co-matrix")
+    spark.catalog.clearCache()
+  }
+
   test("assortativity: integer Pearson replays the lift-graph edge degrees; |r| ≤ 1") {
     val rows = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))

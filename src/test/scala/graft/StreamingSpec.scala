@@ -526,16 +526,16 @@ class StreamingSpec extends SparkSpec {
       val rightRows = for (k <- 1L to 5L; i <- 0 until 15)
         yield (k, new Timestamp(base + rnd.nextInt(3600) * 1000L),
           2000L + k * 100 + i, rnd.nextInt(1000).toDouble)
-      // Batch truth: graft's own as-of operator, (ts, id) tiebreak.
-      val bl = leftRows.toDF("key", "ts", "id")
-      val br = rightRows.toDF("r_key", "r_ts", "r_id", "value")
-      val truth = graft.plans.AsOf.joinLatest(bl, br,
-          Seq("key"), Seq("r_key"), "ts", "r_ts", Seq("r_id"))
-        .select("key", "id", "r_id", "r_ts", "value").collect()
+      // Batch truth: the DECLARED batch twin (q_asof_stream_twin's
+      // form, oracle-gated at the driver) — stream ≡ declared batch.
+      val truth = graft.streaming.Streams.asofBatchTwin(
+          leftRows.toDF("key", "ts", "id"),
+          rightRows.toDF("key", "ts", "id", "value"))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> (
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          if (r.isNullAt(3)) None else Some(r.getTimestamp(3).getTime),
-          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
       assert(truth.values.exists(_._1.isEmpty) && truth.values.exists(_._1.nonEmpty))
 
       // Three adversarial batchings of the SAME tagged event sequence:
