@@ -20,7 +20,8 @@ are visible to it). Results are identical; only peak memory changes.
 --mem/--tmp/--threads set the matching DuckDB PRAGMAs so the probe run
 is resource-bounded instead of OOM-killed.
 """
-import sys, os, json, math, re, time
+import sys, os, json, math, re, time, functools
+print = functools.partial(print, flush=True)
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -232,6 +232,7 @@ object SparkEntry {
     "q_mmr_rerank" -> (Similarity.qMmrRerank _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
     "q_ann_recall" -> (Similarity.qAnnRecall _),
+    "q_ndcg_eval" -> (Similarity.qNdcgEval _),
     "q_ivf_balance" -> (Similarity.qIvfBalance _),
     "q_ivf_margin" -> (Similarity.qIvfMargin _),
     "q_degree_dist" -> (Mining.qDegreeDist _),
@@ -3876,6 +3877,58 @@ object SparkEntry {
         |FROM bt LEFT JOIN ivf
         |  ON bt.probe_id = ivf.probe_id AND bt.vec_id = ivf.vec_id
         |GROUP BY bt.probe_id ORDER BY bt.probe_id""".stripMargin,
+
+    // NDCG@3 of the IVF ranking vs brute-force graded relevance:
+    // same IVF/brute CTEs as q_ann_recall, pre-floored integer
+    // discount weights (no libm in the checked surface), constant
+    // IDCG over the (5,4,3) ideal grades.
+    "q_ndcg_eval" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+        |asg AS (
+        |  SELECT vec_id, cluster, eb, nb FROM (
+        |    SELECT b.vec_id, a.vec_id AS cluster, b.e AS eb, b.nrm AS nb,
+        |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |          / (a.nrm * b.nrm) DESC, a.vec_id) AS rn
+        |    FROM n b JOIN n a ON a.vec_id < 8)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT vec_id AS probe_id, cluster, eb AS ea, nb AS na
+        |  FROM asg WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT pr.probe_id, asg.vec_id,
+        |    list_sum([pr.ea[i] * asg.eb[i] for i in range(1, len(pr.ea) + 1)])
+        |      / (pr.na * asg.nb) AS c
+        |  FROM pr JOIN asg ON pr.cluster = asg.cluster AND asg.vec_id <> pr.probe_id),
+        |ivf AS (
+        |  SELECT probe_id, vec_id, rn FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= 3),
+        |bp AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)])
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |bt AS (
+        |  SELECT probe_id, vec_id, 6 - rn AS rel FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+        |    FROM bp) WHERE rn <= 5),
+        |j AS (
+        |  SELECT ivf.probe_id, COALESCE(bt.rel, 0) AS rel,
+        |    CASE ivf.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+        |      ELSE 500000 END AS w
+        |  FROM ivf LEFT JOIN bt
+        |    ON bt.probe_id = ivf.probe_id AND bt.vec_id = ivf.vec_id)
+        |SELECT probe_id, count(*) AS k,
+        |  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_graded,
+        |  CAST(sum(rel * w) AS BIGINT) AS dcg_milli,
+        |  CAST(sum(rel * w) AS BIGINT) * 1000000 // 9023716 AS ndcg_ppm
+        |FROM j GROUP BY probe_id ORDER BY probe_id""".stripMargin,
 
     // Hard negatives: cosine top-5 restricted to label-mismatched
     // candidates; same vec_dot fold parity as q_cosine_topk.

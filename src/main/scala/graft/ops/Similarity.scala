@@ -679,6 +679,41 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** NDCG@3 of the IVF (nprobe=1) ranking against brute-force graded
+    * relevance — the RANK-AWARE retrieval eval that completes the
+    * family: [[qAnnRecall]] scores set overlap (rank 1 ≡ rank 3),
+    * [[Quality.qRboOverlap]] compares two rankers' agreement; NDCG
+    * weights each IVF position by where the exact ranker put that
+    * neighbor. Relevance grades come from the exact top-5 (rel =
+    * 6 − exact rank, 0 for un-graded); discount weights are the
+    * PRE-FLOORED integer constants ⌊10⁶/log₂(i+1)⌋ = (1000000,
+    * 630929, 500000) — hardcoded on BOTH engines, so the checked
+    * surface has no libm log anywhere. IDCG is the constant ideal
+    * over grades (5,4,3) = 9 023 716 (every probe has a full graded
+    * top-5 by construction), so ndcg_ppm isolates exactly how much
+    * exact-rank mass the IVF ranking recovered, position-weighted.
+    *
+    * Plan shape for 100 TB: composes the two already-bounded
+    * rankings (TopKAggregator outputs, ≤ k rows per probe); the
+    * NDCG join and aggregate are probes × k sized. */
+  def qNdcgEval(spark: SparkSession, d: String): DataFrame = {
+    val ivf = qAnnIvf(spark, d).select(col("probe_id"), col("vec_id"), col("rn"))
+    val exact = qCosineTopk(spark, d)
+      .select(col("probe_id"), col("vec_id"),
+        (lit(6) - col("rn")).cast("long").as("rel"))
+    ivf.join(exact, Seq("probe_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("w", expr(
+        "CASE rn WHEN 1 THEN 1000000L WHEN 2 THEN 630929L ELSE 500000L END"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_graded"),
+        sum(col("rel") * col("w")).as("dcg_milli"))
+      .withColumn("ndcg_ppm", expr("(dcg_milli * 1000000) div 9023716"))
+      .select("probe_id", "k", "n_graded", "dcg_milli", "ndcg_ppm")
+      .orderBy("probe_id")
+  }
+
   /** Random projection (Johnson–Lindenstrauss) dimensionality
     * reduction: 64-dim embeddings sketched to 16 dims with a
     * DETERMINISTIC ±1 projection matrix — the cheap pre-pass a 100 TB

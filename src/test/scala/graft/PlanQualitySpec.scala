@@ -69,6 +69,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_rand_project",      // 16-row ±1 sign matrix broadcast (×16 constant expansion)
     "q_hard_negatives",    // probes (5 rows) broadcast against the corpus
     "q_ann_recall",        // composes q_ann_ivf + q_cosine_topk — same constant broadcasts
+    "q_ndcg_eval",         // composes q_ann_ivf + q_cosine_topk — same constant broadcasts
     "q_interleave",        // 1-row source-count broadcast
     "q_bigram_lm",         // 1-row vocabulary-size broadcast
     "q_tpch_dormant",      // 1-row positive-balance (Σbal, n) broadcast (Q22 scalar subquery)

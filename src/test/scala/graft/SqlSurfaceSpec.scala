@@ -196,9 +196,149 @@ class SqlSurfaceSpec extends SparkSpec {
         |    ELSE CAST(sxy AS DOUBLE)
         |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
         |  END, 6) AS spearman
-        |FROM a ORDER BY event_type""".stripMargin)
+        |FROM a ORDER BY event_type""".stripMargin,
+    // --- round-7 batch: custom-expression families first (vec_dot,
+    // zorder16, the interval aggregator's window form), then the
+    // join/window/dedup staples a SQL user would type daily. ---
+    "q_cosine_topk" ->
+      """SELECT probe_id, vec_id, round(cos, 4) AS cos_sim, rn FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |      vec_dot(CAST(p.embedding AS ARRAY<DOUBLE>),
+        |              CAST(c.embedding AS ARRAY<DOUBLE>))
+        |        / (sqrt(vec_dot(CAST(p.embedding AS ARRAY<DOUBLE>),
+        |                        CAST(p.embedding AS ARRAY<DOUBLE>)))
+        |           * sqrt(vec_dot(CAST(c.embedding AS ARRAY<DOUBLE>),
+        |                          CAST(c.embedding AS ARRAY<DOUBLE>)))) AS cos
+        |    FROM embeddings p JOIN embeddings c
+        |      ON p.vec_id < 5 AND c.vec_id <> p.vec_id))
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    "q_zorder_layout" ->
+      """SELECT file_id, count(*) AS n_rows,
+        |  min(pk) AS min_pk, max(pk) AS max_pk,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM (
+        |  SELECT pk, day, shiftright(zorder16(pk, day), 22) AS file_id FROM (
+        |    SELECT CAST(l_partkey AS BIGINT) AS pk,
+        |      CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')
+        |        AS BIGINT) AS day
+        |    FROM lineitem))
+        |GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "q_interval_merge" ->
+      """SELECT user_id, merged_start, merged_end, n_chunks FROM (
+        |  SELECT user_id, island, min(ts) AS merged_start,
+        |    max(iv_end) AS merged_end, count(*) AS n_chunks
+        |  FROM (
+        |    SELECT user_id, event_id, ts, iv_end,
+        |      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |    FROM (
+        |      SELECT user_id, event_id, ts,
+        |        ts + INTERVAL 300 SECONDS AS iv_end,
+        |        CASE WHEN max(ts + INTERVAL 300 SECONDS)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |          OR ts > max(ts + INTERVAL 300 SECONDS)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          THEN 1 ELSE 0 END AS is_new
+        |      FROM events))
+        |  GROUP BY user_id, island)
+        |ORDER BY user_id, merged_start""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT user_id, event_type, value, min(event_id) AS keep_event_id,
+        |  count(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type, value
+        |ORDER BY user_id, event_type, value""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_tumbling_daily" ->
+      """SELECT window.start AS w_start, window.end AS w_end, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window(ts, '1 day') ORDER BY w_start""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT window.start AS w_start, window.end AS w_end, count(*) AS n
+        |FROM events GROUP BY window(ts, '1 hour', '30 minutes')
+        |ORDER BY w_start""".stripMargin,
+    "q_session_window" ->
+      """SELECT user_id, session_window.start AS s_start,
+        |  session_window.end AS s_end, count(*) AS n
+        |FROM events GROUP BY session_window(ts, '5 minutes'), user_id
+        |ORDER BY user_id, s_start""".stripMargin,
+    "q_lookup_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_lookup_misses" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_nationkey < 10 AND c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_anti_dedup" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_semi_present" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_gap_detect" ->
+      """SELECT user_id, event_id, prev_ts, ts, gap_us FROM (
+        |  SELECT user_id, event_id,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts,
+        |    ts,
+        |    unix_micros(ts) - unix_micros(lag(ts, 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |WHERE gap_us > 300000000 ORDER BY user_id, event_id""".stripMargin,
+    "q_minmax_norm" ->
+      """SELECT event_id, e.event_type,
+        |  CASE WHEN st.v_max = st.v_min THEN CAST(0.0 AS DOUBLE)
+        |    ELSE (e.value - st.v_min) / (st.v_max - st.v_min)
+        |  END AS norm_value
+        |FROM events e JOIN (
+        |  SELECT event_type, min(value) AS v_min, max(value) AS v_max
+        |  FROM events GROUP BY event_type) st
+        |  ON e.event_type = st.event_type
+        |ORDER BY event_id""".stripMargin,
+    "q_zscore_outliers" ->
+      """SELECT event_type, event_id, value, round(mean, 4) AS mean,
+        |  round(std, 4) AS std, round(z, 4) AS z
+        |FROM (
+        |  SELECT e.event_type, e.event_id, e.value, st.mean, st.std,
+        |    (e.value - st.mean) / st.std AS z
+        |  FROM events e JOIN (
+        |    SELECT event_type,
+        |      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |        AS mean,
+        |      sqrt((CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+        |        - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*))
+        |        / (count(*) - 1)) AS std
+        |    FROM events GROUP BY event_type) st
+        |    ON e.event_type = st.event_type)
+        |WHERE abs(z) > 2.5 ORDER BY event_type, event_id""".stripMargin,
+    "q_value_histogram" ->
+      """SELECT event_type, bin, bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi, n
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM events
+        |  GROUP BY event_type, CAST(least(floor(value / 25.0), 19) AS BIGINT))
+        |ORDER BY event_type, bin""".stripMargin)
 
-  test("SQL-surface parity: 15 declared queries return identical rows through plain SQL") {
+  test(s"SQL-surface parity: ${sqlMirrors.size} declared queries return identical rows through plain SQL") {
     Tables.createViews(spark, sfDir)
     graft.functions.GraftFunctions.register(spark)
     sqlMirrors.foreach { case (name, sqlText) =>
