@@ -472,16 +472,19 @@ object Mining {
     * bought Y" recommender, which is [[qMarketBasket]]'s co-occurrence
     * matrix put to work as a per-user ranking.
     *
-    * Plan shape for 100 TB: the ownership matrix collapses to DISTINCT
-    * (customer, brand) before anything else — bounded by customers ×
-    * |brand dim|, far below the fact table. The co-ownership counts
-    * are built map-side by double-exploding per-customer brand sets
-    * (expansion ≤ |brands|² per customer, a constant) and the result
-    * is itself ≤ |brands|² rows — broadcast back against the ownership
-    * stream, so scoring never shuffles more than |ownership| ×
-    * avg-neighbors rows. The per-customer top-3 is a row_number window
-    * partitioned by CUSTOMER — millions of partitions, the scalable
-    * window orientation (unlike a per-probe window over 5 probes).
+    * Plan shape for 100 TB: ONE real shuffle end to end. The fact
+    * stream collapses straight to per-customer brand SETS (map-side
+    * partial collect_set dedups before the exchange — the distinct is
+    * folded into the same aggregate instead of paying its own
+    * shuffle); everything after is partitioning-preserving: the
+    * basket explodes against the broadcast co-matrix, the "not
+    * already owned" filter is an array_contains on the basket column
+    * riding along (no anti-join pass over a second read of the
+    * ownership table), and both the score aggregate on (custkey, b2)
+    * and the per-customer top-3 window reuse the custkey hash
+    * partitioning (a subset of their clustering keys), so neither
+    * re-exchanges. The window is partitioned by CUSTOMER — millions
+    * of partitions, the scalable orientation.
     *
     * Evaluated against [[liftEdges]] and deliberately NOT a consumer:
     * the CF co-matrix counts CUSTOMER co-ownership (distinct customers
@@ -492,15 +495,22 @@ object Mining {
     * last heavy pair table still rebuilt per run (5.1 s at the r6
     * driver bench, the surface's slowest query). */
   def qRecommend(spark: SparkSession, d: String): DataFrame = {
-    val owned = ownedFrame(spark, d)
-      .persist() // 2 consumers: scoring stream + owned-filter
+    val baskets = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(collect_set(col("p_brand")).as("basket")) // the one exchange
     val co = ownPairs(spark, d)
-    val scores = owned
-      .join(broadcast(co), col("brand") === col("b1"))
-      .groupBy(col("custkey"), col("b2"))
+    val scores = baskets
+      .select(col("custkey"), col("basket"), explode(col("basket")).as("b1"))
+      .join(broadcast(co), Seq("b1"))
+      .filter(!array_contains(col("basket"), col("b2")))
+      .groupBy(col("custkey"), col("b2")) // custkey partitioning reused
       .agg(sum("co").as("score"))
       .select(col("custkey"), col("b2").as("brand"), col("score"))
-      .join(owned, Seq("custkey", "brand"), "left_anti")
     val w = Window.partitionBy("custkey").orderBy(col("score").desc, col("brand"))
     scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

@@ -1307,4 +1307,48 @@ class QualitySpec extends SparkSpec {
     assert(got._3 == before && got._4 == merges, s0)
     out.unpersist()
   }
+
+  test("bpe train3: all three rounds replayed exactly on the driver; token mass telescopes") {
+    val out = Quality.qBpeTrain3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // driver-side replay of the exact pick-and-apply loop
+    var vocab = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    Tables.documents(spark, sfDir).select("source", "text").collect().foreach { r =>
+      r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .foreach(w => vocab((r.getString(0), w)) += 1)
+    }
+    val markers = Seq("0", "1", "2")
+    val expected = scala.collection.mutable.ArrayBuffer[(String, Long, String, Long, Long, Long, Long)]()
+    for (round <- 0 until 3) {
+      def tokens(v: scala.collection.Map[(String, String), Long]): Map[String, Long] =
+        v.groupBy(_._1._1).map { case (s, m) =>
+          s -> m.map { case ((_, w), n) => n * w.length }.sum }
+      val before = tokens(vocab)
+      val wn = vocab.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+      val pairCount = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      wn.foreach { case (w, n) =>
+        if (w.length >= 2)
+          (0 until w.length - 1).foreach(i => pairCount(w.substring(i, i + 2)) += n)
+      }
+      val top = pairCount.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+      val next = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case ((s, w), n) => next((s, w.replace(top, markers(round)))) += n }
+      val after = tokens(next)
+      before.keys.foreach { s =>
+        val (b, a) = (before(s), after(s))
+        expected += ((s, round + 1L, top, b, a, b - a, (b - a) * 1000000L / math.max(b, 1L)))
+      }
+      vocab = next
+    }
+    assert(out.sortBy(r => (r._1, r._2)) == expected.sortBy(r => (r._1, r._2)),
+      "3-round BPE replay diverged")
+    // telescoping: round r's tokens_after is round r+1's tokens_before
+    out.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4, s"telescope broken for ${a._1}")
+        case _ =>
+      }
+    }
+  }
 }

@@ -217,6 +217,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ndcg: integer DCG replayed from the two rankings; bounded by the constant IDCG") {
+    val out = Similarity.qNdcgEval(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ivf = Similarity.qAnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    val rel = Similarity.qCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (6L - r.getInt(3))).toMap
+    val w = Map(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L)
+    val idcg = 5L * 1000000L + 4L * 630929L + 3L * 500000L
+    assert(idcg == 9023716L)
+    assert(out.keySet == ivf.map(_._1).toSet)
+    for ((probe, picks) <- ivf.groupBy(_._1)) {
+      val dcg = picks.map { case (p, v, rn) => rel.getOrElse((p, v), 0L) * w(rn) }.sum
+      val graded = picks.count { case (p, v, _) => rel.contains((p, v)) }
+      val (k, nGraded, dcgMilli, ndcgPpm) = out(probe)
+      assert(k == picks.length && k == 3, s"probe $probe k=$k")
+      assert(nGraded == graded && dcgMilli == dcg, s"probe $probe dcg")
+      assert(ndcgPpm == dcg * 1000000L / idcg && ndcgPpm <= 1000000L, s"probe $probe ndcg")
+    }
+  }
+
   test("hard negatives: labels always differ; one probe's list replayed brute-force") {
     val rows = Similarity.qHardNegatives(spark, sfDir).collect()
     val meta = Tables.embeddings(spark, sfDir)
