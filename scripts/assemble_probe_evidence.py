@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Assemble the round's per-query probe evidence into PROBES_r07.json.
+
+Merges the per-job --json outputs of scripts/check_oracle.py runs at
+the K=3 (sf0.3-equivalent) and K=10 (sf1-equivalent) magnitude probes
+into one {query: {k3: status, k10: status, k3_sec, k10_sec}} map plus
+a summary, so the SURVEY §6 highest-confirmed-scale table is generated
+from recorded runs, not assertions. Pass any number of JSON paths
+tagged k3=/k10= on the command line:
+
+    python3 scripts/assemble_probe_evidence.py out.json \
+        k3=/tmp/k3_4.json k3=/tmp/k3_17.json k10=/tmp/k10_4.json ...
+"""
+import sys, json
+
+def main():
+    out_path = sys.argv[1]
+    merged = {}
+    for arg in sys.argv[2:]:
+        tier, path = arg.split("=", 1)
+        try:
+            data = json.load(open(path))
+        except FileNotFoundError:
+            print(f"missing: {path}", file=sys.stderr)
+            continue
+        for q, rec in data.items():
+            e = merged.setdefault(q, {})
+            e[tier] = rec.get("status")
+            if "sec" in rec:
+                e[f"{tier}_sec"] = rec["sec"]
+            if rec.get("status") not in ("pass", "no-oracle"):
+                e[f"{tier}_detail"] = rec
+    summary = {
+        "k3_pass": sum(1 for e in merged.values() if e.get("k3") == "pass"),
+        "k10_pass": sum(1 for e in merged.values() if e.get("k10") == "pass"),
+        "k3_other": sorted(q for q, e in merged.items()
+                           if "k3" in e and e["k3"] != "pass"),
+        "k10_other": sorted(q for q, e in merged.items()
+                            if "k10" in e and e["k10"] != "pass"),
+        "n_queries": len(merged),
+    }
+    json.dump({"summary": summary, "queries": merged},
+              open(out_path, "w"), indent=1, sort_keys=True)
+    print(json.dumps(summary, indent=1))
+
+if __name__ == "__main__":
+    main()
