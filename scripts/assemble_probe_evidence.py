@@ -18,6 +18,10 @@ def main():
     merged = {}
     for arg in sys.argv[2:]:
         tier, path = arg.split("=", 1)
+        if tier not in ("k3", "k10"):
+            # A typo'd tier would silently merge under a key the summary
+            # ignores, making a forgotten/mistagged probe look complete.
+            sys.exit(f"unknown tier {tier!r} in {arg!r}: expected k3= or k10=")
         try:
             data = json.load(open(path))
         except FileNotFoundError:
@@ -37,6 +41,10 @@ def main():
                            if "k3" in e and e["k3"] != "pass"),
         "k10_other": sorted(q for q, e in merged.items()
                             if "k10" in e and e["k10"] != "pass"),
+        # Queries with no record at a tier are distinct from non-passes:
+        # a forgotten probe job must not read as evidence-complete.
+        "k3_missing": sorted(q for q, e in merged.items() if "k3" not in e),
+        "k10_missing": sorted(q for q, e in merged.items() if "k10" not in e),
         "n_queries": len(merged),
     }
     json.dump({"summary": summary, "queries": merged},

@@ -47,7 +47,7 @@ def split_ctes(sql):
     ctes = []
     n = len(sql)
     while True:
-        m2 = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql[i:])
+        m2 = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql[i:], re.I)
         if not m2:
             return None, sql  # unparseable shape: run monolithic
         name = m2.group(1)
@@ -82,7 +82,11 @@ def stage_query(con, sql):
     return (final_sql_for_compare, staged_names)."""
     ctes, final = split_ctes(sql)
     if not ctes:
-        return sql, []
+        # Distinguish "no WITH clause" (nothing to stage) from "WITH
+        # present but unparseable" (silent monolithic fallback would
+        # reintroduce the r6 spill-abort class with no signal).
+        fellback = bool(re.match(r"\s*WITH\b", sql, re.I))
+        return sql, [], fellback
     staged = []
     rest = []
     for idx, (name, body) in enumerate(ctes):
@@ -94,8 +98,8 @@ def stage_query(con, sql):
     if rest:
         with_clause = "WITH RECURSIVE " + ", ".join(
             f"{name} AS ({body})" for name, body in rest)
-        return with_clause + " " + final, staged
-    return final, staged
+        return with_clause + " " + final, staged, False
+    return final, staged, False
 
 def main():
     args = [a for a in sys.argv[1:]]
@@ -147,9 +151,13 @@ def main():
             n_skip += 1
             continue
         staged = []
+        stage_fallback = False
         try:
             if opts["stage"]:
-                final_sql, staged = stage_query(con, oracle[name])
+                final_sql, staged, stage_fallback = stage_query(con, oracle[name])
+                if stage_fallback:
+                    print(f"NOTE  {name}: --stage requested but WITH "
+                          f"clause unparseable; ran monolithic")
             else:
                 final_sql = oracle[name]
             exp_rel = con.sql(final_sql)
@@ -172,12 +180,16 @@ def main():
         if cols != ecols:
             print(f"FAIL  {name}: columns {cols} vs oracle {ecols}")
             record[name] = {"status": "cols", "spark": cols, "oracle": ecols}
+            if stage_fallback:
+                record[name]["stage_fallback"] = True
             n_fail += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL  {name}: {len(got)} rows vs oracle {len(exp)}")
             record[name] = {"status": "rows", "spark": len(got),
                             "oracle": len(exp)}
+            if stage_fallback:
+                record[name]["stage_fallback"] = True
             n_fail += 1
             continue
         bad = None
@@ -192,10 +204,14 @@ def main():
             record[name] = {"status": "values", "row": bad[0],
                             "spark": str(bad[1])[:300],
                             "oracle": str(bad[2])[:300]}
+            if stage_fallback:
+                record[name]["stage_fallback"] = True
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(got)} rows, {len(cols)} cols, {dt}s)")
             record[name] = {"status": "pass", "rows": len(got), "sec": dt}
+            if stage_fallback:
+                record[name]["stage_fallback"] = True
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
     if opts["json"]:

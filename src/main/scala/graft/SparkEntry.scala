@@ -515,22 +515,22 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, value
         |  FROM events WHERE event_type = 'purchase'),
         |u AS (
-        |  SELECT user_id, ts, 1 AS side, event_id,
-        |    NULL::BIGINT AS rid, NULL::DOUBLE AS rval FROM l
+        |  SELECT user_id, ts, 1 AS side, event_id, NULL::BIGINT AS rid,
+        |    NULL::STRUCT(rid BIGINT, rts TIMESTAMP, rval DOUBLE) AS rrow
+        |  FROM l
         |  UNION ALL
-        |  SELECT user_id, ts, 0, NULL, event_id, value FROM r),
+        |  SELECT user_id, ts, 0, NULL, event_id,
+        |    struct_pack(rid := event_id, rts := ts, rval := value) FROM r),
         |c AS (
         |  SELECT user_id, ts, side, event_id,
-        |    last_value(rid IGNORE NULLS) OVER w AS right_id,
-        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
-        |      OVER w AS right_ts,
-        |    last_value(rval IGNORE NULLS) OVER w AS right_value
+        |    last_value(rrow IGNORE NULLS) OVER w AS rr
         |  FROM u
         |  WINDOW w AS (PARTITION BY user_id
         |    ORDER BY ts, side, coalesce(rid, event_id)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id AS key, event_id AS left_id, epoch_ms(ts) AS left_ms,
-        |  right_id, epoch_ms(right_ts) AS right_ms, right_value
+        |  rr.rid AS right_id, epoch_ms(rr.rts) AS right_ms,
+        |  rr.rval AS right_value
         |FROM c WHERE side = 1 ORDER BY key, left_id""".stripMargin,
 
     // Expected grid = distinct channels × distinct days; missing slots

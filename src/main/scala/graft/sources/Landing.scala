@@ -58,13 +58,30 @@ object Landing {
     * fixtures) under the dead key — bounded per round but monotone
     * across rounds on a long-lived machine. */
   def dir(sfDir: String, kind: String)(write: String => Unit): String = synchronized {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // The sanitized name alone can collide across distinct corpora
+    // (/x/sf-1 and /x/sf_1 both sanitize to _x_sf_1), which would let
+    // one corpus's stale-fingerprint sweep delete the other's LIVE
+    // artifacts. Folding a hash of the RAW path into the prefix makes
+    // the sweep scope exactly one corpus path.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pathHash = md.digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val safe = s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.$pathHash"
     val fpDir = s"$safe-${fingerprint(sfDir)}"
     val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_landing")
     val path = s"$root/$fpDir/$kind"
     if (!landed(path)) {
+      // Sweep stale-fingerprint siblings of THIS corpus path only, and
+      // age-gate on the directory's own mtime: `synchronized` is
+      // per-JVM, so a sibling younger than the gate may still be read
+      // (or mid-write) by a concurrent JVM that started before the
+      // corpus was regenerated. One hour bounds the leak to a single
+      // in-flight generation while keeping the sweep effective across
+      // rounds on a long-lived machine.
+      val staleMs = 60L * 60L * 1000L
+      val now = System.currentTimeMillis()
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(s"$safe-") && f.getName != fpDir)
+        .filter(f => now - f.lastModified() > staleMs)
         .foreach(deleteRecursively)
       val marker = new java.io.File(path, "_LANDED")
       if (!marker.exists()) {

@@ -52,29 +52,76 @@ class LandingSpec extends SparkSpec {
     assert(new File(dir, "_LANDED").exists())
   }
 
-  test("regeneration leaves exactly one fingerprint directory per sfDir") {
-    val sf = freshSfDir()
-    val root = new File(s"${sys.props("java.io.tmpdir")}/graft_landing")
-    def fpDirs() = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        f.getName.startsWith(sf.replaceAll("[^A-Za-z0-9.]", "_") + "-"))
+  private val root = new File(s"${sys.props("java.io.tmpdir")}/graft_landing")
+
+  private def fpDirs(sf: String): Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pathHash = md.digest(sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val prefix = s"${sf.replaceAll("[^A-Za-z0-9.]", "_")}.$pathHash-"
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .map(_.getName).toSeq
+  }
+
+  test("regeneration sweeps AGED stale fingerprints but spares fresh ones") {
+    val sf = freshSfDir()
     def land() = Landing.dir(sf, "spec_prune") { path =>
       Tables.region(spark, sfDir).write.mode("overwrite").parquet(path)
     }
     land()
-    val before = fpDirs()
+    val before = fpDirs(sf)
     assert(before.size == 1)
     // regenerate the corpus: touching a file bumps its mtime, which
-    // re-keys the fingerprint; the stale sibling must be swept
+    // re-keys the fingerprint. The now-stale sibling is YOUNG, so the
+    // age-gated sweep must spare it (a concurrent JVM could still be
+    // reading it mid-job).
     val probe = new File(sf, "regen_probe.parquet")
     probe.createNewFile()
     probe.setLastModified(System.currentTimeMillis() + 5000)
     land()
-    val after = fpDirs()
-    assert(after.size == 1, s"stale fingerprint dirs not pruned: $after")
-    assert(after.head != before.head, "fingerprint did not re-key on regeneration")
-    assert(new File(new File(root, after.head), "spec_prune/_LANDED").exists())
+    val afterFresh = fpDirs(sf)
+    assert(afterFresh.size == 2, s"young stale sibling was swept: $afterFresh")
+    assert(afterFresh.toSet.contains(before.head))
+    // age the stale sibling past the 1h gate; a second regeneration
+    // must then sweep it
+    new File(root, before.head).setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    probe.setLastModified(System.currentTimeMillis() + 10000)
+    land()
+    val afterAged = fpDirs(sf)
+    assert(!afterAged.contains(before.head), s"aged stale dir not pruned: $afterAged")
+    assert(afterAged.forall(d => d != before.head))
+    assert(afterAged.exists(d =>
+      new File(new File(root, d), "spec_prune/_LANDED").exists()))
+  }
+
+  test("distinct corpus paths with identical sanitized names never share a sweep scope") {
+    // /x/sf-1 and /x/sf_1 both sanitize to _x_sf_1; the raw-path hash in
+    // the prefix must keep their landings (and sweeps) fully disjoint.
+    val parent = java.nio.file.Files.createTempDirectory("graft_landing_twin_").toString
+    val sfA = s"$parent/sf-1"
+    val sfB = s"$parent/sf_1"
+    new File(sfA).mkdirs()
+    new File(sfB).mkdirs()
+    assert(sfA.replaceAll("[^A-Za-z0-9.]", "_") == sfB.replaceAll("[^A-Za-z0-9.]", "_"))
+    def land(sf: String) = Landing.dir(sf, "spec_twin") { path =>
+      Tables.region(spark, sfDir).write.mode("overwrite").parquet(path)
+    }
+    val dA = land(sfA)
+    val dB = land(sfB)
+    assert(dA != dB, "twin corpora collided to one landing directory")
+    assert(fpDirs(sfA).size == 1 && fpDirs(sfB).size == 1)
+    // regenerate corpus A with an AGED stale sibling for A: the sweep
+    // must remove A's old dir and must not touch B's live artifact
+    fpDirs(sfA).foreach(d => new File(root, d).setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val probe = new File(sfA, "regen_probe.parquet")
+    probe.createNewFile()
+    probe.setLastModified(System.currentTimeMillis() + 5000)
+    land(sfA)
+    assert(new File(dB, "_LANDED").exists(),
+      "sweep of corpus A deleted corpus B's live landing")
+    assert(spark.read.parquet(dB).count() == 5)
   }
 
   test("the landed dedup pair artifact equals the live pair pipeline output") {

@@ -33,3 +33,35 @@ object MockFs {
   val deletes = new AtomicInteger(0)
   def reset(): Unit = { renames.set(0); deletes.set(0) }
 }
+
+/** The same instrumented local-backed FS registered under the LITERAL
+  * `s3a` scheme with a BUCKET AUTHORITY (`s3a://test-bucket/...`), so
+  * scheme-specific URI handling is pinned exactly as an S3A user would
+  * hit it: authority parsing (the bucket must survive qualification
+  * and the FileSystem cache key, and must NOT leak into the path), the
+  * rename/delete call pattern the sinks assume, AND Spark's
+  * scheme-dispatched listing path — `spark.sql.files
+  * .useListFilesFileSystemList` defaults to `s3a`, so s3a paths list
+  * through `FileSystem.listFiles`/`listLocatedStatus`, a code path the
+  * generic mock:// scheme never exercises. Statuses are returned with
+  * permissions/owner pre-materialized, exactly as real S3A does
+  * (object stores have no POSIX permissions; S3A fabricates them) —
+  * RawLocalFileSystem's lazy permission load cannot handle non-file
+  * URIs, and an object-store FS must never hand out lazy statuses. */
+class S3aMockFs extends MockFs {
+  override def getUri: URI = URI.create("s3a://test-bucket/")
+  override def getScheme: String = "s3a"
+
+  private def loaded(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.valueOf(
+        if (st.isDirectory) "drwxr-xr-x" else "-rw-r--r--"),
+      "graft", "graft", st.getPath)
+
+  override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+    loaded(super.getFileStatus(p))
+
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(p).map(loaded)
+}

@@ -266,6 +266,50 @@ class SinkSourceSpec extends SparkSpec {
     assert(!new java.io.File(raw(cdir) + "._old").exists())
   }
 
+  test("sinks run over the LITERAL s3a scheme with a bucket authority (URI handling pinned)") {
+    // The r7 verdict's one cheap tightening: mock:// proves the
+    // config-wired-FS claim, but an s3a:// URI additionally carries a
+    // BUCKET AUTHORITY — s3a://bucket/key — which exercises authority
+    // parsing through Path qualification, the FileSystem cache key,
+    // and the committer's task-commit renames. A sink that ever
+    // string-mangles the URI (drops the bucket, globs the authority
+    // into the key) fails here, not in production.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[S3aMockFs].getName)
+    val local = tmp() // absolute local path; becomes the object key space
+    val base = "s3a://test-bucket" + local
+    // moveVerified across s3a:// (write, verify, delete-source)
+    val src = base + "/src"
+    val dst = base + "/dst"
+    Tables.region(spark, sfDir).write.parquet(src)
+    assert(new java.io.File(local + "/src").exists(),
+      "bucket authority leaked into the local key space")
+    MockFs.reset()
+    val (moved, deleted) = Sinks.moveVerified(spark, src, dst)
+    assert(moved == 5 && deleted)
+    assert(!new java.io.File(local + "/src").exists())
+    assert(spark.read.parquet(dst).count() == 5)
+    assert(MockFs.renames.get() > 0,
+      "no rename reached s3a:// — the sink bypassed the configured FS")
+    assert(MockFs.deletes.get() > 0)
+    // compact across s3a://: the two-rename directory swap — the exact
+    // calls that are copy+delete on real S3A, so the dependency stays
+    // measured under the production scheme name
+    val cdir = base + "/compact_t"
+    Tables.nation(spark, sfDir).repartition(8).write.parquet(cdir)
+    MockFs.reset()
+    val (nBefore, nAfter) = Sinks.compact(spark, cdir, targetBytes = 1L << 30)
+    assert(nBefore >= 8 && nAfter == 1)
+    assert(spark.read.parquet(cdir).count() == 25)
+    assert(MockFs.renames.get() >= 2)
+    assert(!new java.io.File(local + "/compact_t._compacting").exists())
+    assert(!new java.io.File(local + "/compact_t._old").exists())
+    // appendNew idempotence under s3a:// (the skip-if-exists contract)
+    val sink = base + "/sink"
+    assert(Sinks.appendNew(spark, Tables.region(spark, sfDir), "r_regionkey", sink) == 5)
+    assert(Sinks.appendNew(spark, Tables.region(spark, sfDir), "r_regionkey", sink) == 0)
+  }
+
   test("compaction collapses small files, preserves content exactly, and swaps atomically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate a microbatch-accreted sink: 16 tiny files
