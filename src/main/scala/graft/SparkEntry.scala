@@ -326,6 +326,8 @@ object SparkEntry {
     "q_bpe_merge" -> (Quality.qBpeMerge _),
     "q_bpe_train3" -> (Quality.qBpeTrain3 _),
     "q_js_divergence" -> (Quality.qJsDivergence _),
+    "q_line_dedup" -> (Quality.qLineDedup _),
+    "q_snapshot_diff" -> (Quality.qSnapshotDiff _),
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
@@ -2168,6 +2170,56 @@ object SparkEntry {
         |  round((count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE), 4)
         |    AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Segments are the doc's consecutive 10-word windows; a segment in
+    // >= 3 distinct docs is corpus boilerplate and is cut. integer ppm
+    // (div) keeps the fraction float-free on both engines.
+    "q_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id, unnest([array_to_string(w[i*10+1:i*10+10], ' ')
+        |    for i in range(0, (len(w) - 1) // 10 + 1)]) AS seg
+        |  FROM w),
+        |df AS (
+        |  SELECT seg, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, seg FROM seg) GROUP BY seg)
+        |SELECT s.doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN df < 3 THEN length(s.seg) ELSE 0 END) AS BIGINT)
+        |    AS kept_chars,
+        |  CAST(sum(length(s.seg)) AS BIGINT) AS total_chars,
+        |  (CAST(sum(CASE WHEN df < 3 THEN length(s.seg) ELSE 0 END) AS BIGINT)
+        |     * 1000000)
+        |    // greatest(CAST(sum(length(s.seg)) AS BIGINT), 1) AS retained_ppm
+        |FROM seg s JOIN df USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // Snapshots are per-(user, event_type) event counts in the corpus
+    // month's first and last week; presence is the count itself, so a
+    // NULL value column can never misclassify a key.
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, count(*) AS n_old
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+        |  GROUP BY user_id, event_type),
+        |b AS (
+        |  SELECT user_id, event_type, count(*) AS n_new
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31 00:00:00'
+        |  GROUP BY user_id, event_type),
+        |j AS (
+        |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |    CASE WHEN a.user_id IS NULL THEN 'added'
+        |         WHEN b.user_id IS NULL THEN 'removed'
+        |         WHEN n_old = n_new THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b
+        |    ON a.user_id = b.user_id AND a.event_type = b.event_type)
+        |SELECT status, count(*) AS n_keys,
+        |  CAST(sum(user_id) AS BIGINT) AS key_checksum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "q_repetition" ->
       """WITH tkt AS (

@@ -2349,4 +2349,85 @@ object Quality {
             " div greatest(tokens_before, 1)").as("saved_ppm"))
     }.reduce(_ union _).orderBy("source", "round")
   }
+
+  /** Corpus-level LINE dedup (the CCNet / RefinedWeb paragraph-hash
+    * pass, at segment granularity): every document is cut into
+    * consecutive 10-word segments (the corpus has no newlines, so the
+    * fixed window is the "line"; the mechanism is byte-identical with
+    * `split(text,'\n')` lines), a document-frequency aggregate over
+    * the EXACT segment string finds segments shared by ≥ 3 distinct
+    * docs, and each document reports how much of it survives the cut
+    * — the CCNet signal that kills cookie banners and navigation
+    * chrome doc-level MinHash can't see (they sit inside otherwise-
+    * unique pages). The reference's dedup is whole-object
+    * skip-if-exists (app.py:270-273); this is the intra-object
+    * generalization a text corpus needs.
+    *
+    * Scale shape: two hash aggregates and one equi-join on the
+    * segment string — df collapses map-side (bytes shuffled ∝
+    * DISTINCT segments, not corpus positions), the join key is the
+    * ~60-byte segment itself (no hash detour, no collision risk, and
+    * the oracle stays dialect-independent), and the per-doc rollup
+    * shuffles fixed-width counters keyed by doc_id. Nothing quadratic
+    * anywhere; at 100 TB the df table is the working set and it
+    * shards cleanly by segment. */
+  def qLineDedup(spark: SparkSession, d: String): DataFrame = {
+    val seg = Tables.documentsSpread(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(w) - 1) div 10), " +
+          "i -> array_join(slice(w, i * 10 + 1, 10), ' '))")).as("seg"))
+    val df = seg.select("doc_id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+    seg.join(df, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") < 3, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("df") < 3, length(col("seg"))).otherwise(0L)).as("kept_chars"),
+        sum(length(col("seg"))).as("total_chars"))
+      .withColumn("retained_ppm",
+        expr("(kept_chars * 1000000) div greatest(total_chars, 1)"))
+      .select("doc_id", "n_segments", "n_kept", "kept_chars",
+        "total_chars", "retained_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** Snapshot diff (the dataset-versioning audit): two point-in-time
+    * views of per-(user, event_type) state — the cell's event count in
+    * the corpus month's first and last week — full-outer joined on the
+    * key and classified added / removed / changed / unchanged, with a
+    * key checksum per class. This is the "what changed between corpus
+    * v1 and v2" report every training-data release cuts; the
+    * reference's analogue is the verify-then-delete migration diff
+    * (upload_to_rfs.py:154-223), which compares the same object set
+    * across two stores.
+    *
+    * Scale shape: each snapshot is ONE hash aggregate over its
+    * window's pruned scan (count collapses map-side; the ts predicate
+    * reaches the parquet scan); the diff is a single full-outer
+    * shuffle join on the composite key — both sides pre-collapsed to
+    * |cells| rows — and the classification is a codegen'd CASE over
+    * the join's null pattern, rolled up by one more fixed-width
+    * aggregate. The key's PRESENCE travels as the count itself (never
+    * NULL for a present cell), so a NULL-valued column can never
+    * misclassify — the q_asof_stream_twin lesson. */
+  def qSnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    def snap(lo: String, hi: String, n: String): DataFrame =
+      Tables.events(spark, d)
+        .filter(col("ts") >= expr(s"timestamp'$lo'") &&
+          col("ts") < expr(s"timestamp'$hi'"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as(n))
+    val a = snap("2024-01-01 00:00:00", "2024-01-08 00:00:00", "n_old")
+    val b = snap("2024-01-24 00:00:00", "2024-01-31 00:00:00", "n_new")
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"),
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .when(col("n_old") === col("n_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"), sum("user_id").as("key_checksum"))
+      .orderBy("status")
+  }
 }

@@ -1351,4 +1351,60 @@ class QualitySpec extends SparkSpec {
       }
     }
   }
+
+  test("line dedup: per-doc accounting is internally consistent and replays a driver-side cut") {
+    val rows = Quality.qLineDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, nSeg, nKept, keptCh, totCh, ppm) =>
+      assert(nKept <= nSeg && keptCh <= totCh, s"doc $id kept more than it has")
+      assert(ppm == keptCh * 1000000L / math.max(totCh, 1L), s"doc $id ppm drifted")
+      assert((nKept == nSeg) == (keptCh == totCh), s"doc $id count/char cut disagree")
+    }
+    // boilerplate must exist (the corpus plants shared phrases) and the
+    // cut must hit someone, but never everyone
+    assert(rows.exists(_._6 < 1000000L), "no doc lost any segment - df threshold dead")
+    assert(rows.exists(_._6 == 1000000L), "every doc lost content - threshold too low")
+    // replay the whole cut on the driver: segment -> distinct-doc df,
+    // keep df < 3 (500 docs x ~15 segments - tiny)
+    val segs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq))
+    val df = segs.flatMap { case (id, ss) => ss.distinct.map((_, id)) }
+      .groupBy(_._1).map { case (s, v) => s -> v.length }
+    val expected = segs.map { case (id, ss) =>
+      val kept = ss.filter(df(_) < 3)
+      (id, ss.length.toLong, kept.length.toLong,
+        kept.map(_.length.toLong).sum, ss.map(_.length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    assert(rows.toSeq.sortBy(_._1).map(t => (t._1, t._2, t._3, t._4, t._5)) == expected,
+      "line-dedup cut diverged from the driver replay")
+  }
+
+  test("snapshot diff: classes partition the key space and replay a driver-side diff") {
+    val got = Quality.qSnapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    // all four classes exist on this corpus (windows chosen for that)
+    assert(got.map(_._1) == Seq("added", "changed", "removed", "unchanged"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    def snap(lo: Long, hi: Long) = ev.filter(e => e._3 >= lo && e._3 < hi)
+      .groupBy(e => (e._1, e._2)).map { case (k, v) => k -> v.length }
+    val a = snap(us("2024-01-01T00:00:00Z"), us("2024-01-08T00:00:00Z"))
+    val b = snap(us("2024-01-24T00:00:00Z"), us("2024-01-31T00:00:00Z"))
+    val keys = a.keySet ++ b.keySet
+    val expected = keys.toSeq.map { k =>
+      val st = (a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) => if (x == y) "unchanged" else "changed"
+      }
+      (st, k._1)
+    }.groupBy(_._1).map { case (st, v) => (st, v.length.toLong, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got == expected, "snapshot diff diverged from the driver replay")
+    // the classes partition the full outer key space
+    assert(got.map(_._2).sum == keys.size.toLong)
+  }
 }
