@@ -3646,7 +3646,7 @@ object SparkEntry {
     // fingerprints (df > 64) dropped, pairs sharing >= 2 kept.
     "q_frame_dedup" ->
       """WITH f AS (
-        |  SELECT DISTINCT doc_id, md5(substring(text, i, 8)) AS fp
+        |  SELECT DISTINCT doc_id, substring(text, i, 8) AS fp
         |  FROM (SELECT doc_id, text,
         |          unnest(range(1, CAST(length(text) AS INT) - 6, 4)) AS i
         |        FROM documents WHERE length(text) >= 8)),

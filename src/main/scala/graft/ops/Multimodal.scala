@@ -246,7 +246,10 @@ object Multimodal {
       .filter(length(col("t")) >= 8)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(t) - 7, 4)")).as("i"), col("t"))
-      .select(col("doc_id"), md5(expr("substring(t, i, 8)")).as("fp"))
+      // the raw 8-char window IS the key: hashing it (md5 = 32 hex
+      // chars) would quadruple the shuffled key bytes and add a hash
+      // per window for nothing — the fingerprint never leaves the plan
+      .select(col("doc_id"), expr("substring(t, i, 8)").as("fp"))
       .distinct()
       .persist() // df cap + both pair-join sides share it
     val keep = fp.groupBy("fp").agg(count(lit(1)).as("df"))

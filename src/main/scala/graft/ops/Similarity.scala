@@ -982,10 +982,13 @@ object Similarity {
     val pairs = qGridNeighbors(spark, d).persist()
     val edges = pairs.select(col("vec_a").as("dst"), col("vec_b").as("src"))
       .union(pairs.select(col("vec_b").as("dst"), col("vec_a").as("src")))
+    // join WHOLE vectors (one probe per edge), THEN explode to dims:
+    // exploding before the join would multiply both the join's probe
+    // count and the shuffled row count by the embedding width
     val feats = Tables.embeddings(spark, d)
-      .select(col("vec_id").as("src"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id").as("src"), col("embedding"))
     edges.join(feats, Seq("src"))
+      .select(col("dst"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("dst").as("vec_id"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n_neighbors"),
         sum(col("x").cast("double").cast("decimal(18,6)")).cast("string").as("msg_sum"))
