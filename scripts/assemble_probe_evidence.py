@@ -29,9 +29,26 @@ def main():
             continue
         for q, rec in data.items():
             e = merged.setdefault(q, {})
+            # ONE current status per (query, tier): a later record for the
+            # same tier SUPERSEDES the earlier one (e.g. a spill-abort
+            # retried with --stage), and the superseded attempt moves to
+            # an attempts list instead of lingering as a contradictory
+            # detail blob next to a pass (the r7 q_embed_clusters lesson).
+            if tier in e:
+                e.setdefault(f"{tier}_attempts", []).append(
+                    {"status": e[tier],
+                     **({"detail": e.pop(f"{tier}_detail")}
+                        if f"{tier}_detail" in e else {}),
+                     **({"oracle_sec": e.pop(f"{tier}_oracle_sec")}
+                        if f"{tier}_oracle_sec" in e else {})})
             e[tier] = rec.get("status")
+            e.pop(f"{tier}_detail", None)
+            e.pop(f"{tier}_oracle_sec", None)
             if "sec" in rec:
-                e[f"{tier}_sec"] = rec["sec"]
+                # check_oracle timings measure the DUCKDB oracle, not the
+                # engine — name them so: engine seconds live in the
+                # BENCH_K10-style artifacts, not here.
+                e[f"{tier}_oracle_sec"] = rec["sec"]
             if rec.get("status") not in ("pass", "no-oracle"):
                 e[f"{tier}_detail"] = rec
     summary = {

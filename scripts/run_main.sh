@@ -1,0 +1,25 @@
+#!/bin/bash
+# Run a graft main class (graft.Bench / graft.Verify) on the compiled
+# classes + /opt/spark/jars directly, WITHOUT sbt — so long probe-scale
+# runs don't hold the sbt project lock while specs iterate. Mirrors
+# build.sbt's forked-JVM options (JDK17 add-opens, UTC, no UI).
+#
+#   scripts/run_main.sh graft.Bench
+#   scripts/run_main.sh graft.Verify /tmp/graft_probe_k10 /tmp/verify_k10
+#
+# Env respected: SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_* passthrough.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CLASSES=target/scala-2.13/classes
+[ -d "$CLASSES" ] || { echo "compile first: sbt compile" >&2; exit 1; }
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" "$@"

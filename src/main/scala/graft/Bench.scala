@@ -95,9 +95,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}"""
     println(json)
     // The repo record covers the FULL surface only — a targeted
-    // SPARK_GRAFT_QUERIES subset run must not clobber it.
-    if (sys.env.get("SPARK_GRAFT_QUERIES").isEmpty)
-      Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // SPARK_GRAFT_QUERIES subset run must not clobber it. An explicit
+    // SPARK_GRAFT_BENCH_OUT redirects the record (e.g. BENCH_K10.json
+    // for the magnitude-probe engine bench) and always writes.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(out) => Files.writeString(Paths.get(out), json + "\n")
+      case None if sys.env.get("SPARK_GRAFT_QUERIES").isEmpty =>
+        Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+      case None => ()
+    }
     spark.stop()
     // Compact summary as the very last stdout line (post-stop so no
     // shutdown logging can follow it on stdout): fits the driver's
