@@ -3,9 +3,12 @@
 
 Merges the per-job --json outputs of scripts/check_oracle.py runs at
 the K=3 (sf0.3-equivalent) and K=10 (sf1-equivalent) magnitude probes
-into one {query: {k3: status, k10: status, k3_sec, k10_sec}} map plus
-a summary, so the SURVEY §6 highest-confirmed-scale table is generated
-from recorded runs, not assertions. Pass any number of JSON paths
+into one {query: {k3: status, k10: status, k3_oracle_sec,
+k10_oracle_sec}} map plus a summary, so the SURVEY §6
+highest-confirmed-scale table is generated from recorded runs, not
+assertions. Schema note: PROBES_r07.json used the old *_sec key names;
+r09 onward uses *_oracle_sec (the value is the DuckDB oracle's wall
+time, not the engine's) — cross-round readers must handle both. Pass any number of JSON paths
 tagged k3=/k10= on the command line:
 
     python3 scripts/assemble_probe_evidence.py out.json \

@@ -98,11 +98,22 @@ object Bench {
     // SPARK_GRAFT_QUERIES subset run must not clobber it. An explicit
     // SPARK_GRAFT_BENCH_OUT redirects the record (e.g. BENCH_K10.json
     // for the magnitude-probe engine bench) and always writes.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
-      case Some(out) => Files.writeString(Paths.get(out), json + "\n")
+    val benchOut: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(out)
+          if Paths.get(out).getFileName.toString == "BENCH_LOCAL.json" &&
+            sys.env.contains("SPARK_GRAFT_QUERIES") =>
+        // A subset run must never clobber the full-surface repo record,
+        // even via an explicit BENCH_OUT pointed back at it.
+        System.err.println(
+          "refusing SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json with a " +
+            "SPARK_GRAFT_QUERIES subset set; choose another path")
+        None
+      case Some(out) =>
+        Files.writeString(Paths.get(out), json + "\n"); Some(out)
       case None if sys.env.get("SPARK_GRAFT_QUERIES").isEmpty =>
         Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
-      case None => ()
+        Some("BENCH_LOCAL.json")
+      case None => None
     }
     spark.stop()
     // Compact summary as the very last stdout line (post-stop so no
@@ -111,6 +122,6 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full map in BENCH_LOCAL.json","sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full map in ${benchOut.getOrElse("stdout only (unsaved subset run)")}","sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}""")
   }
 }

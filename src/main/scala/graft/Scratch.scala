@@ -11,9 +11,37 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (name <- args) {
-      println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, d).explain("formatted")
+    if (args.headOption.contains("sqlscan")) {
+      // Triage for the SQL-parity sweep: which declared queries' DuckDB
+      // oracle texts ALREADY run verbatim (or nearly) through spark.sql
+      // over the registered views and match the DataFrame result?
+      Tables.createViews(spark, d)
+      val skip = args.drop(1).toSet
+      SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+        if (!skip.contains(name)) {
+          try {
+            val viaSql = spark.sql(sql)
+            val viaApi = SparkEntry.queries(name)(spark, d)
+            if (viaApi.columns.toSeq != viaSql.columns.toSeq)
+              println(s"COLS  $name")
+            else {
+              val a = viaApi.collect().map(_.toString).sorted
+              val b = viaSql.collect().map(_.toString).sorted
+              println(if (a.sameElements(b)) s"PASS  $name" else s"DIFF  $name")
+            }
+          } catch {
+            case e: Throwable =>
+              val m = Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(140)
+              println(s"ERR   $name: $m")
+          } finally spark.catalog.clearCache()
+        }
+      }
+    } else {
+      for (name <- args) {
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, d).explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -317,6 +317,7 @@ object SparkEntry {
     "q_rag_chunks" -> (Packing.qRagChunks _),
     "q_batch_buckets" -> (Packing.qBatchBuckets _),
     "q_compaction_plan" -> (Inventory.qCompactionPlan _),
+    "q_compaction_nfd" -> (Inventory.qCompactionNfd _),
     "q_ks_test" -> (Quality.qKsTest _),
     "q_merge_stats" -> (Quality.qMergeStats _),
     "q_binary_ingest" -> (Multimodal.qBinaryIngest _),
@@ -1859,6 +1860,15 @@ object SparkEntry {
         |    THEN '1' ELSE '0' END for b in range(1, 17)], '') AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Inverted-index formulation (shingle equi-join → per-pair common
+    // count), NOT the naive all-pairs list_intersect join: identical
+    // result set — a pair with zero common shingles has jaccard 0 and
+    // never passes the ≥ 0.5 cut, so materializing only ≥1-common
+    // pairs loses nothing — but the oracle's cost becomes Σdf² like
+    // the engine's, which keeps the K=10 magnitude probe checkable
+    // (the naive form ran >80 min there; this runs in minutes). The
+    // naive ↔ PPJoin equivalence is still asserted independently in
+    // QualitySpec against ngramJaccardNaive.
     "q_ngram_jaccard" ->
       """WITH tkt AS (
         |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -1867,11 +1877,20 @@ object SparkEntry {
         |    list_distinct([array_to_string(tk[i:i+2], ' ')
         |      for i in range(1, len(tk) - 1)]) AS s
         |  FROM tkt WHERE len(tk) >= 3),
-        |j AS (
+        |shx AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, lang, len(s) AS sz FROM sh),
+        |com AS (
         |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(len(list_intersect(a.s, b.s))
-        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |    count(*) AS n_common
+        |  FROM shx a JOIN shx b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT com.lang, doc_a, doc_b,
+        |    round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4) AS jaccard
+        |  FROM com
+        |  JOIN szs sa ON sa.doc_id = com.doc_a AND sa.lang = com.lang
+        |  JOIN szs sb ON sb.doc_id = com.doc_b AND sb.lang = com.lang)
         |SELECT lang, doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY lang, doc_a, doc_b""".stripMargin,
 
@@ -4509,6 +4528,10 @@ object SparkEntry {
         |SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
 
+    // Inverted-index formulation — same rewrite and rationale as the
+    // q_ngram_jaccard oracle above: a zero-common pair has containment
+    // 0 ppm and can never reach the 800000 cut, so the equi-join form
+    // is result-identical while staying K=10-checkable.
     "q_containment" ->
       """WITH tkt AS (
         |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -4517,12 +4540,20 @@ object SparkEntry {
         |    list_distinct([array_to_string(tk[i:i+2], ' ')
         |      for i in range(1, len(tk) - 1)]) AS s
         |  FROM tkt WHERE len(tk) >= 3),
-        |j AS (
+        |shx AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, lang, len(s) AS sz FROM sh),
+        |com AS (
         |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
-        |    (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000)
-        |      // least(len(a.s), len(b.s)) AS containment_ppm
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |    count(*) AS n_common
+        |  FROM shx a JOIN shx b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT com.lang, doc_a, doc_b, n_common,
+        |    (n_common * 1000000) // least(sa.sz, sb.sz) AS containment_ppm
+        |  FROM com
+        |  JOIN szs sa ON sa.doc_id = com.doc_a AND sa.lang = com.lang
+        |  JOIN szs sb ON sb.doc_id = com.doc_b AND sb.lang = com.lang)
         |SELECT lang, doc_a, doc_b, n_common, containment_ppm FROM j
         |WHERE containment_ppm >= 800000
         |ORDER BY lang, doc_a, doc_b""".stripMargin,
@@ -5420,6 +5451,14 @@ object SparkEntry {
         |  vec_id = canonical_id AS is_canonical
         |FROM lab ORDER BY vec_id""".stripMargin,
 
+    // Both pair sides rewritten scalable (same result-identity
+    // arguments as the q_ngram_jaccard/q_containment oracles): the
+    // LSH candidates come from a band-value EQUI-join over exploded
+    // (band_idx, band_val) rows — the set {pairs sharing ≥1 band} is
+    // exactly the old all-pairs band-comparison's, deduped — and the
+    // exact truth side uses the inverted-index common-count join.
+    // This keeps the heaviest oracle in the dedup family K=10-checkable
+    // (the all-pairs form was the only K=3-only holdout family in r7/r8).
     "q_dedup_recall" ->
       """WITH tkt AS (
         |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -5434,18 +5473,22 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bx AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bx a JOIN bx b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |lsh AS (
         |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |      round(len(list_intersect(sa, sb))
-        |        / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4)
-        |        AS jac
-        |    FROM cand)
+        |    SELECT c.doc_a, c.doc_b,
+        |      round(len(list_intersect(sa.s, sb.s))
+        |        / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |            AS DOUBLE), 4) AS jac
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b)
         |  WHERE jac >= 0.5),
         |lshl AS (
         |  SELECT l.doc_a, l.doc_b, (la.lang = lb.lang) AS same_block,
@@ -5453,11 +5496,20 @@ object SparkEntry {
         |  FROM lsh l
         |  JOIN documents la ON la.doc_id = l.doc_a
         |  JOIN documents lb ON lb.doc_id = l.doc_b),
+        |shx AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, lang, len(s) AS sz FROM sh),
+        |com AS (
+        |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_common
+        |  FROM shx a JOIN shx b ON a.lang = b.lang AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
         |ex AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, TRUE AS in_exact
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))
-        |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4)
+        |  SELECT doc_a, doc_b, TRUE AS in_exact
+        |  FROM com
+        |  JOIN szs sa ON sa.doc_id = com.doc_a AND sa.lang = com.lang
+        |  JOIN szs sb ON sb.doc_id = com.doc_b AND sb.lang = com.lang
+        |  WHERE round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4)
         |    >= 0.5),
         |f AS (
         |  SELECT l.same_block, l.in_lsh, e.in_exact
@@ -5787,6 +5839,41 @@ object SparkEntry {
         |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_files,
         |  max(bin) + 1 AS n_bins, CAST(sum(bytes) AS BIGINT) AS total_bytes
         |FROM a GROUP BY day ORDER BY day""".stripMargin,
+
+    // The NFD greedy unrolled as a per-day recursive walk over the
+    // size-ranked file list: the recursion carries (bins, current bin
+    // bytes, remaining capacity, max bin) and steps rn → rn+1, exactly
+    // the engine aggregator's fold. Equal-size ties are interchangeable
+    // under NFD, so the rank's event_type tiebreak cannot diverge from
+    // the engine's tie-free sort.
+    "q_compaction_nfd" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |    CAST(sum(length(props)) + 64 * count(*) AS BIGINT) AS bytes
+        |  FROM events GROUP BY day, event_type),
+        |o AS (
+        |  SELECT day, bytes,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY bytes DESC, event_type) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS nf,
+        |    CAST(sum(bytes) OVER (PARTITION BY day) AS BIGINT) AS tot
+        |  FROM f),
+        |rec AS (
+        |  SELECT day, rn, nf, tot, CAST(1 AS BIGINT) AS bins, bytes AS cur,
+        |    CAST(greatest(4096 - bytes, 0) AS BIGINT) AS rem, bytes AS maxbin
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.day, o.rn, o.nf, o.tot,
+        |    CASE WHEN o.bytes > r.rem THEN r.bins + 1 ELSE r.bins END,
+        |    CASE WHEN o.bytes > r.rem THEN o.bytes ELSE r.cur + o.bytes END,
+        |    CAST(CASE WHEN o.bytes > r.rem THEN greatest(4096 - o.bytes, 0)
+        |      ELSE r.rem - o.bytes END AS BIGINT),
+        |    greatest(r.maxbin,
+        |      CASE WHEN o.bytes > r.rem THEN o.bytes ELSE r.cur + o.bytes END)
+        |  FROM rec r JOIN o ON o.day = r.day AND o.rn = r.rn + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(nf AS BIGINT) AS n_files,
+        |  bins AS n_bins, tot AS total_bytes, maxbin AS max_bin_bytes
+        |FROM rec WHERE rn = nf ORDER BY day""".stripMargin,
 
     "q_ks_test" ->
       """WITH c AS (

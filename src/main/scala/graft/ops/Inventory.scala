@@ -889,4 +889,36 @@ object Inventory {
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .orderBy("day")
   }
+
+  /** The true Next-Fit-DECREASING compaction planner — the
+    * capacity-respecting sibling of [[qCompactionPlan]]: where the
+    * offset scheme cuts the concatenated byte stream at exact target
+    * boundaries (minimum bins, but bins overflow the target when a
+    * file straddles a cut), NFD treats the 4 KiB target as a CAPACITY
+    * — largest-first, one open bin, a file that doesn't fit closes the
+    * bin — so output objects stay ≤ target unless a single oversize
+    * file owns its bin, with the textbook n_bins ≤ 2·OPT guarantee
+    * (consecutive bins sum > target; see
+    * functions/NfdPackAggregator). The pair prices the real lakehouse
+    * trade: object-size SLA (NFD) vs minimum object count (offset).
+    *
+    * Plan shape for 100 TB: the fold is a typed Aggregator whose
+    * buffer holds the day's FILE SIZES — dim-bounded at ≤ |event
+    * types| longs per day — so map-side partial aggregation applies
+    * and a million partition-days plan in one shuffle of tiny
+    * buffers; no window sort, no driver loop. */
+  def qCompactionNfd(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val files = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("bytes"))
+    files.as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.NfdPackAggregator(4096L).toColumn.name("r"))
+      .toDF("day", "r")
+      .select(col("day"), col("r._1").as("n_files"), col("r._2").as("n_bins"),
+        col("r._3").as("total_bytes"), col("r._4").as("max_bin_bytes"))
+      .orderBy("day")
+  }
 }

@@ -690,9 +690,11 @@ object Quality {
     // PPJoin-style exact similarity join (Xiao et al., "Efficient
     // Similarity Joins for Near Duplicate Detection", WWW'08) —
     // prefix filter + positional filter, then exact verification.
-    // Both filters are LOSSLESS for J ≥ t (the oracle stays the naive
-    // all-shingles join and hashes identically; the spec also asserts
-    // set equality against it):
+    // Both filters are LOSSLESS for J ≥ t (the DuckDB oracle is an
+    // independent inverted-index formulation — r9: the naive all-pairs
+    // oracle form could not complete the K=10 magnitude probe — and
+    // the spec asserts set equality against the naive ground truth
+    // ngramJaccardNaive below):
     //  (1) prefix filter: under any global token order, two sets with
     //      J ≥ t must share a token among their first
     //      |X| − ⌈t·|X|⌉ + 1 tokens — only those enter the inverted
@@ -2377,6 +2379,8 @@ object Quality {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, (size(w) - 1) div 10), " +
           "i -> array_join(slice(w, i * 10 + 1, 10), ' '))")).as("seg"))
+      .persist() // feeds the df aggregate AND the equi-join: one corpus
+                 // tokenization pass instead of two (q_tfidf discipline)
     val df = seg.select("doc_id", "seg").distinct()
       .groupBy("seg").agg(count(lit(1)).as("df"))
     seg.join(df, "seg")

@@ -434,4 +434,44 @@ class InventorySpec extends SparkSpec {
     assert(out.count() == expect.size)
     out.unpersist()
   }
+
+  test("compaction NFD: driver-replayed greedy, 2-OPT bound, and >= offset-scheme bins") {
+    val target = 4096L
+    val nfd = Inventory.qCompactionNfd(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val offset = Inventory.qCompactionPlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // driver-side replay of the exact greedy from the raw inventory
+    val files = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((sum(length(col("props"))) + lit(64L) * count(lit(1))).as("bytes"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(x => -x)).toMap
+    assert(nfd.keySet == files.keySet && nfd.keySet == offset.keySet)
+    files.foreach { case (day, sizes) =>
+      var binSums = List.empty[Long] // head = open bin
+      var rem = -1L
+      sizes.foreach { x =>
+        if (binSums.isEmpty || x > rem) { binSums ::= x; rem = math.max(target - x, 0L) }
+        else { binSums = (binSums.head + x) :: binSums.tail; rem -= x }
+      }
+      val (nFiles, nBins, total, maxBin) = nfd(day)
+      assert(nFiles == sizes.length.toLong, day)
+      assert(total == sizes.sum, day)
+      assert(nBins == binSums.length.toLong, day)
+      assert(maxBin == binSums.max, day)
+      // the 2-OPT witness: every two CONSECUTIVE bins sum > target
+      // (else the later bin's first file would have fit the earlier bin)
+      binSums.reverse.sliding(2).filter(_.size == 2).foreach { pair =>
+        assert(pair.sum > target, s"$day consecutive bins $pair")
+      }
+      assert(nBins <= 2L * ((total + target - 1) / target), day) // <= 2*ceil >= 2*OPT
+      // capacity is respected except by a single oversize owner
+      assert(maxBin <= math.max(target, sizes.max), day)
+      // NFD can never beat the gap-free offset concatenation's bin count
+      assert(nBins >= offset(day), day)
+    }
+  }
 }
