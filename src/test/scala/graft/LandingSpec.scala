@@ -124,6 +124,51 @@ class LandingSpec extends SparkSpec {
     assert(spark.read.parquet(dB).count() == 5)
   }
 
+  test("a corpus swap at the same path re-lands EVERY shared artifact (no consumer can serve stale pairs)") {
+    // End-to-end fingerprint invalidation: regenerate the corpus
+    // in-place (same path, different content) and assert each of the
+    // four shared artifact accessors — the single point every
+    // consumer query reads through — re-keys to a NEW landing dir and
+    // reflects the NEW data. This is the staleness class the r5 fix
+    // targeted, proved here across the full artifact set rather than
+    // per-landing-mechanics (the prune/age-gate cases above).
+    val sf = freshSfDir()
+    def copyCorpus(from: String): Unit =
+      new File(from).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath, new File(sf, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    copyCorpus("/root/testdata/sf0.001")
+    val accessors: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "lsh_pairs_v1" -> (graft.ops.Quality.neardupPairs(spark, _)),
+      "ngram_pairs_v1" -> (graft.ops.Quality.exactJaccardPairs(spark, _)),
+      "lift_edges_v1" -> (graft.ops.Mining.liftEdges(spark, _)),
+      "own_pairs_v1" -> (graft.ops.Mining.ownPairs(spark, _)))
+    val before = accessors.map { case (kind, f) =>
+      val df = f(sf)
+      val files = df.inputFiles.toSeq
+      assert(files.nonEmpty && files.forall(_.contains(kind)), kind)
+      kind -> files
+    }.toMap
+    // the in-place regeneration: same path, different corpus content
+    copyCorpus("/root/testdata/sf0.01")
+    spark.catalog.clearCache()
+    accessors.foreach { case (kind, f) =>
+      val df = f(sf)
+      val files = df.inputFiles.toSeq
+      // a new fingerprint dir — not one byte served from the old landing
+      assert(files.nonEmpty && files.forall(_.contains(kind)), kind)
+      assert(files.toSet.intersect(before(kind).toSet).isEmpty,
+        s"$kind: served files from the pre-swap landing")
+      // and the content is genuinely the new corpus's: row-identical
+      // to the artifact the same accessor lands for a reference corpus
+      // with the same content (/root/testdata/sf0.01 itself)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = f("/root/testdata/sf0.01").collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"$kind: post-swap artifact content is not the new corpus's")
+    }
+  }
+
   test("the landed dedup pair artifact equals the live pair pipeline output") {
     // the contract the dedup family relies on: reading the artifact is
     // indistinguishable from running qMinhashNeardup

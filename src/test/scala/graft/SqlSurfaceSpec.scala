@@ -354,6 +354,59 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  /** The second front-door sweep: these declared queries' ORACLE texts
+    * are pure ANSI — no DuckDB-ism (list comprehensions, `//`,
+    * strftime, string_split_regex) — so the exact SQL the DuckDB gate
+    * runs ALSO runs verbatim through `spark.sql` over the registered
+    * views. Pinning them row-identical to the DataFrame API means one
+    * SQL text is simultaneously: the cross-engine oracle, the Spark
+    * SQL user's query, and the operator's documented semantics. A
+    * DuckDB-only construct creeping into one of these oracles fails
+    * here loudly (portability is part of the contract). Names were
+    * triaged mechanically (Scratch sqlscan) and pinned explicitly so
+    * additions are intentional. */
+  private val portableOracles: Seq[String] = Seq(
+    "q_anti_dedup", "q_asof_dim_enrich", "q_asof_forward", "q_asof_latest",
+    "q_asof_merge", "q_asof_native", "q_asof_window", "q_bloom_dedup",
+    "q_buffered_bounds", "q_cdc_apply", "q_changepoint", "q_chi2_test",
+    "q_chunk_explode", "q_class_weights", "q_completeness", "q_cross_dims",
+    "q_csv_config", "q_curriculum", "q_daily_anomaly", "q_data_split",
+    "q_dataset_card", "q_distinct", "q_distinct_approx", "q_dq_audit",
+    "q_dup_rate_by_source", "q_epoch_shuffle", "q_event_transitions",
+    "q_ewma", "q_exact_dedup", "q_fd_discovery", "q_full_outer", "q_funnel",
+    "q_group_agg", "q_group_agg_salted", "q_group_sample", "q_grouping_sets",
+    "q_heavy_hitters", "q_intersect", "q_interval_merge", "q_ivm_merge",
+    "q_json_config", "q_key_width", "q_label_prop", "q_lookup_join",
+    "q_lookup_misses", "q_merge_upsert", "q_minmax_norm", "q_mix_weights",
+    "q_mutual_info", "q_ntile_cume", "q_null_semantics", "q_onehot",
+    "q_orc_roundtrip", "q_partition_prune", "q_pit_features", "q_pivot",
+    "q_psi_drift", "q_range_join", "q_recommend", "q_rolling_stats",
+    "q_scd2", "q_schema_profile", "q_semi_present", "q_session_window",
+    "q_shard_assign", "q_skew_join_salted", "q_skew_profile", "q_skyline",
+    "q_small_cells", "q_snapshot_diff", "q_spearman", "q_star_join",
+    "q_stratified_sample", "q_supplier_diversity", "q_surrogate_key",
+    "q_text_lines", "q_text_stats", "q_theta_overlap", "q_topk_agg",
+    "q_topk_per_group", "q_tpch_custdist", "q_tpch_dormant",
+    "q_tpch_priority", "q_tpch_sole_fault", "q_triangles",
+    "q_tumbling_daily", "q_union_except", "q_unpivot", "q_upsert_compact",
+    "q_value_histogram", "q_window_rank", "q_xml_config", "q_zscore_outliers")
+
+  test(s"SQL-surface parity: ${portableOracles.size} oracle texts are ANSI-portable and row-identical through spark.sql") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    portableOracles.foreach { name =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq,
+        s"$name: column names diverge (${viaApi.columns.mkString(",")} vs ${viaSql.columns.mkString(",")})")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length, s"$name: ${a.length} vs ${b.length} rows")
+      assert(a.sameElements(b), s"$name: oracle text through spark.sql diverged from the DataFrame result")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("the SQL user can express an ad-hoc skyline against the views and match the operator") {
     Tables.createViews(spark, sfDir)
     val viaSql = spark.sql(
