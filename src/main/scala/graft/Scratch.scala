@@ -20,14 +20,23 @@ object Scratch {
       SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
         if (!skip.contains(name)) {
           try {
-            val viaSql = spark.sql(sql)
-            val viaApi = SparkEntry.queries(name)(spark, d)
-            if (viaApi.columns.toSeq != viaSql.columns.toSeq)
-              println(s"COLS  $name")
-            else {
-              val a = viaApi.collect().map(_.toString).sorted
-              val b = viaSql.collect().map(_.toString).sorted
-              println(if (a.sameElements(b)) s"PASS  $name" else s"DIFF  $name")
+            // second chance: DuckDB floor division `//` → Spark `div`
+            // (identical for the non-negative operands these use)
+            def run(s: String, tag: String): Unit = {
+              val viaSql = spark.sql(s)
+              val viaApi = SparkEntry.queries(name)(spark, d)
+              if (viaApi.columns.toSeq != viaSql.columns.toSeq)
+                println(s"COLS$tag $name")
+              else {
+                val a = viaApi.collect().map(_.toString).sorted
+                val b = viaSql.collect().map(_.toString).sorted
+                println(if (a.sameElements(b)) s"PASS$tag $name" else s"DIFF$tag $name")
+              }
+            }
+            try run(sql, "  ")
+            catch {
+              case _: Throwable if sql.contains("//") =>
+                run(sql.replace("//", " div "), "2 ")
             }
           } catch {
             case e: Throwable =>

@@ -407,6 +407,37 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  /** One dialect token away from portable: these oracles' ONLY
+    * DuckDB-ism is floor division `//`, which is Spark's `div` —
+    * identical on the non-negative operands every one of these uses
+    * (q_seasonal_profile, whose dividend can be negative and floor ≠
+    * trunc, is deliberately absent). Covers the graph family the
+    * hand-written mirrors never reached: q_pagerank (10 unrolled
+    * power-iteration CTEs), q_graph_insights (3-round LPA + community
+    * rollup), q_assortativity, q_degree_dist. */
+  private val divPortableOracles: Seq[String] = Seq(
+    "q_ab_test", "q_assortativity", "q_degree_dist", "q_drift_bins",
+    "q_gini_concentration", "q_graph_insights", "q_hhi_concentration",
+    "q_join_card_est", "q_ks_test", "q_mannwhitney", "q_market_basket",
+    "q_merge_stats", "q_pagerank", "q_path_trigrams", "q_temporal_split",
+    "q_user_entropy")
+
+  test(s"SQL-surface parity: ${divPortableOracles.size} more oracle texts are portable modulo '//' = div") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    divPortableOracles.foreach { name =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(SparkEntry.oracleSql(name).replace("//", " div "))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq,
+        s"$name: column names diverge (${viaApi.columns.mkString(",")} vs ${viaSql.columns.mkString(",")})")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length, s"$name: ${a.length} vs ${b.length} rows")
+      assert(a.sameElements(b), s"$name: translated oracle through spark.sql diverged")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("the SQL user can express an ad-hoc skyline against the views and match the operator") {
     Tables.createViews(spark, sfDir)
     val viaSql = spark.sql(
