@@ -1792,11 +1792,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -1836,11 +1843,19 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS index_doc
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val
+        |    AND a.doc_id < 400 AND b.doc_id >= 400),
         |cand AS (
-        |  SELECT b.doc_id AS new_doc, a.doc_id AS index_doc, b.s AS sb, a.s AS sa
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < 400 AND b.doc_id >= 400
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.new_doc, c.index_doc, bb.s AS sb, ba.s AS sa
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.index_doc
+        |  JOIN bands bb ON bb.doc_id = c.new_doc),
         |j AS (
         |  SELECT new_doc, index_doc,
         |    round(len(list_intersect(sa, sb))
@@ -2010,11 +2025,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -2375,12 +2397,19 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM sig, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.s AS sa, b.s AS sb, a.sl AS sla, b.sl AS slb
-        |  FROM sig a JOIN sig b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b,
+        |    sa.s AS sa, sb.s AS sb, sa.sl AS sla, sb.sl AS slb
+        |  FROM cpair c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b),
         |m AS (
         |  SELECT doc_a, doc_b,
         |    len(list_intersect(sa, sb)) AS ni,
@@ -2488,11 +2517,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -2662,11 +2698,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |mhbx AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM mhb, range(1, 5) t(i)),
+        |mhp AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mhbx a JOIN mhbx b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |mhc AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM mhb a JOIN mhb b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM mhp c
+        |  JOIN mhb ba ON ba.doc_id = c.doc_a
+        |  JOIN mhb bb ON bb.doc_id = c.doc_b),
         |mh AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT doc_a, doc_b,
@@ -3366,11 +3409,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -3408,11 +3458,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -3472,11 +3529,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -3519,11 +3583,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -5376,11 +5447,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |p AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
@@ -5739,11 +5817,18 @@ object SparkEntry {
         |       || list_min([substr(md5(x), 8*b + 5, 4) for x in s])
         |      for b in range(0, 4)] AS bd
         |  FROM sh),
+        |bxp AS (
+        |  SELECT doc_id, i AS band_idx, bd[i] AS band_val
+        |  FROM bands, range(1, 5) t(i)),
+        |cpair AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bxp a JOIN bxp b ON a.band_idx = b.band_idx
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.doc_id < b.doc_id
-        |   AND len(list_filter(range(1, 5), i -> a.bd[i] = b.bd[i])) > 0),
+        |  SELECT c.doc_a, c.doc_b, ba.s AS sa, bb.s AS sb
+        |  FROM cpair c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b),
         |j AS (
         |  SELECT doc_a, doc_b,
         |    round(len(list_intersect(sa, sb))
