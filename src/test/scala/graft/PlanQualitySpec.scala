@@ -129,6 +129,51 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  /** Queries whose physical plan legitimately contains an
+    * UNPARTITIONED window (WindowExec with an empty partitionSpec —
+    * Spark warns "Moving all data to a single partition"): acceptable
+    * ONLY because the window's input is already collapsed to a dim- or
+    * band-bounded aggregate, so the single partition holds tens of
+    * rows, not data. The bound is documented per entry; a global
+    * window over a FACT-sized stream would be a 100 TB cluster-killer
+    * and fails this sweep. */
+  private val globalWindowAllowed = Map(
+    "q_cumulative_users" -> "|distinct days| rows (per-day first-seen counts)",
+    "q_neardup_sweep"    -> "|sim bands| ≤ 11 rows (banded threshold sweep)",
+    "q_semdedup_sweep"   -> "|cos bands| ≤ 41 rows (banded threshold sweep)",
+    "q_quality_sweep"    -> "|score bands| ≤ 11 rows (banded threshold sweep)",
+    "q_vocab_coverage"   -> "|top vocab| rows (rank + cumulative mass)",
+    "q_pmi_bigrams"      -> "top-N bigram rows after the count cut",
+    "q_degree_dist"      -> "|distinct degrees| rows (ccdf accumulation)",
+    "q_return_hazard"    -> "≤15 gap-day buckets (survival accumulation)",
+    "q_interleave"       -> "|sources| rows (source ordinal dim)")
+
+  test("no declared query runs an unpartitioned window over fact-sized input; global windows only on dim/band-bounded aggregates") {
+    // The OPTIMIZED LOGICAL plan, not executedPlan: under AQE the
+    // physical plan is an AdaptiveSparkPlanExec whose inner tree
+    // collect() can't see before execution; the logical Window node
+    // carries the same partitionSpec and survives every rewrite that
+    // matters here (an empty spec is never invented or removed by
+    // physical planning).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      spark.catalog.clearCache()
+      val hit = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hit) Some(name) else None
+    }.toSet
+    // Exact equality, both directions: a NEW global window must arrive
+    // with a documented bound, and a plan change that removes one must
+    // retire its allowlist entry (no silent rot in either direction).
+    val unexpected = global -- globalWindowAllowed.keySet
+    val stale = globalWindowAllowed.keySet -- global
+    assert(unexpected.isEmpty && stale.isEmpty,
+      s"unpartitioned WindowExec drift — new offenders (document the bound or fix the plan): " +
+        s"${unexpected.toSeq.sorted.mkString(", ")}; stale allowlist entries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("throttle scan shuffles the events table exactly once (the user repartition)") {
     // The secondary-sort pattern must be: one hash exchange (the
     // repartition by user), an in-partition sort, the mapPartitions
