@@ -33,10 +33,25 @@ object Scratch {
                 println(if (a.sameElements(b)) s"PASS$tag $name" else s"DIFF$tag $name")
               }
             }
+            // third chance: the full mechanical-rename chain (DuckDB →
+            // Spark function names with identical semantics on these
+            // inputs; strftime format literals mapped per-pattern)
+            def translate(s: String): String = s
+              .replace("//", " div ")
+              .replace("string_split_regex(", "split(")
+              .replace("epoch_us(", "unix_micros(")
+              .replace("quantile_cont(", "percentile(")
+              .replace("strftime(", "date_format(")
+              .replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
+              .replace("'%Y%m%dT%H%M%S'", "'yyyyMMdd''T''HHmmss'")
             try run(sql, "  ")
             catch {
-              case _: Throwable if sql.contains("//") =>
-                run(sql.replace("//", " div "), "2 ")
+              case _: Throwable if sql != translate(sql) =>
+                try run(sql.replace("//", " div "), "2 ")
+                catch {
+                  case _: Throwable if translate(sql) != sql.replace("//", " div ") =>
+                    run(translate(sql), "3 ")
+                }
             }
           } catch {
             case e: Throwable =>

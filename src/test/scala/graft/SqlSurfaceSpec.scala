@@ -438,6 +438,49 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  /** The fourth sweep: oracles whose only dialect-isms are FUNCTION
+    * NAMES with a Spark builtin of identical semantics on these
+    * inputs — `string_split_regex`→`split` (both regex-split keeping
+    * empties), `epoch_us`→`unix_micros` (µs since epoch as BIGINT),
+    * `quantile_cont`→`percentile` (both linear-interpolated exact
+    * quantiles), `strftime`→`date_format` with the two format
+    * literals the corpus uses mapped per-pattern, plus `//`→`div`.
+    * Triaged mechanically (Scratch sqlscan chance-3); every name here
+    * was verified row-identical, so the rename table itself is pinned:
+    * a Spark release changing any of these builtins' semantics fails
+    * here before it fails at a user. */
+  private def renameTranslate(s: String): String = s
+    .replace("//", " div ")
+    .replace("string_split_regex(", "split(")
+    .replace("epoch_us(", "unix_micros(")
+    .replace("quantile_cont(", "percentile(")
+    .replace("strftime(", "date_format(")
+    .replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
+    .replace("'%Y%m%dT%H%M%S'", "'yyyyMMdd''T''HHmmss'")
+
+  private val renamePortableOracles: Seq[String] = Seq(
+    "q_asof_nearest", "q_autocorr", "q_compaction_nfd", "q_compaction_plan",
+    "q_cross_corr", "q_cumulative_users", "q_filename_inventory",
+    "q_freshness", "q_gap_detect", "q_interval_audit", "q_mad_outliers",
+    "q_percentiles", "q_percentiles_approx", "q_pit_rolling",
+    "q_rolling_time", "q_sessionize", "q_window_suite", "q_winsorize")
+
+  test(s"SQL-surface parity: ${renamePortableOracles.size} more oracle texts are portable modulo mechanical function renames") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    renamePortableOracles.foreach { name =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(renameTranslate(SparkEntry.oracleSql(name)))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq,
+        s"$name: column names diverge (${viaApi.columns.mkString(",")} vs ${viaSql.columns.mkString(",")})")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length, s"$name: ${a.length} vs ${b.length} rows")
+      assert(a.sameElements(b), s"$name: renamed oracle through spark.sql diverged")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("the SQL user can express an ad-hoc skyline against the views and match the operator") {
     Tables.createViews(spark, sfDir)
     val viaSql = spark.sql(
