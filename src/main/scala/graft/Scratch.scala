@@ -61,6 +61,18 @@ object Scratch {
           } finally spark.catalog.clearCache()
         }
       }
+    } else if (args.headOption.contains("run")) {
+      // run <sfDir> <outDir> <query...>: dump selected queries only
+      // (graft.Verify always runs the full surface; targeted A/B work
+      // on one rewritten operator shouldn't pay for 295)
+      val sfDir = args(1)
+      val outDir = args(2)
+      for (name <- args.drop(3)) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        spark.catalog.clearCache()
+        println(s"[scratch] wrote $outDir/$name")
+      }
     } else {
       for (name <- args) {
         println(s"===== $name =====")

@@ -936,31 +936,129 @@ object Similarity {
     * self-audit: shuffle ∝ candidates within buckets, output ∝
     * |labels|². */
   def qLabelAudit(spark: SparkSession, d: String): DataFrame = {
+    // EXACT-DUPLICATE COLLAPSE (the r9 rework, the q_gnn_aggregate
+    // geometry applied to kNN): cosine, IVF assignment, and therefore
+    // the whole candidate structure are CONTENT-determined, so the
+    // quadratic within-bucket pair stage runs over DISTINCT embedding
+    // content and every member inherits its group's ranking. What is
+    // NOT shared per member is the self-exclusion (each vector leaves
+    // ITSELF out of its top-5) and the true label — both recovered
+    // exactly from a BOUNDED per-group state: the 6 smallest-vec_id
+    // members (the k smallest of a union are always within each set's
+    // k smallest, so per-group prefix-6 lists reconstruct the global
+    // (cos DESC, vec_id ASC) top-6 under any tie structure, and top-5
+    // after removing at most one self entry is always inside the
+    // pre-exclusion top-6) plus a per-label member histogram for the
+    // tail (members beyond the prefix are never in anyone's top-6, so
+    // they share one no-exclusion prediction and contribute by label
+    // count). Pair volume at the K=10 probe drops from K²-quadratic to
+    // the duplicate-free corpus's — measured 85.5 s → seconds — and on
+    // a duplicate-free corpus the collapse costs one extra map-side
+    // hash aggregate. Member encoding: mid = vec_id·16 + label
+    // (labels < 16), so (cos DESC, mid ASC) ≡ the oracle's
+    // (cs DESC, vec_id ASC) and both fields ride one bounded TopK.
+    import spark.implicits._
     val v = withNorm(spark, Tables.embeddings(spark, d))
-      .select(col("vec_id"), col("e"), col("nrm"), col("label")).persist()
-    val asg = ivfAssignedK(spark, d, nprobe = 2).persist()
-    val cand = asg.select(col("cluster"), col("vec_id").as("probe_id"))
-      .join(asg.select(col("cluster"), col("vec_id")), Seq("cluster"))
-      .filter(col("probe_id") =!= col("vec_id"))
-      .select("probe_id", "vec_id").distinct()
-    val scored = cand
-      .join(v.select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na")),
-        "probe_id")
-      .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb")), "vec_id")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("e"), col("nrm")).persist()
+    val groups = v.groupBy("e")
+      .agg(min("vec_id").as("gid"), count(lit(1)).as("g"))
+      .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))
+      .persist()
+    // bounded per-group member prefix: 6 smallest vec_ids with labels
+    // (score −vec_id keeps vec_id ASC under the TopK's DESC order;
+    // vec_ids are exact in double far past any fixture scale)
+    val prefix6 = v.select(col("e"), col("vec_id"), col("label"))
+      .as[(Seq[Double], Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Seq[Double], Long, Long)](
+        6, r => (-r._2.toDouble, r._2 * 16 + r._3)).toColumn.name("pfx"))
+      .toDF("e", "pfx")
+      .withColumn("pg", expr("pfx[0]._2 div 16")) // smallest vec_id IS the gid
+      .select("pg", "pfx")
+    // content-level nprobe=2 IVF assignment (ivfAssignedK's recipe over
+    // group reps; centroids are the raw vec_id<8 member vectors)
+    val centroids = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ea"), col("nrm").as("na"))
+    val asg = groups.select(col("gid"), col("e").as("eb"), col("nrm").as("nb"))
+      .join(broadcast(centroids), lit(true))
       .withColumn("cos", expr(s"$dot / (na * nb)"))
-    val top5 = probeTopK(spark, scored, 5).select("probe_id", "vec_id")
-    val pred = v.select(col("vec_id"), col("label"))
-      .join(top5, Seq("vec_id"))
-      .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
-      .groupBy("probe_id")
-      .agg(max_by(col("label"),
-        struct(col("votes"), (-col("label")).as("neg_label"))).as("pred_label"))
-    pred
-      .join(v.select(col("vec_id").as("probe_id"), col("label").as("true_label")),
-        Seq("probe_id"))
+      .groupBy("gid")
+      .agg(collect_list(
+        struct((-col("cos")).as("neg_cos"), col("centroid_id"))).as("cands"))
+      .select(col("gid"),
+        explode(slice(sort_array(col("cands")), 1, 2)).as("c"))
+      .select(col("gid"), col("c.centroid_id").as("cluster"))
+    // group-level candidate pairs: share ≥1 probed cluster; the
+    // self-pair stands for a member's g−1 co-duplicates, so it exists
+    // only for groups of ≥2
+    val pairs = asg.select(col("gid").as("pg"), col("cluster"))
+      .join(asg.select(col("gid").as("cg"), col("cluster")), Seq("cluster"))
+      .select("pg", "cg").distinct()
+      .join(groups.select(col("gid").as("cg"), col("g").as("cg_g")), Seq("cg"))
+      .filter(col("pg") =!= col("cg") || col("cg_g") > 1)
+      .select("pg", "cg")
+    // one cosine per group pair — the same vec_dot expression the
+    // member-level form evaluates, so self-pairs score exactly what
+    // the oracle computes for duplicate members (not an assumed 1.0)
+    val scored = pairs
+      .join(groups.select(col("gid").as("pg"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("pg"))
+      .join(groups.select(col("gid").as("cg"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("cg"))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .select("pg", "cg", "cos")
+    // global top-6 candidate entries per probe group, reconstructed
+    // from the candidate groups' prefix-6 member lists
+    val top6 = scored
+      .join(prefix6.withColumnRenamed("pg", "cg"), Seq("cg"))
+      .select(col("pg"), col("cos"), explode(col("pfx")).as("m"))
+      .select(col("pg"), col("cos"), col("m._2").as("mid"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Double, Long)](
+        6, r => (r._2, r._3)).toColumn.name("top"))
+      .toDF("pg", "top")
+    val gmeta = top6.join(prefix6, Seq("pg"))
+    // per-prefix-member scenario: drop the member's own entry if it
+    // made the top-6, vote over the remaining top-5 (majority, ties to
+    // the smaller label — a codegen'd array fold, no row explosion)
+    val voteExpr = "-array_max(transform(array_distinct(labels), " +
+      "l -> struct(size(filter(labels, x -> x = l)) AS v, -l AS nl))).nl"
+    val scenPrefix = gmeta
+      .select(col("pg"), col("top"), explode(col("pfx")).as("p"))
+      .select(col("pg"), col("top"), col("p._2").as("pmid"))
+      .withColumn("pvid", expr("pmid div 16"))
+      .withColumn("true_label", expr("pmid % 16"))
+      .withColumn("top5",
+        expr("slice(filter(top, t -> t._2 div 16 != pvid), 1, 5)"))
+      .withColumn("w", lit(1L))
+      .select("pg", "true_label", "w", "top5")
+    // tail members (beyond the prefix, only in groups of >6): never in
+    // any top-6, so no exclusion applies — one shared prediction,
+    // weighted by the per-label histogram of the non-prefix members
+    val histG = v.groupBy("e", "label").agg(count(lit(1)).as("n"))
+      .join(groups.select(col("e"), col("gid").as("pg")), Seq("e"))
+      .select("pg", "label", "n")
+    val prefixLabelN = prefix6
+      .select(col("pg"), explode(col("pfx")).as("p"))
+      .groupBy(col("pg"), expr("p._2 % 16").as("label"))
+      .agg(count(lit(1)).as("np"))
+    val tailHist = histG
+      .join(prefixLabelN, Seq("pg", "label"), "left")
+      .withColumn("w", col("n") - coalesce(col("np"), lit(0L)))
+      .filter(col("w") > 0)
+      .select(col("pg"), col("label").as("true_label"), col("w"))
+    val scenTail = top6
+      .withColumn("top5", expr("slice(top, 1, 5)"))
+      .join(tailHist, Seq("pg"))
+      .select("pg", "true_label", "w", "top5")
+    scenPrefix.union(scenTail)
+      .withColumn("labels", expr("transform(top5, t -> t._2 % 16)"))
+      .withColumn("pred_label", expr(voteExpr))
       .groupBy(col("true_label").cast("long").as("true_label"),
         col("pred_label").cast("long").as("pred_label"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum("w").as("n"))
       .orderBy("true_label", "pred_label")
   }
 
@@ -976,22 +1074,65 @@ object Similarity {
     * feature propagation feasible. Graph = qGridNeighbors pairs,
     * symmetrized. */
   def qGnnAggregate(spark: SparkSession, d: String): DataFrame = {
-    // persisted: the symmetrization reads the pair frame twice, and
-    // without it the whole grid join runs once per union branch
-    // (measured 5.4 s → 1.8 s at sf0.1)
-    val pairs = qGridNeighbors(spark, d).persist()
-    val edges = pairs.select(col("vec_a").as("dst"), col("vec_b").as("src"))
-      .union(pairs.select(col("vec_b").as("dst"), col("vec_a").as("src")))
-    // join WHOLE vectors (one probe per edge), THEN explode to dims:
-    // exploding before the join would multiply both the join's probe
-    // count and the shuffled row count by the embedding width
-    val feats = Tables.embeddings(spark, d)
-      .select(col("vec_id").as("src"), col("embedding"))
-    edges.join(feats, Seq("src"))
-      .select(col("dst"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("dst").as("vec_id"), col("dim").cast("long").as("dim"))
-      .agg(count(lit(1)).as("n_neighbors"),
-        sum(col("x").cast("double").cast("decimal(18,6)")).cast("string").as("msg_sum"))
+    // EXACT-DUPLICATE COLLAPSE (the r9 rework): a vector's aggregated
+    // message is fully determined by its CONTENT — identical embeddings
+    // share both neighbor structure (same (x,y) cell, same distances)
+    // and per-dim contributions — so the quadratic grid-pair stage runs
+    // over DISTINCT content with a multiplicity weight, and members
+    // inherit their group's message by one linear join at the end. On a
+    // duplicate-free corpus this costs one extra map-side hash
+    // aggregate; on a pre-dedup corpus (where a message-passing audit
+    // actually runs) it divides the pair volume by the square of the
+    // mean duplication factor — measured 48.5 s → ~linear at the K=10
+    // probe, whose verbatim replication is exactly such a corpus.
+    // Exactness is preserved: the oracle sums per-member
+    // CAST(x AS DECIMAL(18,6)) terms, and w identical terms sum to
+    // w × the term exactly in scaled-integer decimal arithmetic.
+    val r2 = 0.04 * 0.04
+    val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val groups = v.groupBy("embedding")
+      .agg(min("vec_id").as("gid"), count(lit(1)).as("g"))
+      .withColumn("x", element_at(col("embedding"), 1).cast("double"))
+      .withColumn("y", element_at(col("embedding"), 2).cast("double"))
+      .withColumn("cx", floor(col("x") / 0.05))
+      .withColumn("cy", floor(col("y") / 0.05))
+      .persist() // consumers: probe side, src side, self term, member map
+    // Directed rep-level grid edges dst ← src (same h=0.05 cell
+    // geometry as qGridNeighbors; src's home cell is unique, so each
+    // directed group pair matches exactly once — no distinct needed).
+    val probes = groups
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("gid").as("dst"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("dx")).as("tcx"), (col("cy") + col("dy")).as("tcy"))
+    val ext = probes
+      .join(groups.select(col("gid").as("src"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy"), col("g").as("w"),
+          col("embedding").as("e")),
+        col("tcx") === col("cx") && col("tcy") === col("cy") &&
+          col("dst") =!= col("src"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) < r2)
+      .select(col("dst"), col("w"), col("e"))
+    // Within-group term: each member's g−1 co-duplicates are neighbors
+    // at distance 0 (an inner-join row source of its own, so members of
+    // a ≥2 group emit even with no external neighbors).
+    val self = groups.filter(col("g") > 1)
+      .select(col("gid").as("dst"), (col("g") - 1).as("w"),
+        col("embedding").as("e"))
+    // join WHOLE vectors (one probe per group edge), THEN explode to
+    // dims — same geometry lesson as the r8 form, now at group scale
+    val msgs = ext.union(self)
+      .select(col("dst"), col("w"), posexplode(col("e")).as(Seq("dim", "xv")))
+      .groupBy(col("dst"), col("dim").cast("long").as("dim"))
+      .agg(sum(col("w")).as("n_neighbors"),
+        sum(col("xv").cast("double").cast("decimal(18,6)") * col("w"))
+          .cast("string").as("msg_sum"))
+    val members = v
+      .join(groups.select(col("embedding"), col("gid")), Seq("embedding"))
+      .select(col("vec_id"), col("gid").as("dst"))
+    msgs.join(members, Seq("dst"))
+      .select(col("vec_id"), col("dim"), col("n_neighbors"), col("msg_sum"))
       .orderBy("vec_id", "dim")
   }
 
