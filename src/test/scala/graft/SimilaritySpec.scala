@@ -530,4 +530,110 @@ class SimilaritySpec extends SparkSpec {
     val gotCos = got.toMap.apply((la, lb))._3
     assert(math.abs(gotCos - ref) < 1e-3, s"centroid cosine $gotCos vs replay $ref")
   }
+
+  /** Adversarial fixture for the duplicate-collapse reworks: the driver
+    * data's duplicates (probe copies) always share one label per
+    * content group, so the collapse's hard cases — MIXED labels inside
+    * a duplicate group, a group larger than the stored prefix-6, exact
+    * cosine ties ACROSS groups (a scalar-multiple content scores
+    * bit-identically to a self-pair under IEEE: ×2 is exact through
+    * the fold, the product, and the square root), and duplicate
+    * CENTROID contents (assignment tie-break) — are never exercised
+    * there. This fixture forces all four and pins the collapsed plan
+    * to a naive member-level reference evaluated with the same
+    * left-fold arithmetic. */
+  private def labelAuditFixture(): (String, Seq[(Long, Array[Float], Int)]) = {
+    val dims = 16
+    def vec(x: Float, y: Float, tail: Float): Array[Float] =
+      Array.tabulate(dims)(i => if (i == 0) x else if (i == 1) y else tail + 0.01f * i)
+    val a = vec(0.10f, 0.10f, 0.30f)
+    val b = a.map(_ * 2.0f) // cos(b, a·anything) ties cos(a, ·) exactly
+    val c = vec(0.13f, 0.10f, 0.25f)
+    val dSameCell = vec(0.10f, 0.10f, 0.80f) // a's (x,y), different content
+    val s1 = vec(0.10f, 0.13f, 0.55f)
+    val s2 = vec(0.40f, 0.40f, 0.10f)
+    // group A: 9 duplicates (prefix 6 + tail 3), labels mixed, tail
+    // introduces labels the prefix lacks
+    val rows = Seq[(Long, Array[Float], Int)](
+      (0L, a, 1), (3L, a, 2), (5L, a, 1), (9L, a, 3), (12L, a, 1), (15L, a, 2),
+      (20L, a, 4), (21L, a, 4), (22L, a, 5),
+      // group B: scalar multiple of A, 3 members, mixed labels
+      (1L, b, 7), (10L, b, 7), (30L, b, 2),
+      // group C: 4 members (two inside the centroid range: duplicate
+      // centroid contents across A/B/C force assignment ties)
+      (2L, c, 0), (4L, c, 9), (40L, c, 9), (41L, c, 9),
+      // group D: same grid cell as A, different content
+      (6L, dSameCell, 8), (42L, dSameCell, 8),
+      // singletons
+      (7L, s1, 6), (43L, s2, 0))
+    val dir = s"/tmp/graft_fixture_label_audit"
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (dir, rows)
+  }
+
+  private def foldDot(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  test("label audit: collapsed plan ≡ naive member-level reference on mixed-label duplicate groups with exact ties") {
+    val (dir, rows) = labelAuditFixture()
+    case class V(id: Long, e: Array[Double], nrm: Double, label: Long)
+    val vs = rows.map { case (id, e, l) =>
+      val d = e.map(_.toDouble)
+      V(id, d, math.sqrt(foldDot(d, d)), l.toLong)
+    }
+    val cents = vs.filter(_.id < 8)
+    def clusters(v: V): Seq[Long] = cents
+      .map(ct => (foldDot(ct.e, v.e) / (ct.nrm * v.nrm), ct.id))
+      .sortBy { case (cos, id) => (-cos, id) }.take(2).map(_._2)
+    val asg = vs.map(v => v.id -> clusters(v).toSet).toMap
+    val naive = vs.flatMap { p =>
+      val cand = vs.filter(q => q.id != p.id && asg(q.id).intersect(asg(p.id)).nonEmpty)
+      if (cand.isEmpty) None
+      else {
+        val top5 = cand
+          .map(q => (foldDot(p.e, q.e) / (p.nrm * q.nrm), q.id, q.label))
+          .sortBy { case (cs, id, _) => (-cs, id) }.take(5)
+        val pred = top5.groupBy(_._3).view.mapValues(_.size).toSeq
+          .sortBy { case (l, n) => (-n, l) }.head._1
+        Some((p.label, pred))
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, p), n) => (t, p, n) }.sortBy(r => (r._1, r._2))
+    assert(naive.nonEmpty && naive.map(_._3).sum == vs.length,
+      "fixture must classify every vector (all share clusters)")
+    val got = Similarity.qLabelAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == naive, s"collapsed ${got.toList} vs naive ${naive.toList}")
+  }
+
+  test("gnn aggregate: collapsed plan ≡ naive member-level reference incl. same-cell distinct content and dup-only neighborhoods") {
+    val (dir, rows) = labelAuditFixture()
+    val r2 = 0.04 * 0.04
+    val pts = rows.map { case (id, e, _) => (id, e.map(_.toDouble)) }
+    def close(p: Array[Double], q: Array[Double]): Boolean =
+      (p(0) - q(0)) * (p(0) - q(0)) + (p(1) - q(1)) * (p(1) - q(1)) < r2
+    val naive = (for {
+      (di, de) <- pts
+      (si, se) <- pts
+      if si != di && close(de, se)
+      dim <- de.indices
+    } yield ((di, dim.toLong), BigDecimal(se(dim)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toSeq
+      .map { case ((id, dim), (n, s)) => (id, dim, n, s.toString) }
+      .sortBy(r => (r._1, r._2))
+    // the fixture has a group whose ONLY neighbors are its own
+    // duplicates (D shares A's cell but s2 is isolated): both paths hit
+    assert(naive.map(_._1).distinct.size < pts.size, "fixture needs an isolated vector")
+    val got = Similarity.qGnnAggregate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    spark.catalog.clearCache()
+    assert(got == naive, s"collapsed ${got.take(5).toList}… vs naive ${naive.take(5).toList}…")
+  }
 }
