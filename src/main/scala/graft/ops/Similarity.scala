@@ -934,8 +934,82 @@ object Similarity {
     * majority vote is a hash aggregate with ties to the smaller
     * label. At 100 TB this is exactly an IVF-accelerated kNN
     * self-audit: shuffle ∝ candidates within buckets, output ∝
-    * |labels|². */
+    * |labels|².
+    *
+    * PLAN SELECTION (the r10 dup-factor gate): the duplicate-collapse
+    * plan below is linear on duplicate-heavy corpora but costs ~12
+    * extra stages; on a duplicate-FREE corpus the member-level plan is
+    * both simpler and faster (2.2–2.8 s vs 3.9 s at sf0.1). A 1-row
+    * scalar probe — count vs count-distinct of a 64-bit content hash —
+    * picks the plan. Hash collisions can only UNDERCOUNT distincts,
+    * i.e. falsely route a duplicate-free corpus to the collapse plan
+    * (correct, just slower); they can never hide a real duplicate
+    * (identical content ⇒ identical hash), so the fast shallow plan is
+    * taken only when duplicates provably don't exist. Both plans are
+    * oracle-identical by construction (the r9 adversarial fixtures pin
+    * collapse ≡ naive; SimilaritySpec pins member-level ≡ collapse on a
+    * duplicate-free corpus). The same probe row carries min/max(label)
+    * so the collapse path's mid = vec_id·16 + label packing fails
+    * loudly on labels outside [0, 16) instead of silently corrupting
+    * tie-break order (collapse-only concern: the shallow plan never
+    * packs). */
   def qLabelAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("e"), col("nrm")).persist()
+    // 1-row scalar probe (documented bounded collect): dup factor +
+    // label domain in one job over the already-persisted input
+    val probe = v.agg(
+      count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("e"))).as("nd"),
+      min("label").as("min_l"), max("label").as("max_l")).head()
+    val dupFree = probe.getLong(0) == probe.getLong(1)
+    if (dupFree) labelAuditMemberLevel(spark, d, v)
+    else {
+      require(probe.getLong(2) >= 0 && probe.getLong(3) < 16,
+        s"qLabelAudit duplicate-collapse packs mid = vec_id*16 + label and " +
+          s"requires labels in [0, 16); corpus has [${probe.getLong(2)}, " +
+          s"${probe.getLong(3)}]")
+      labelAuditCollapsed(spark, d, v)
+    }
+  }
+
+  /** Member-level kNN audit plan — taken when the dup-factor probe
+    * proves the corpus duplicate-free (the pre-r9 shape: IVF bucket
+    * candidates → bounded top-5 → majority vote, all at vector
+    * granularity). */
+  private[graft] def labelAuditMemberLevel(
+      spark: SparkSession, d: String, v: DataFrame): DataFrame = {
+    val asg = ivfAssignedK(spark, d, nprobe = 2).persist()
+    val cand = asg.select(col("cluster"), col("vec_id").as("probe_id"))
+      .join(asg.select(col("cluster"), col("vec_id")), Seq("cluster"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id").distinct()
+    val scored = cand
+      .join(v.select(col("vec_id").as("probe_id"), col("e").as("ea"),
+        col("nrm").as("na")), "probe_id")
+      .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb")),
+        "vec_id")
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+    val top5 = probeTopK(spark, scored, 5).select("probe_id", "vec_id")
+    val pred = v.select(col("vec_id"), col("label"))
+      .join(top5, Seq("vec_id"))
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("probe_id")
+      .agg(max_by(col("label"),
+        struct(col("votes"), (-col("label")).as("neg_label"))).as("pred_label"))
+    pred
+      .join(v.select(col("vec_id").as("probe_id"), col("label").as("true_label")),
+        Seq("probe_id"))
+      .groupBy(col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  private[graft] def labelAuditCollapsed(
+      spark: SparkSession, d: String, v: DataFrame): DataFrame = {
     // EXACT-DUPLICATE COLLAPSE (the r9 rework, the q_gnn_aggregate
     // geometry applied to kNN): cosine, IVF assignment, and therefore
     // the whole candidate structure are CONTENT-determined, so the
@@ -955,12 +1029,10 @@ object Similarity {
     // the duplicate-free corpus's — measured 85.5 s → seconds — and on
     // a duplicate-free corpus the collapse costs one extra map-side
     // hash aggregate. Member encoding: mid = vec_id·16 + label
-    // (labels < 16), so (cos DESC, mid ASC) ≡ the oracle's
-    // (cs DESC, vec_id ASC) and both fields ride one bounded TopK.
+    // (labels < 16 — guarded by the 1-row probe in qLabelAudit), so
+    // (cos DESC, mid ASC) ≡ the oracle's (cs DESC, vec_id ASC) and
+    // both fields ride one bounded TopK.
     import spark.implicits._
-    val v = withNorm(spark, Tables.embeddings(spark, d))
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        col("e"), col("nrm")).persist()
     val groups = v.groupBy("e")
       .agg(min("vec_id").as("gid"), count(lit(1)).as("g"))
       .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))

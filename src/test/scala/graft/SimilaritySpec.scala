@@ -636,4 +636,47 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(got == naive, s"collapsed ${got.take(5).toList}… vs naive ${naive.take(5).toList}…")
   }
+
+  private def labelAuditInput(d: String) = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, d)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("e"), col("nrm")).persist()
+  }
+
+  test("label audit gate: member-level ≡ collapse on the duplicate-free corpus; gate picks member-level") {
+    import org.apache.spark.sql.Row
+    val v = labelAuditInput(sfDir)
+    // the driver corpus is duplicate-free, so qLabelAudit routes to the
+    // member-level plan — this is exactly the precondition the gate
+    // probes for; if the fixture ever grows duplicates this assert
+    // flips and the equivalence below still holds
+    val Row(n: Long, nd: Long) =
+      v.agg(count(lit(1)), countDistinct(xxhash64(col("e")))).head()
+    assert(n == nd, "driver embeddings fixture expected duplicate-free")
+    val shallow = Similarity.labelAuditMemberLevel(spark, sfDir, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val collapsed = Similarity.labelAuditCollapsed(spark, sfDir, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(shallow == collapsed,
+      s"plans diverge: member-level ${shallow.take(5)} vs collapsed ${collapsed.take(5)}")
+  }
+
+  test("label audit gate: out-of-range labels fail loudly on the collapse path") {
+    import spark.implicits._
+    val dir = "/tmp/graft_fixture_label_range"
+    // duplicated content (forces the collapse path) with a label ≥ 16
+    val e = Array.tabulate(16)(i => 0.1f + 0.01f * i)
+    Seq((0L, e, 1), (1L, e, 16), (2L, e.map(_ * 2f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.qLabelAudit(spark, dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert(ex.getMessage.contains("[0, 16)"))
+  }
 }
