@@ -284,6 +284,8 @@ object SparkEntry {
     "q_kfold" -> (FeaturePrep.qKfold _),
     "q_class_weights" -> (FeaturePrep.qClassWeights _),
     "q_grid_neighbors" -> (Similarity.qGridNeighbors _),
+    "q_grid_neighbor_stats" -> (Similarity.qGridNeighborStats _),
+    "q_degree_histogram" -> (Similarity.qDegreeHistogram _),
     "q_cross_corr" -> (Analytics.qCrossCorr _),
     "q_embed_clusters" -> (DedupClusters.qEmbedClusters _),
     "q_dedup_recall" -> (DedupClusters.qDedupRecall _),
@@ -5612,6 +5614,59 @@ object SparkEntry {
         |      * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
         |  < 0.0016
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Shared degree CTE for the two output-bounded grid companions:
+    // grid-bucketed like the engine (NOT all-pairs — the K=30 probe
+    // corpus is 60k points and an n² oracle there is the exact failure
+    // class the r9 inverted-index oracle rewrites retired).
+    "q_grid_neighbor_stats" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT) AS cy
+        |  FROM embeddings),
+        |deg0 AS (
+        |  SELECT a.vec_id, count(*) AS deg
+        |  FROM (SELECT p.*, p.cx + dx.d AS tcx, p.cy + dy.d AS tcy
+        |        FROM p
+        |        CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+        |        CROSS JOIN (VALUES (-1), (0), (1)) dy(d)) a
+        |  JOIN p b ON a.tcx = b.cx AND a.tcy = b.cy AND a.vec_id <> b.vec_id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.0016
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT p.vec_id, p.cx, p.cy, coalesce(d.deg, 0) AS deg
+        |  FROM p LEFT JOIN deg0 d ON p.vec_id = d.vec_id)
+        |SELECT cx, cy, count(*) AS n_pts,
+        |  CAST(sum(deg) AS BIGINT) AS deg_sum,
+        |  CAST(max(deg) AS BIGINT) AS deg_max,
+        |  count(*) FILTER (deg = 0) AS n_isolated
+        |FROM deg GROUP BY cx, cy
+        |ORDER BY cx, cy""".stripMargin,
+
+    "q_degree_histogram" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT) AS cy
+        |  FROM embeddings),
+        |deg0 AS (
+        |  SELECT a.vec_id, count(*) AS deg
+        |  FROM (SELECT p.*, p.cx + dx.d AS tcx, p.cy + dy.d AS tcy
+        |        FROM p
+        |        CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+        |        CROSS JOIN (VALUES (-1), (0), (1)) dy(d)) a
+        |  JOIN p b ON a.tcx = b.cx AND a.tcy = b.cy AND a.vec_id <> b.vec_id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.0016
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT p.vec_id, coalesce(d.deg, 0) AS deg
+        |  FROM p LEFT JOIN deg0 d ON p.vec_id = d.vec_id)
+        |SELECT deg AS degree, count(*) AS n_vecs
+        |FROM deg GROUP BY deg
+        |ORDER BY degree""".stripMargin,
 
     "q_cross_corr" ->
       """WITH daily AS (

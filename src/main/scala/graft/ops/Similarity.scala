@@ -1247,6 +1247,68 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-vector spatial degree under qGridNeighbors' exact geometry
+    * (L2 radius 0.04, h = 0.05 cells, 3×3 probe replication) — the
+    * shared subplan of the two OUTPUT-BOUNDED grid companions below.
+    * The candidate pair stream exists only transiently inside a hash
+    * aggregate keyed by the probe vector: partial aggregation collapses
+    * it map-side, so at most ONE row per vector per input partition
+    * enters the shuffle regardless of local density — unlike
+    * qGridNeighbors, whose RESULT is the pair set and therefore grows
+    * K² on a K-replicated corpus (the r9 scaling report's one
+    * adjudicated output-bound flag). Isolated vectors (degree 0) are
+    * recovered by a left join back to the point set. */
+  private def gridDegrees(spark: SparkSession, d: String): DataFrame = {
+    val r2 = 0.04 * 0.04
+    val pts = Tables.embeddings(spark, d).select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / 0.05))
+      .withColumn("cy", floor(col("y") / 0.05))
+      .persist()
+    val probes = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("vec_id").as("vec_a"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("dx")).as("tcx"), (col("cy") + col("dy")).as("tcy"))
+    val deg0 = probes
+      .join(pts.select(col("vec_id").as("vec_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy")),
+        col("tcx") === col("cx") && col("tcy") === col("cy") &&
+          col("vec_a") =!= col("vec_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) < r2)
+      .groupBy("vec_a").agg(count(lit(1)).as("deg"))
+    pts.join(deg0, col("vec_id") === col("vec_a"), "left")
+      .select(col("vec_id"), col("cx"), col("cy"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
+  /** Per-cell neighbor statistics — the output-bounded companion to
+    * qGridNeighbors for the user who wants density/degree structure,
+    * not the pair set itself: rows ∝ occupied cells, never pairs. */
+  def qGridNeighborStats(spark: SparkSession, d: String): DataFrame = {
+    gridDegrees(spark, d)
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_pts"),
+        sum("deg").as("deg_sum"),
+        max("deg").as("deg_max"),
+        count(when(col("deg") === 0, 1)).as("n_isolated"))
+      .orderBy("cx", "cy")
+  }
+
+  /** Spatial degree histogram: how many vectors have exactly d
+    * neighbors within the radius — rows ∝ distinct degrees (bounded by
+    * the max local density), the other output-bounded reading of the
+    * grid graph. */
+  def qDegreeHistogram(spark: SparkSession, d: String): DataFrame = {
+    gridDegrees(spark, d)
+      .groupBy(col("deg").as("degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("degree")
+  }
+
   /** All-pairs brute-force near-dup — O(n²), NOT a declared query: it
     * exists as the ground truth `qEmbedNeardup`'s recall is measured
     * against (SimilaritySpec). */

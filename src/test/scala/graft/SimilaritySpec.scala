@@ -637,6 +637,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got == naive, s"collapsed ${got.take(5).toList}… vs naive ${naive.take(5).toList}…")
   }
 
+  test("grid neighbor stats + degree histogram: output-bounded companions replay the brute-force degrees") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double"),
+        element_at(col("embedding"), 2).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val deg = pts.map { case (ia, xa, ya) =>
+      (ia, math.floor(xa / 0.05).toLong, math.floor(ya / 0.05).toLong,
+        pts.count { case (ib, xb, yb) =>
+          ia != ib && (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) < 0.0016
+        }.toLong)
+    }
+    val stats = graft.ops.Similarity.qGridNeighborStats(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    spark.catalog.clearCache()
+    val expStats = deg.groupBy(p => (p._2, p._3)).view.mapValues { m =>
+      (m.length.toLong, m.map(_._4).sum, m.map(_._4).max,
+        m.count(_._4 == 0).toLong)
+    }.toMap
+    assert(stats.toMap == expStats && stats.map(_._2._1).sum == pts.length)
+    // no pair row survives to the output: row count ∝ cells, not pairs
+    assert(stats.length == expStats.size)
+    val hist = graft.ops.Similarity.qDegreeHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val expHist = deg.groupBy(_._4).view.mapValues(_.length.toLong).toSeq.sorted
+    assert(hist.toSeq == expHist && hist.map(_._2).sum == pts.length)
+    // histogram mass at each degree ties back to the pair set size:
+    // sum(degree * n_vecs) = 2 × |qGridNeighbors|
+    val nPairs = graft.ops.Similarity.qGridNeighbors(spark, sfDir).count()
+    spark.catalog.clearCache()
+    assert(hist.map { case (d0, n) => d0 * n }.sum == 2 * nPairs)
+  }
+
   private def labelAuditInput(d: String) = {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, d)
