@@ -11,6 +11,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CLASSES=target/scala-2.13/classes
+# test-classes carries the dev-tooling mains (graft.Scratch); absent is
+# fine for engine-only runs
+TEST_CLASSES=target/scala-2.13/test-classes
 [ -d "$CLASSES" ] || { echo "compile first: sbt compile" >&2; exit 1; }
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -22,4 +25,4 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "$CLASSES:/opt/spark/jars/*" "$@"
+  -cp "$CLASSES:$TEST_CLASSES:/opt/spark/jars/*" "$@"

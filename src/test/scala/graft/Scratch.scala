@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc plan inspection harness (not part of the engine surface). */
+/** Ad-hoc plan-inspection / parity-triage harness (dev tooling, NOT
+  * part of the engine surface — lives under src/test so non-test LoC
+  * counts only engine code; run it via scripts/run_main.sh, whose
+  * classpath includes test-classes). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -33,25 +36,44 @@ object Scratch {
                 println(if (a.sameElements(b)) s"PASS$tag $name" else s"DIFF$tag $name")
               }
             }
+            // replace only OUTSIDE single-quoted literals: a format
+            // string or URL containing the needle must not be mangled
+            def replaceOutside(s: String, from: String, to: String): String = {
+              val out = new StringBuilder
+              var i = 0; var q = false
+              while (i < s.length) {
+                if (s(i) == '\'') { q = !q; out += s(i); i += 1 }
+                else if (!q && s.startsWith(from, i)) { out ++= to; i += from.length }
+                else { out += s(i); i += 1 }
+              }
+              out.toString
+            }
             // third chance: the full mechanical-rename chain (DuckDB →
             // Spark function names with identical semantics on these
-            // inputs; strftime format literals mapped per-pattern)
-            def translate(s: String): String = s
-              .replace("//", " div ")
-              .replace("string_split_regex(", "split(")
-              .replace("epoch_us(", "unix_micros(")
-              .replace("quantile_cont(", "percentile(")
-              .replace("strftime(", "date_format(")
-              .replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
-              .replace("'%Y%m%dT%H%M%S'", "'yyyyMMdd''T''HHmmss'")
+            // inputs; strftime format literals mapped per-pattern —
+            // literal mappings intentionally use plain replace)
+            def translate(s: String): String = {
+              val renamed = Seq(
+                ("//", " div "),
+                ("string_split_regex(", "split("),
+                ("epoch_us(", "unix_micros("),
+                ("quantile_cont(", "percentile("),
+                ("strftime(", "date_format("),
+              ).foldLeft(s) { case (acc, (f, t)) => replaceOutside(acc, f, t) }
+              renamed
+                .replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
+                .replace("'%Y%m%dT%H%M%S'", "'yyyyMMdd''T''HHmmss'")
+            }
+            val div = replaceOutside(sql, "//", " div ")
+            val full = translate(sql)
             try run(sql, "  ")
             catch {
-              case _: Throwable if sql != translate(sql) =>
-                try run(sql.replace("//", " div "), "2 ")
-                catch {
-                  case _: Throwable if translate(sql) != sql.replace("//", " div ") =>
-                    run(translate(sql), "3 ")
-                }
+              // chance 2 only when the div rewrite actually changed
+              // something; chance 3 only when it differs from chance 2
+              case _: Throwable if div != sql =>
+                try run(div, "2 ")
+                catch { case _: Throwable if full != div => run(full, "3 ") }
+              case _: Throwable if full != sql => run(full, "3 ")
             }
           } catch {
             case e: Throwable =>
