@@ -84,15 +84,20 @@ object Mining {
     * re-lands automatically. Dim-bounded output (≤ |brands|² rows) —
     * coalesce(1) keeps the artifact a single small file. */
   private[graft] def liftEdges(spark: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Landing.dir(d, "lift_edges_v1") { path =>
-      val bk = basketFrame(spark, d)
+    // r10: landed on TxTable (Landing.table) — two JVMs racing to land
+    // serialize through the version-0 claim instead of overwriting each
+    // other mid-read
+    var bk: DataFrame = null
+    val dir = graft.sources.Landing.table(spark, d, "lift_edges_v2") {
+      bk = basketFrame(spark, d)
       brandPairsOf(bk)
         .select("a", "b", "n_ab", "n_a", "n_b", "n_orders", "pos_lift")
         .coalesce(1)
-        .write.mode("overwrite").parquet(path)
-      bk.unpersist(blocking = false)
     }
-    spark.read.parquet(dir)
+    // staging happened (or was skipped) inside the call — safe to drop
+    // the basket cache now
+    if (bk != null) bk.unpersist(blocking = false)
+    graft.sinks.TxTable.read(spark, dir)
   }
 
   /** Association mining over order baskets at the brand granularity:
@@ -453,7 +458,8 @@ object Mining {
     * its own artifact. ≤ |brands|² rows — coalesce(1) keeps it one
     * small file; consumers broadcast it. */
   private[graft] def ownPairs(spark: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Landing.dir(d, "own_pairs_v1") { path =>
+    // r10: landed on TxTable (see liftEdges) — multi-JVM-safe landing
+    val dir = graft.sources.Landing.table(spark, d, "own_pairs_v2") {
       ownedFrame(spark, d)
         .groupBy("custkey").agg(collect_set("brand").as("basket"))
         .select(explode(col("basket")).as("b1"), col("basket"))
@@ -461,9 +467,8 @@ object Mining {
         .filter(col("b1") =!= col("b2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("co"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(dir)
+    graft.sinks.TxTable.read(spark, dir)
   }
 
   /** Item-based collaborative filtering: for every customer, the top-3

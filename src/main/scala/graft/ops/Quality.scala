@@ -571,10 +571,11 @@ object Quality {
     * Bump the `_v1` key on any semantic change to the pair pipeline —
     * the marker-gated artifact would otherwise serve stale pairs. */
   private[graft] def neardupPairs(spark: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Landing.dir(d, "lsh_pairs_v1") { path =>
-      qMinhashNeardup(spark, d).write.mode("overwrite").parquet(path)
+    // r10: landed on TxTable (multi-JVM-safe version-0 claim)
+    val dir = graft.sources.Landing.table(spark, d, "lsh_pairs_v2") {
+      qMinhashNeardup(spark, d)
     }
-    spark.read.parquet(dir)
+    graft.sinks.TxTable.read(spark, dir)
   }
 
   /** Near-dup threshold sensitivity sweep — the tuning table that
@@ -770,10 +771,11 @@ object Quality {
     * by the dedup blocking-recall audit and the spec ground-truth
     * clustering so neither re-derives the PPJoin pipeline. */
   private[graft] def exactJaccardPairs(spark: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Landing.dir(d, "ngram_pairs_v1") { path =>
-      qNgramJaccard(spark, d).write.mode("overwrite").parquet(path)
+    // r10: landed on TxTable (multi-JVM-safe version-0 claim)
+    val dir = graft.sources.Landing.table(spark, d, "ngram_pairs_v2") {
+      qNgramJaccard(spark, d)
     }
-    spark.read.parquet(dir)
+    graft.sinks.TxTable.read(spark, dir)
   }
 
   /** The naive all-shingles inverted-index join — the spec's ground

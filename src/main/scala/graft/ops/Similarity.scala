@@ -185,10 +185,11 @@ object Similarity {
     * dedup clustering reads the materialized pair stream instead of
     * re-deriving the IVF-candidate + cosine-verify subtree. */
   private[graft] def embedNeardupPairs(spark: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Landing.dir(d, "embed_pairs_v1") { path =>
-      qEmbedNeardup(spark, d).write.mode("overwrite").parquet(path)
+    // r10: landed on TxTable (multi-JVM-safe version-0 claim)
+    val dir = graft.sources.Landing.table(spark, d, "embed_pairs_v2") {
+      qEmbedNeardup(spark, d)
     }
-    spark.read.parquet(dir)
+    graft.sinks.TxTable.read(spark, dir)
   }
 
   /** SemDeDup-style threshold sweep (Abbas et al. 2023, "SemDeDup:

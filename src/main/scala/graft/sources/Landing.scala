@@ -58,6 +58,44 @@ object Landing {
     * fixtures) under the dead key — bounded per round but monotone
     * across rounds on a long-lived machine. */
   def dir(sfDir: String, kind: String)(write: String => Unit): String = synchronized {
+    val path = keyedPath(sfDir, kind)
+    if (!landed(path)) {
+      val marker = new java.io.File(path, "_LANDED")
+      if (!marker.exists()) {
+        write(path)
+        marker.getParentFile.mkdirs()
+        marker.createNewFile()
+      }
+      landed += path
+    }
+    path
+  }
+
+  /** Transactional variant of [[dir]] for artifacts that are TABLES
+    * (the shared pair/edge artifacts): initialization goes through
+    * [[graft.sinks.TxTable.commitOnce]], so two JVMs racing to land
+    * the same artifact serialize — one frame becomes version 0, the
+    * loser's staging is reclaimed, and a reader NEVER observes a
+    * half-written or doubly-written directory (the race window the
+    * `_LANDED` marker pattern cannot exclude: marker-absent in two
+    * processes at once). A crash mid-landing leaves no commit, so the
+    * next caller re-lands; a crash mid-read of a re-landing is
+    * impossible because committed files are immutable. Consumers read
+    * via `TxTable.read(spark, path)`. */
+  def table(spark: org.apache.spark.sql.SparkSession, sfDir: String, kind: String)(
+      write: => org.apache.spark.sql.DataFrame): String = synchronized {
+    val path = keyedPath(sfDir, kind)
+    if (!landed(path)) {
+      if (graft.sinks.TxTable.commits(spark, path).isEmpty)
+        graft.sinks.TxTable.commitOnce(write, path)
+      landed += path
+    }
+    path
+  }
+
+  /** Deterministic artifact path keyed by (raw corpus path, corpus
+    * fingerprint, kind), with the stale-sibling sweep. */
+  private def keyedPath(sfDir: String, kind: String): String = {
     // The sanitized name alone can collide across distinct corpora
     // (/x/sf-1 and /x/sf_1 both sanitize to _x_sf_1), which would let
     // one corpus's stale-fingerprint sweep delete the other's LIVE
@@ -68,30 +106,20 @@ object Landing {
     val safe = s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.$pathHash"
     val fpDir = s"$safe-${fingerprint(sfDir)}"
     val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_landing")
-    val path = s"$root/$fpDir/$kind"
-    if (!landed(path)) {
-      // Sweep stale-fingerprint siblings of THIS corpus path only, and
-      // age-gate on the directory's own mtime: `synchronized` is
-      // per-JVM, so a sibling younger than the gate may still be read
-      // (or mid-write) by a concurrent JVM that started before the
-      // corpus was regenerated. One hour bounds the leak to a single
-      // in-flight generation while keeping the sweep effective across
-      // rounds on a long-lived machine.
-      val staleMs = 60L * 60L * 1000L
-      val now = System.currentTimeMillis()
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(s"$safe-") && f.getName != fpDir)
-        .filter(f => now - f.lastModified() > staleMs)
-        .foreach(deleteRecursively)
-      val marker = new java.io.File(path, "_LANDED")
-      if (!marker.exists()) {
-        write(path)
-        marker.getParentFile.mkdirs()
-        marker.createNewFile()
-      }
-      landed += path
-    }
-    path
+    // Sweep stale-fingerprint siblings of THIS corpus path only, and
+    // age-gate on the directory's own mtime: `synchronized` is
+    // per-JVM, so a sibling younger than the gate may still be read
+    // (or mid-write) by a concurrent JVM that started before the
+    // corpus was regenerated. One hour bounds the leak to a single
+    // in-flight generation while keeping the sweep effective across
+    // rounds on a long-lived machine.
+    val staleMs = 60L * 60L * 1000L
+    val now = System.currentTimeMillis()
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$safe-") && f.getName != fpDir)
+      .filter(f => now - f.lastModified() > staleMs)
+      .foreach(deleteRecursively)
+    s"$root/$fpDir/$kind"
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -140,10 +140,10 @@ class LandingSpec extends SparkSpec {
       }
     copyCorpus("/root/testdata/sf0.001")
     val accessors: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
-      "lsh_pairs_v1" -> (graft.ops.Quality.neardupPairs(spark, _)),
-      "ngram_pairs_v1" -> (graft.ops.Quality.exactJaccardPairs(spark, _)),
-      "lift_edges_v1" -> (graft.ops.Mining.liftEdges(spark, _)),
-      "own_pairs_v1" -> (graft.ops.Mining.ownPairs(spark, _)))
+      "lsh_pairs_v2" -> (graft.ops.Quality.neardupPairs(spark, _)),
+      "ngram_pairs_v2" -> (graft.ops.Quality.exactJaccardPairs(spark, _)),
+      "lift_edges_v2" -> (graft.ops.Mining.liftEdges(spark, _)),
+      "own_pairs_v2" -> (graft.ops.Mining.ownPairs(spark, _)))
     val before = accessors.map { case (kind, f) =>
       val df = f(sf)
       val files = df.inputFiles.toSeq

@@ -358,7 +358,7 @@ class MiningSpec extends SparkSpec {
   }
 
   test("graph family plans scan the landed lift-edge artifact, never the fact tables") {
-    // the judge-visible contract of lift_edges_v1: consumers READ the
+    // the judge-visible contract of lift_edges_v2: consumers READ the
     // artifact — the basket->pairs->lift subtree must not reappear
     Seq(
       Mining.qGraphInsights(spark, sf01),
@@ -366,20 +366,20 @@ class MiningSpec extends SparkSpec {
       Mining.qDegreeDist(spark, sf01),
       Mining.qTriangles(spark, sf01)).foreach { df =>
       val paths = scanPaths(df)
-      assert(paths.nonEmpty && paths.forall(_.contains("lift_edges_v1")),
+      assert(paths.nonEmpty && paths.forall(_.contains("lift_edges_v2")),
         s"plan must scan ONLY the artifact: ${paths.mkString(";")}")
     }
     spark.catalog.clearCache()
   }
 
-  test("q_recommend scores from the landed own_pairs_v1 artifact; artifact equals live co-matrix") {
-    // contract of own_pairs_v1: the plan reads the artifact for its
+  test("q_recommend scores from the landed own_pairs_v2 artifact; artifact equals live co-matrix") {
+    // contract of own_pairs_v2: the plan reads the artifact for its
     // co-ownership weights (the ownership stream still scans facts —
     // that part is per-run by design), and the artifact's content is
     // indistinguishable from the live pipeline
     val paths = scanPaths(Mining.qRecommend(spark, sf01))
-    assert(paths.exists(_.contains("own_pairs_v1")),
-      s"plan must scan the own_pairs_v1 artifact: ${paths.mkString(";")}")
+    assert(paths.exists(_.contains("own_pairs_v2")),
+      s"plan must scan the own_pairs_v2 artifact: ${paths.mkString(";")}")
     val live = Tables.lineitem(spark, sf01)
       .join(Tables.part(spark, sf01), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, sf01), col("l_orderkey") === col("o_orderkey"))
@@ -391,7 +391,7 @@ class MiningSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val landed = Mining.ownPairs(spark, sf01).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    assert(landed == liveCo, "own_pairs_v1 diverges from the live co-matrix")
+    assert(landed == liveCo, "own_pairs_v2 diverges from the live co-matrix")
     spark.catalog.clearCache()
   }
 
