@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Streaming throughput bench: the committed performance record for
+  * the streaming family (every other family has BENCH_LOCAL/BENCH_K10
+  * evidence; streaming correctness is spec-gated but had no rows/s
+  * artifact until round 10).
+  *
+  * Two pipelines, each driven as a real multi-micro-batch run over
+  * file-stream input staged from the corpus (maxFilesPerTrigger forces
+  * a batch cadence; Trigger.AvailableNow drains to completion — the
+  * same execution path a production backfill takes):
+  *
+  *  - `ingest` — Streams.ingestPipeline at sf0.1: dead-letter split +
+  *    watermark-bounded exactly-once dedup + station-dim broadcast
+  *    enrichment over the events table mapped to the reference's
+  *    (ts, event_id, station_id, content) fetch-result shape
+  *    (app.py:498-619's loop as one continuous query). The ONLY
+  *    stateful operator is the dedup; the record includes the state
+  *    store's peak row count to prove state tracks the lateness
+  *    horizon, not stream lifetime.
+  *  - `neardup_gate` — Streams.nearDupGate: stateless stream-static
+  *    LSH gate of arriving documents against the full corpus band
+  *    index, per-batch sink-side pair dedup via foreachBatch (the
+  *    documented pattern). State rows must be ZERO.
+  *
+  * Output: ONE JSON line (stdout + BENCH_STREAM.json) with per-pipeline
+  * rows, seconds, rows/s, batch count, and peak state rows. Methodology
+  * mirrors graft.Bench: an untimed warmup run (JIT + parquet footers),
+  * then the timed run; timings are end-to-end query wall clock
+  * (start → awaitTermination), which INCLUDES micro-batch scheduling
+  * overhead — that is the honest number for a streaming pipeline. */
+object BenchStream {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_bstream_$tag").toString
+
+  /** Drains a streaming query built over `src` and returns
+    * (elapsedSec, inputRows, batches, peakStateRows). */
+  private def drain(build: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : (Double, Long, Long, Long) = {
+    val t0 = System.nanoTime()
+    val q = build()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress
+    val rows = prog.map(_.numInputRows).sum
+    val state = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .reduceOption(_ max _).getOrElse(0L)
+    (sec, rows, prog.length.toLong, state)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- stage the ingest input: events as fetch-result rows, 32
+    // files so maxFilesPerTrigger=4 yields 8 micro-batches ----------
+    val ingestIn = freshDir("ingest_in")
+    Tables.events(spark, sfDir).select(
+      col("ts"), col("event_id"),
+      (col("user_id") % 50).as("station_id"),
+      // ~2% dead-letter rows: the split must classify, not drop
+      when(col("event_id") % 97 === 0, lit(null).cast("string"))
+        .when(col("event_id") % 89 === 0, lit(""))
+        .otherwise(col("props")).as("content"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(ingestIn)
+    val ingestSchema = spark.read.parquet(ingestIn).schema
+    val stations = spark.range(50)
+      .select(col("id").as("station_id"),
+        concat(lit("STA_"), col("id")).as("station"))
+
+    def runIngest(): (Double, Long, Long, Long) = drain { () =>
+      val src = spark.readStream.schema(ingestSchema)
+        .option("maxFilesPerTrigger", 4).parquet(ingestIn)
+      Streams.ingestPipeline(src, stations)
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("ingest_ck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    // ---- stage the near-dup arrivals: documents in 8 files, one per
+    // micro-batch; the index side is the full static corpus ---------
+    val gateIn = freshDir("gate_in")
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .repartition(8)
+      .write.mode("overwrite").parquet(gateIn)
+    val gateSchema = spark.read.parquet(gateIn).schema
+    val indexDocs = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+    def runGate(): (Double, Long, Long, Long) = drain { () =>
+      val src = spark.readStream.schema(gateSchema)
+        .option("maxFilesPerTrigger", 1).parquet(gateIn)
+      Streams.nearDupGate(spark, src, indexDocs)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // documented sink-side pattern: a pair colliding on k bands
+          // arrives k times from the stateless gate; the sink dedupes
+          batch.dropDuplicates("new_doc", "index_doc")
+            .write.format("noop").mode("overwrite").save()
+        }
+        .option("checkpointLocation", freshDir("gate_ck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    // untimed warmup, then the timed pass
+    runIngest(); runGate()
+    val (iSec, iRows, iBatches, iState) = runIngest()
+    val (gSec, gRows, gBatches, gState) = runGate()
+
+    def entry(rows: Long, sec: Double, batches: Long, state: Long): String =
+      f"""{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).round},""" +
+        s""""batches":$batches,"state_rows_max":$state}"""
+    val json =
+      s"""{"metric":"stream_total","value":${"%.3f".format(iSec + gSec)},"unit":"sec","pipelines":{""" +
+        s""""ingest":${entry(iRows, iSec, iBatches, iState)},""" +
+        s""""neardup_gate":${entry(gRows, gSec, gBatches, gState)}},""" +
+        s""""sf":"$sfDir","trigger":"AvailableNow","estimator":"warmup+1"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_STREAM.json")
+    Files.writeString(Paths.get(out), json + "\n")
+    spark.stop()
+  }
+}
