@@ -11,6 +11,9 @@ object Scratch {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      // the recursive-CTE oracles (k-hop, PageRank) unroll past the
+      // 1M-row default at sf0.01 — a limit, not a semantics change
+      .config("spark.sql.cteRecursionRowLimit", 100000000)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
@@ -23,66 +26,70 @@ object Scratch {
       SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
         if (!skip.contains(name)) {
           try {
-            // second chance: DuckDB floor division `//` → Spark `div`
-            // (identical for the non-negative operands these use)
-            def run(s: String, tag: String): Unit = {
+            // each chance returns a status; the chain stops at the
+            // first PASS and otherwise reports the best variant tried
+            // (a DIFF at chance 1 still tries the deeper rewrites —
+            // e.g. the 1-based-index class RUNS verbatim with silently
+            // wrong values and only passes after element_at rewriting)
+            def run(s: String, tag: String): String = {
               val viaSql = spark.sql(s)
               val viaApi = SparkEntry.queries(name)(spark, d)
-              if (viaApi.columns.toSeq != viaSql.columns.toSeq)
-                println(s"COLS$tag $name")
+              if (viaApi.columns.toSeq != viaSql.columns.toSeq) s"COLS$tag $name"
               else {
                 val a = viaApi.collect().map(_.toString).sorted
                 val b = viaSql.collect().map(_.toString).sorted
-                println(if (a.sameElements(b)) s"PASS$tag $name" else s"DIFF$tag $name")
+                if (a.sameElements(b)) s"PASS$tag $name" else s"DIFF$tag $name"
               }
             }
-            // replace only OUTSIDE single-quoted literals: a format
-            // string or URL containing the needle must not be mangled
-            def replaceOutside(s: String, from: String, to: String): String = {
-              val out = new StringBuilder
-              var i = 0; var q = false
-              while (i < s.length) {
-                if (s(i) == '\'') { q = !q; out += s(i); i += 1 }
-                else if (!q && s.startsWith(from, i)) { out ++= to; i += from.length }
-                else { out += s(i); i += 1 }
-              }
-              out.toString
+            val div = SqlTranslate.replaceOutside(sql, "//", " div ")
+            val full = SqlTranslate(sql)
+            val full2 = SqlTranslate(sql, lenIsLength = true)
+            val variants = (sql, "  ") ::
+              (if (div != sql) List((div, "2 ")) else Nil) ++
+              (if (full != div) List((full, "3 ")) else Nil) ++
+              (if (full2 != full) List((full2, "4 ")) else Nil)
+            val results = new scala.collection.mutable.ListBuffer[String]
+            var done = false
+            for ((s, tag) <- variants if !done) {
+              try {
+                val r = run(s, tag)
+                results += r
+                if (r.startsWith("PASS")) done = true
+              } catch { case e: Throwable => results += s"THREW$tag " +
+                Option(e.getMessage).getOrElse("").linesIterator
+                  .filter(_.trim.nonEmpty).take(1).mkString.take(200) }
             }
-            // third chance: the full mechanical-rename chain (DuckDB →
-            // Spark function names with identical semantics on these
-            // inputs; strftime format literals mapped per-pattern —
-            // literal mappings intentionally use plain replace)
-            def translate(s: String): String = {
-              val renamed = Seq(
-                ("//", " div "),
-                ("string_split_regex(", "split("),
-                ("epoch_us(", "unix_micros("),
-                ("quantile_cont(", "percentile("),
-                ("strftime(", "date_format("),
-              ).foldLeft(s) { case (acc, (f, t)) => replaceOutside(acc, f, t) }
-              renamed
-                .replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
-                .replace("'%Y%m%dT%H%M%S'", "'yyyyMMdd''T''HHmmss'")
-            }
-            val div = replaceOutside(sql, "//", " div ")
-            val full = translate(sql)
-            try run(sql, "  ")
-            catch {
-              // chance 2 only when the div rewrite actually changed
-              // something; chance 3 only when it differs from chance 2
-              case _: Throwable if div != sql =>
-                try run(div, "2 ")
-                catch { case _: Throwable if full != div => run(full, "3 ") }
-              case _: Throwable if full != sql => run(full, "3 ")
-            }
+            println(results.find(_.startsWith("PASS"))
+              .orElse(results.find(_.startsWith("DIFF")))
+              .orElse(results.find(_.startsWith("COLS")))
+              .getOrElse(s"ERR   $name: ${results.lastOption.getOrElse("")}"))
           } catch {
             case e: Throwable =>
               val m = Option(e.getMessage).getOrElse("").linesIterator
-                .take(1).mkString.take(140)
+                .filter(_.trim.nonEmpty).take(1).mkString.take(200)
               println(s"ERR   $name: $m")
           } finally spark.catalog.clearCache()
         }
       }
+    } else if (args.headOption.contains("sqlone")) {
+      // sqlone <name>: run the translated oracle through spark.sql and
+      // print the first few differing rows vs the DataFrame result
+      Tables.createViews(spark, d)
+      graft.functions.GraftFunctions.register(spark)
+      val name = args(1)
+      val sql = SqlTranslate(SparkEntry.oracleSql(name),
+        lenIsLength = args.length > 2 && args(2) == "len")
+      println(s"----- translated SQL -----\n$sql\n--------------------------")
+      val viaApi = SparkEntry.queries(name)(spark, d)
+      val viaSql = spark.sql(sql)
+      println(s"cols api=${viaApi.columns.mkString(",")} sql=${viaSql.columns.mkString(",")}")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      println(s"rows api=${a.length} sql=${b.length}")
+      val onlyA = a.diff(b).take(5)
+      val onlyB = b.diff(a).take(5)
+      println(s"only-in-api:\n${onlyA.mkString("\n")}")
+      println(s"only-in-sql:\n${onlyB.mkString("\n")}")
     } else if (args.headOption.contains("run")) {
       // run <sfDir> <outDir> <query...>: dump selected queries only
       // (graft.Verify always runs the full surface; targeted A/B work

@@ -336,7 +336,91 @@ class SqlSurfaceSpec extends SparkSpec {
         |    count(*) AS n
         |  FROM events
         |  GROUP BY event_type, CAST(least(floor(value / 25.0), 19) AS BIGINT))
-        |ORDER BY event_type, bin""".stripMargin)
+        |ORDER BY event_type, bin""".stripMargin,
+    // the four round-10 mirrors: oracles one semantic step past the
+    // mechanical chain — percentile_disc needs an explicit BIGINT cast
+    // (Spark types it DOUBLE, DuckDB keeps the element type), and the
+    // large-orders timestamp must stay NTZ (Spark's bare TIMESTAMP
+    // cast is LTZ)
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY e.user_id),
+        |deltas AS (
+        |  SELECT 'view_to_click' AS transition,
+        |    unix_micros(c.first_click) - unix_micros(v.first_view) AS delta_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS transition,
+        |    unix_micros(p.first_purchase) - unix_micros(c.first_click) AS delta_us
+        |  FROM c JOIN p ON c.user_id = p.user_id)
+        |SELECT transition, count(*) AS n_converted,
+        |  min(delta_us) AS min_us,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_us) AS BIGINT)
+        |    AS median_us,
+        |  max(delta_us) AS max_us
+        |FROM deltas GROUP BY transition ORDER BY transition""".stripMargin,
+    "q_order_latency" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  min(lat_days) AS min_days,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days) AS BIGINT)
+        |    AS median_days,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days) AS BIGINT)
+        |    AS p90_days,
+        |  max(lat_days) AS max_days
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    datediff(DAY, CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        |      AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    unix_micros(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, us, ts, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    max(us) - min(us) AS duration_us
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) FILTER (WHERE n_events = 1) AS n_single_event,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events) AS BIGINT)
+        |    AS median_events,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY duration_us) AS BIGINT)
+        |    AS median_duration_us,
+        |  max(duration_us) AS max_duration_us
+        |FROM sess""".stripMargin,
+    "q_tpch_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+        |    > 260.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)
 
   test(s"SQL-surface parity: ${sqlMirrors.size} declared queries return identical rows through plain SQL") {
     Tables.createViews(spark, sfDir)
@@ -479,6 +563,162 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(a.sameElements(b), s"$name: renamed oracle through spark.sql diverged")
       spark.catalog.clearCache()
     }
+  }
+
+  /** The fifth sweep (round 10): oracles portable through the FULL
+    * SqlTranslate chain — the shared mechanical DuckDB→Spark rename
+    * table grown this round with unnest→explode, list_filter→filter,
+    * literal-backslash escaping (DuckDB raw strings vs Spark escape
+    * processing), 1-based [i]/[a:b] indexing → element_at/slice,
+    * FILTER(cond)→FILTER(WHERE), string_agg(… ORDER BY)→WITHIN GROUP,
+    * quantile_disc→percentile_disc, dow −1 shift, scalar range→
+    * sequence(b−1), numeric list literals → array(…), and more (see
+    * SqlTranslate.scala). Every name here was verified row-identical
+    * by the Scratch sqlscan triage before being pinned; the sweep
+    * re-verifies per run, so a Spark builtin changing semantics under
+    * any mapped name fails here first. */
+  private val translatedOracles: Seq[String] = Seq(
+    "q_acquisition_plan", "q_activity_bitmap", "q_anchor_dedup", "q_attribution",
+    "q_backfill_chunks", "q_batch_buckets", "q_binary_ingest", "q_bm25",
+    "q_burstiness", "q_chunk_overlap", "q_cohort_ltv", "q_corr_group",
+    "q_daily_close", "q_degree_histogram", "q_feature_hash", "q_frame_dedup",
+    "q_frame_sample", "q_from_json", "q_fuzzy_join", "q_gap_fill",
+    "q_grid_neighbor_stats", "q_grid_neighbors", "q_image_resize", "q_impute",
+    "q_interleave", "q_js_divergence", "q_json_extract", "q_key_projection",
+    "q_kl_drift", "q_lang_confusion", "q_lang_id", "q_length_buckets",
+    "q_lsh_planner", "q_map_explode", "q_movers", "q_multimodal_meta",
+    "q_pack_greedy", "q_pad_waste", "q_pareto", "q_perplexity_proxy",
+    "q_rag_chunks", "q_rbo_overlap", "q_readability", "q_redact",
+    "q_region_top_brands", "q_retention", "q_return_hazard", "q_rfm",
+    "q_seasonal_profile", "q_source_jaccard", "q_sql_report", "q_target_encode",
+    "q_tfidf", "q_throttle_events", "q_tok_efficiency", "q_token_count",
+    "q_tpch_discount", "q_tpch_disjunct", "q_tpch_mktshare", "q_tpch_nation_trade",
+    "q_tpch_profit", "q_tpch_promo", "q_tpch_returned", "q_tpch_shipping",
+    "q_tpch_small_qty", "q_tpch_top_supplier", "q_tpch_volume", "q_twap",
+    "q_user_journey", "q_vocab_coverage", "q_vocab_drift", "q_vocab_growth",
+    "q_wau_stickiness", "q_woe_encode", "q_zipf_slope", "q_zorder_skipping")
+
+  test(s"SQL-surface parity: ${translatedOracles.size} more oracle texts are portable through the full SqlTranslate chain") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    translatedOracles.foreach { name =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(SqlTranslate(SparkEntry.oracleSql(name)))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq,
+        s"$name: column names diverge (${viaApi.columns.mkString(",")} vs ${viaSql.columns.mkString(",")})")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length, s"$name: ${a.length} vs ${b.length} rows")
+      assert(a.sameElements(b), s"$name: translated oracle through spark.sql diverged")
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** Same chain with len() read as LENGTH (string) instead of SIZE
+    * (array) — DuckDB's len() covers both; these six texts use it on
+    * strings (the array-context occurrences are disambiguated inside
+    * the chain: len(split(/len(filter(/… stay size()). */
+  private val translatedLenOracles: Seq[String] = Seq(
+    "q_hybrid_rank", "q_normalize_text", "q_quality_gate", "q_quality_score",
+    "q_quality_sweep", "q_top_p_select")
+
+  test(s"SQL-surface parity: ${translatedLenOracles.size} more via the chain's len-as-length reading") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    translatedLenOracles.foreach { name =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(SqlTranslate(SparkEntry.oracleSql(name), lenIsLength = true))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq, s"$name: column names diverge")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length && a.sameElements(b), s"$name: diverged through spark.sql")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("SQL-surface parity: the recursive-CTE oracle (q_khop_reach) runs VERBATIM through spark.sql") {
+    // Spark 4 executes WITH RECURSIVE natively; the only knob is the
+    // runaway-protection row limit, a resource bound not a dialect gap
+    Tables.createViews(spark, sfDir)
+    val prev = spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 100000000L)
+    try {
+      val viaApi = SparkEntry.queries("q_khop_reach")(spark, sfDir)
+      val viaSql = spark.sql(SparkEntry.oracleSql("q_khop_reach"))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq)
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length && a.sameElements(b), "q_khop_reach diverged")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cteRecursionRowLimit", v)
+        case None => spark.conf.unset("spark.sql.cteRecursionRowLimit")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** The documented-exclusion table: every declared query NOT covered
+    * by a sweep above or a hand mirror, with the reason its oracle
+    * text is genuinely dialect-bound. The completeness test below
+    * keeps this table honest in both directions — a new query must
+    * land in a sweep or here, and a query that becomes mechanically
+    * portable must leave. */
+  private val sqlExclusions: Map[String, String] = {
+    val listComp = Seq(
+      "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_recall",
+      "q_audio_energy", "q_band_load", "q_benford", "q_bigram_lm",
+      "q_boilerplate", "q_bootstrap_ci", "q_bpe_merge", "q_bpe_pairs",
+      "q_bpe_train3", "q_cdc_chunks", "q_cdc_savings", "q_cluster_stats",
+      "q_containment", "q_contamination", "q_cross_source_leak", "q_curation_funnel",
+      "q_dedup_clusters", "q_dedup_keep_best", "q_dedup_recall", "q_dedup_weight",
+      "q_detector_agreement", "q_doc_fingerprint", "q_dsir_weight", "q_dup_spans",
+      "q_embed_clusters", "q_embed_neardup", "q_embed_outliers", "q_embedding_stats",
+      "q_entropy", "q_eval_overlap", "q_fim_split", "q_gnn_aggregate",
+      "q_hard_negatives", "q_incremental_dedup", "q_ivf_balance", "q_ivf_margin",
+      "q_ivf_probe_sweep", "q_kfold", "q_kmeans_step", "q_kmeans_train",
+      "q_knn_classify", "q_label_audit", "q_label_separability", "q_lateness_audit",
+      "q_line_dedup", "q_minhash_est_err", "q_minhash_neardup", "q_mmr_rerank",
+      "q_multimodal_features", "q_ndcg_eval", "q_neardup_sweep", "q_ngram_counts",
+      "q_ngram_jaccard", "q_ngram_novelty", "q_passage_dedup", "q_pmi_bigrams",
+      "q_pq_codes", "q_pq_search", "q_rand_project", "q_repetition",
+      "q_scalar_quant", "q_semdedup_sweep", "q_shard_manifest", "q_simhash",
+      "q_simhash_neardup", "q_span_corrupt", "q_training_pipeline", "q_upsample_plan",
+      "q_weighted_sample", "q_winnowing")
+      .map(_ -> ("oracle uses DuckDB Python-style list comprehensions " +
+        "([f(x) for x in l]) — no textual Spark-SQL equivalent; the Spark-SQL " +
+        "user story for these operators is the registered native function " +
+        "surface (vec_dot, minhash8, word_shingles, zorder16, …), pinned in " +
+        "the function tests above"))
+    listComp.toMap ++ Map(
+      "q_asof_stream_twin" ->
+        ("oracle uses DuckDB struct_pack(k := v) literals and NULL::STRUCT(…) " +
+          "type casts — Spark spells these named_struct/CAST with a different " +
+          "type grammar; the as-of SQL story is covered by the seven other " +
+          "as-of oracles, all portable"),
+      "q_decayed_trend" ->
+        ("oracle sums raw doubles whose result is evaluation-order-sensitive; " +
+          "single-threaded DuckDB's order happens to match the engine's " +
+          "decimal-staged plan, Spark partial aggregation's does not — the " +
+          "engine plan, not the oracle text, is the Spark-side semantics"))
+  }
+
+  test("SQL-surface completeness: every declared query is in exactly one sweep, a hand mirror, or the exclusion table") {
+    val covered =
+      sqlMirrors.keySet ++ portableOracles ++ divPortableOracles ++
+        renamePortableOracles ++ translatedOracles ++ translatedLenOracles ++
+        Set("q_khop_reach") ++ sqlExclusions.keySet
+    val declared = SparkEntry.queries.keySet
+    val missing = declared -- covered
+    val phantom = covered -- declared
+    assert(missing.isEmpty, s"queries with no SQL-parity story: ${missing.toSeq.sorted}")
+    assert(phantom.isEmpty, s"SQL-parity entries for undeclared queries: ${phantom.toSeq.sorted}")
+    // exclusions must not shadow a sweep (a query that became portable
+    // must leave the table)
+    val shadowed = sqlExclusions.keySet.intersect(
+      sqlMirrors.keySet ++ portableOracles ++ divPortableOracles ++
+        renamePortableOracles ++ translatedOracles ++ translatedLenOracles)
+    assert(shadowed.isEmpty, s"excluded but also swept: ${shadowed.toSeq.sorted}")
   }
 
   test("the SQL user can express an ad-hoc skyline against the views and match the operator") {
