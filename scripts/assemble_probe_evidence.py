@@ -3,8 +3,8 @@
 
 Merges the per-job --json outputs of scripts/check_oracle.py runs at
 the K=3 (sf0.3-equivalent) and K=10 (sf1-equivalent) magnitude probes
-into one {query: {k3: status, k10: status, k3_oracle_sec,
-k10_oracle_sec}} map plus a summary, so the SURVEY §6
+into one {query: {k3: status, k10: status, k30: status,
+k*_oracle_sec}} map plus a summary (any k<N>= tier accepted), so the SURVEY §6
 highest-confirmed-scale table is generated from recorded runs, not
 assertions. Schema note: PROBES_r07.json used the old *_sec key names;
 r09 onward uses *_oracle_sec (the value is the DuckDB oracle's wall
@@ -21,10 +21,10 @@ def main():
     merged = {}
     for arg in sys.argv[2:]:
         tier, path = arg.split("=", 1)
-        if tier not in ("k3", "k10"):
+        if not __import__("re").fullmatch(r"k\d+", tier):
             # A typo'd tier would silently merge under a key the summary
             # ignores, making a forgotten/mistagged probe look complete.
-            sys.exit(f"unknown tier {tier!r} in {arg!r}: expected k3= or k10=")
+            sys.exit(f"unknown tier {tier!r} in {arg!r}: expected k<N>= (k3=/k10=/k30=)")
         try:
             data = json.load(open(path))
         except FileNotFoundError:
@@ -54,19 +54,21 @@ def main():
                 e[f"{tier}_oracle_sec"] = rec["sec"]
             if rec.get("status") not in ("pass", "no-oracle"):
                 e[f"{tier}_detail"] = rec
-    summary = {
-        "k3_pass": sum(1 for e in merged.values() if e.get("k3") == "pass"),
-        "k10_pass": sum(1 for e in merged.values() if e.get("k10") == "pass"),
-        "k3_other": sorted(q for q, e in merged.items()
-                           if "k3" in e and e["k3"] != "pass"),
-        "k10_other": sorted(q for q, e in merged.items()
-                            if "k10" in e and e["k10"] != "pass"),
+    tiers = sorted({t for e in merged.values() for t in e
+                    if __import__("re").fullmatch(r"k\d+", t)},
+                   key=lambda t: int(t[1:]))
+    summary = {"n_queries": len(merged), "tiers": tiers}
+    for t in tiers:
+        summary[f"{t}_pass"] = sum(
+            1 for e in merged.values() if e.get(t) == "pass")
+        summary[f"{t}_other"] = sorted(
+            q for q, e in merged.items() if t in e and e[t] != "pass")
         # Queries with no record at a tier are distinct from non-passes:
         # a forgotten probe job must not read as evidence-complete.
-        "k3_missing": sorted(q for q, e in merged.items() if "k3" not in e),
-        "k10_missing": sorted(q for q, e in merged.items() if "k10" not in e),
-        "n_queries": len(merged),
-    }
+        # (A subset tier like k30-top-25 legitimately has many missing;
+        # the SURVEY text names the subset rule.)
+        summary[f"{t}_missing"] = sorted(
+            q for q, e in merged.items() if t not in e)
     json.dump({"summary": summary, "queries": merged},
               open(out_path, "w"), indent=1, sort_keys=True)
     print(json.dumps(summary, indent=1))

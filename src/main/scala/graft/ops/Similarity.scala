@@ -164,19 +164,73 @@ object Similarity {
     * the 100 TB shape; the cartesian variant below is spec-only
     * ground truth. */
   def qEmbedNeardup(spark: SparkSession, d: String): DataFrame = {
+    // EXACT-DUPLICATE COLLAPSE (r10 — the r9 q_gnn/label-audit pattern,
+    // applied after the K=30 probe caught this plan's candidate join:
+    // cosine, IVF assignment, and therefore candidacy are all
+    // CONTENT-determined, but the member-level candidate stage carried
+    // TWO full embedding vectors per candidate ROW, and on a corpus
+    // where every vector has K exact duplicates the candidate volume is
+    // K² — at K=30 that is 900× sf0.1's, ~hundreds of GB of shuffle
+    // spill (ENOSPC, the round-10 scale finding). Collapsed: the
+    // IVF assignment, candidate join, and cosine verify all run over
+    // DISTINCT content (volume independent of the duplication factor),
+    // and verified content pairs expand to member pairs at the END —
+    // a join whose volume IS the output (output-bound, like
+    // q_grid_neighbors). A same-content pair (g ≥ 2 members) is one
+    // content self-row scored with the SAME cosine expression the
+    // member form evaluated (not an assumed 1.0), so outputs are
+    // bit-identical. On a duplicate-free corpus the collapse costs one
+    // extra map-side hash aggregate. */
     val v = withNorm(spark, Tables.embeddings(spark, d))
       .select(col("vec_id"), col("e"), col("nrm")).persist()
-    val asg = ivfAssignedK(spark, d, nprobe = 2).persist()
-    val cand = asg.select(col("cluster"), col("vec_id").as("vec_a"))
-      .join(asg.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct() // a pair may share both probes
-    cand
-      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
-      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
+    val groups = v.groupBy("e")
+      .agg(min("vec_id").as("gid"), count(lit(1)).as("g"))
+      .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))
+      .persist()
+    // content-level nprobe=2 IVF assignment (ivfAssignedK's exact
+    // recipe over group representatives; centroids stay the raw
+    // vec_id < 8 member vectors, so assignment ties break identically)
+    val centroids = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ea"), col("nrm").as("na"))
+    val asg = groups.select(col("gid"), col("e").as("eb"), col("nrm").as("nb"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .groupBy("gid")
+      .agg(collect_list(
+        struct((-col("cos")).as("neg_cos"), col("centroid_id"))).as("cands"))
+      .select(col("gid"),
+        explode(slice(sort_array(col("cands")), 1, 2)).as("c"))
+      .select(col("gid"), col("c.centroid_id").as("cluster"))
+    // unordered content candidate pairs sharing ≥1 probed cluster;
+    // the self-pair stands for a group's internal member pairs, so it
+    // exists only for groups of ≥2
+    val pairs = asg.select(col("gid").as("ga"), col("cluster"))
+      .join(asg.select(col("gid").as("gb"), col("cluster")), Seq("cluster"))
+      .filter(col("ga") <= col("gb"))
+      .select("ga", "gb").distinct() // a pair may share both probes
+      .join(groups.select(col("gid").as("gb"), col("g").as("gb_g")), Seq("gb"))
+      .filter(col("ga") =!= col("gb") || col("gb_g") > 1)
+      .select("ga", "gb")
+    val scored = pairs
+      .join(groups.select(col("gid").as("ga"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("ga"))
+      .join(groups.select(col("gid").as("gb"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("gb"))
       .withColumn("cos", expr(s"$dot / (na * nb)"))
       .filter(col("cos") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .select("ga", "gb", "cos")
+    // output-bound member expansion: cross-group combos appear exactly
+    // once (unordered content pair × member grid), same-group pairs
+    // keep the a < b half
+    val members = v.join(groups.select(col("e"), col("gid")), Seq("e"))
+      .select(col("gid"), col("vec_id"))
+    scored
+      .join(members.toDF("ga", "ma"), Seq("ga"))
+      .join(members.toDF("gb", "mb"), Seq("gb"))
+      .filter(col("ga") =!= col("gb") || col("ma") < col("mb"))
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"),
+        round(col("cos"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
