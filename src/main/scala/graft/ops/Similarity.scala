@@ -1314,30 +1314,43 @@ object Similarity {
     * adjudicated output-bound flag). Isolated vectors (degree 0) are
     * recovered by a left join back to the point set. */
   private def gridDegrees(spark: SparkSession, d: String): DataFrame = {
+    // LOCATION COLLAPSE (r10, after the first K=30 scaling report): a
+    // vector's degree is fully determined by its (x, y) — co-located
+    // points share external neighbors and add (multiplicity − 1)
+    // internal ones — so the 3×3 candidate join runs over DISTINCT
+    // locations with a multiplicity weight, making join volume
+    // independent of the duplication factor (the member-level form's
+    // join produced K² candidate rows on a K-replicated corpus:
+    // measured 12×/8.5× time for 3× data at the K=30 tier, now ~3×).
+    // Returns CONTENT-level rows (location, cell, deg, w); consumers
+    // aggregate with the weight — no member expansion ever exists.
     val r2 = 0.04 * 0.04
     val pts = Tables.embeddings(spark, d).select(
-      col("vec_id"),
       element_at(col("embedding"), 1).cast("double").as("x"),
       element_at(col("embedding"), 2).cast("double").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
       .withColumn("cx", floor(col("x") / 0.05))
       .withColumn("cy", floor(col("y") / 0.05))
       .persist()
     val probes = pts
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("vec_id").as("vec_a"), col("x").as("xa"), col("y").as("ya"),
+      .select(col("x").as("xa"), col("y").as("ya"),
         (col("cx") + col("dx")).as("tcx"), (col("cy") + col("dy")).as("tcy"))
-    val deg0 = probes
-      .join(pts.select(col("vec_id").as("vec_b"), col("x").as("xb"),
-          col("y").as("yb"), col("cx"), col("cy")),
+    val ext = probes
+      .join(pts.select(col("x").as("xb"), col("y").as("yb"),
+          col("cx"), col("cy"), col("w").as("wb")),
         col("tcx") === col("cx") && col("tcy") === col("cy") &&
-          col("vec_a") =!= col("vec_b"))
+          (col("xa") =!= col("xb") || col("ya") =!= col("yb")))
       .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) < r2)
-      .groupBy("vec_a").agg(count(lit(1)).as("deg"))
-    pts.join(deg0, col("vec_id") === col("vec_a"), "left")
-      .select(col("vec_id"), col("cx"), col("cy"),
-        coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy(col("xa").as("x"), col("ya").as("y"))
+      .agg(sum("wb").as("ext"))
+    // degree = external neighbors + (w − 1) co-located duplicates
+    // (distance 0 < r); shared by every member of the location
+    pts.join(ext, Seq("x", "y"), "left")
+      .select(col("cx"), col("cy"), col("w"),
+        (coalesce(col("ext"), lit(0L)) + col("w") - 1).as("deg"))
   }
 
   /** Per-cell neighbor statistics — the output-bounded companion to
@@ -1346,10 +1359,10 @@ object Similarity {
   def qGridNeighborStats(spark: SparkSession, d: String): DataFrame = {
     gridDegrees(spark, d)
       .groupBy("cx", "cy")
-      .agg(count(lit(1)).as("n_pts"),
-        sum("deg").as("deg_sum"),
+      .agg(sum("w").as("n_pts"),
+        sum(col("deg") * col("w")).as("deg_sum"),
         max("deg").as("deg_max"),
-        count(when(col("deg") === 0, 1)).as("n_isolated"))
+        sum(when(col("deg") === 0, col("w")).otherwise(lit(0L))).as("n_isolated"))
       .orderBy("cx", "cy")
   }
 
@@ -1360,7 +1373,7 @@ object Similarity {
   def qDegreeHistogram(spark: SparkSession, d: String): DataFrame = {
     gridDegrees(spark, d)
       .groupBy(col("deg").as("degree"))
-      .agg(count(lit(1)).as("n_vecs"))
+      .agg(sum("w").as("n_vecs"))
       .orderBy("degree")
   }
 
