@@ -119,18 +119,23 @@ def main():
         i += 1
     sfdir, outdir = pos[0], pos[1]
     only = set(pos[2:])
-    con = duckdb.connect()
-    if opts["mem"]:
-        con.execute(f"SET memory_limit='{opts['mem']}'")
-    if opts["tmp"]:
-        os.makedirs(opts["tmp"], exist_ok=True)
-        con.execute(f"SET temp_directory='{opts['tmp']}'")
-    if opts["threads"]:
-        con.execute(f"SET threads={opts['threads']}")
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    def fresh_connection():
+        c = duckdb.connect()
+        if opts["mem"]:
+            c.execute(f"SET memory_limit='{opts['mem']}'")
+        if opts["tmp"]:
+            os.makedirs(opts["tmp"], exist_ok=True)
+            c.execute(f"SET temp_directory='{opts['tmp']}'")
+        if opts["threads"]:
+            c.execute(f"SET threads={opts['threads']}")
+        for t in TABLES:
+            p = f"{sfdir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = fresh_connection()
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     record = {}
@@ -169,6 +174,17 @@ def main():
             print(f"FAIL  {name}: oracle error: {e}")
             record[name] = {"status": "oracle-error", "err": str(e)[:300]}
             n_fail += 1
+            if "No space left" in str(e):
+                # a spill-aborted query leaves its temp storage PINNED
+                # by the connection; without a reset every later query
+                # ENOSPCs on the same dead file (the r10 cascade:
+                # one heavy failure took out 10 innocent queries)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_connection()
+                print(f"NOTE  {name}: reset connection after spill abort")
             continue
         finally:
             for s in staged:
