@@ -162,8 +162,54 @@ object Similarity {
     * The equi-join on `cluster` replaces the all-pairs cartesian:
     * candidate pairs scale with cluster sizes, not corpus². This is
     * the 100 TB shape; the cartesian variant below is spec-only
-    * ground truth. */
+    * ground truth.
+    *
+    * PLAN SELECTION (r11 — the qLabelAudit dup-factor gate): the
+    * duplicate-collapse plan is linear on duplicate-heavy corpora (the
+    * r10 K=30 ENOSPC finding) but pays ~8 extra stages of content
+    * grouping + member expansion; on a duplicate-FREE corpus the
+    * member-level plan is simpler and ~1 s faster at sf0.1. A 1-row
+    * scalar probe — count vs count-distinct of a 64-bit content hash —
+    * picks the plan. Hash collisions can only UNDERCOUNT distincts,
+    * i.e. falsely route a duplicate-free corpus to the collapse plan
+    * (correct, just slower); they can never hide a real duplicate, so
+    * the member-level plan runs only when duplicates provably don't
+    * exist. Both plans are oracle-identical by construction
+    * (SimilaritySpec pins member ≡ collapse on the duplicate-free
+    * corpus and collapse ≡ brute force on a mixed-label duplicated
+    * fixture). */
   def qEmbedNeardup(spark: SparkSession, d: String): DataFrame = {
+    val v = withNorm(spark, Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("e"), col("nrm")).persist()
+    // 1-row scalar probe (documented bounded collect): dup factor over
+    // the already-persisted input
+    val probe = v.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("e"))).as("nd")).head()
+    if (probe.getLong(0) == probe.getLong(1)) embedNeardupMemberLevel(spark, d, v)
+    else embedNeardupCollapsed(spark, d, v)
+  }
+
+  /** Member-level near-dup plan — taken when the dup-factor probe
+    * proves the corpus duplicate-free (the pre-r10 shape: nprobe=2 IVF
+    * bucket candidates at vector granularity → exact cosine verify). */
+  private[graft] def embedNeardupMemberLevel(
+      spark: SparkSession, d: String, v: DataFrame): DataFrame = {
+    val asg = ivfAssignedK(spark, d, nprobe = 2).persist()
+    val cand = asg.select(col("cluster"), col("vec_id").as("vec_a"))
+      .join(asg.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct() // a pair may share both probes
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", expr(s"$dot / (na * nb)"))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private[graft] def embedNeardupCollapsed(
+      spark: SparkSession, d: String, v: DataFrame): DataFrame = {
     // EXACT-DUPLICATE COLLAPSE (r10 — the r9 q_gnn/label-audit pattern,
     // applied after the K=30 probe caught this plan's candidate join:
     // cosine, IVF assignment, and therefore candidacy are all
@@ -179,10 +225,7 @@ object Similarity {
     // q_grid_neighbors). A same-content pair (g ≥ 2 members) is one
     // content self-row scored with the SAME cosine expression the
     // member form evaluated (not an assumed 1.0), so outputs are
-    // bit-identical. On a duplicate-free corpus the collapse costs one
-    // extra map-side hash aggregate. */
-    val v = withNorm(spark, Tables.embeddings(spark, d))
-      .select(col("vec_id"), col("e"), col("nrm")).persist()
+    // bit-identical.
     val groups = v.groupBy("e")
       .agg(min("vec_id").as("gid"), count(lit(1)).as("g"))
       .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))
@@ -1322,13 +1365,27 @@ object Similarity {
     // independent of the duplication factor (the member-level form's
     // join produced K² candidate rows on a K-replicated corpus:
     // measured 12×/8.5× time for 3× data at the K=30 tier, now ~3×).
-    // Returns CONTENT-level rows (location, cell, deg, w); consumers
-    // aggregate with the weight — no member expansion ever exists.
+    // Returns LOCATION-level rows (cell, w, deg); consumers aggregate
+    // with the weight — no member expansion ever exists.
+    //
+    // PLAN SELECTION (r11, the qLabelAudit dup-factor gate): on a
+    // corpus with all-distinct locations the groupBy adds a full
+    // shuffle for nothing — a 1-row probe (count vs count-distinct of
+    // a 64-bit location hash) skips it and feeds the shared downstream
+    // with w = 1. Hash collisions only undercount distincts, i.e. can
+    // only route a duplicate-free corpus to the collapse (correct,
+    // slower); a real co-location always hashes identically, so the
+    // w = 1 shape runs only when multiplicities provably are all 1.
     val r2 = 0.04 * 0.04
-    val pts = Tables.embeddings(spark, d).select(
+    val raw = Tables.embeddings(spark, d).select(
       element_at(col("embedding"), 1).cast("double").as("x"),
       element_at(col("embedding"), 2).cast("double").as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val probe = raw.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("x"), col("y"))).as("nd")).head()
+    val located =
+      if (probe.getLong(0) == probe.getLong(1)) raw.withColumn("w", lit(1L))
+      else raw.groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val pts = located
       .withColumn("cx", floor(col("x") / 0.05))
       .withColumn("cy", floor(col("y") / 0.05))
       .persist()

@@ -700,6 +700,89 @@ class SimilaritySpec extends SparkSpec {
       s"plans diverge: member-level ${shallow.take(5)} vs collapsed ${collapsed.take(5)}")
   }
 
+  test("embed neardup gate: member-level ≡ collapse on the duplicate-free corpus") {
+    import org.apache.spark.sql.Row
+    GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))
+      .select(col("vec_id"), col("e"), col("nrm")).persist()
+    val Row(n: Long, nd: Long) =
+      v.agg(count(lit(1)), countDistinct(xxhash64(col("e")))).head()
+    assert(n == nd, "driver embeddings fixture expected duplicate-free")
+    val shallow = Similarity.embedNeardupMemberLevel(spark, sfDir, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val collapsed = Similarity.embedNeardupCollapsed(spark, sfDir, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(shallow.nonEmpty && shallow == collapsed,
+      s"plans diverge: member-level ${shallow.take(5)} vs collapsed ${collapsed.take(5)}")
+  }
+
+  test("embed neardup: collapsed plan ≡ member-level plan on mixed-label duplicate groups with exact scalar-multiple ties") {
+    // ADVICE r10: the collapse's duplicate-specific branches (self-pair
+    // emission for g ≥ 2 groups, cross-group member-grid expansion, the
+    // ga != gb || ma < mb halving) were dead code on the duplicate-free
+    // driver corpus — this fixture (duplicate groups incl. an exact
+    // scalar multiple, so cross-group cos ties the self-pair's 1.0
+    // bit-exactly, plus duplicated CENTROID contents forcing assignment
+    // tie-breaks) forces all of them. The member-level plan is the
+    // reference: both share the (content-determined) IVF candidate
+    // structure, so the collapse must reproduce it pair-for-pair —
+    // and every surviving pair must also appear in brute-force ground
+    // truth with the identical rounded cosine (precision 1).
+    val (dir, rows) = labelAuditFixture()
+    GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, dir)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", expr("sqrt(vec_dot(e, e))"))
+      .select(col("vec_id"), col("e"), col("nrm")).persist()
+    val gated = Similarity.qEmbedNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    val member = Similarity.embedNeardupMemberLevel(spark, dir, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = Similarity.embedNeardupBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    // duplicates exist, so the gate must route to the collapse plan and
+    // self-pairs must appear: every (a, a-dup) member pair scores 1.0
+    assert(rows.size > rows.map(_._2.toSeq).distinct.size, "fixture must contain duplicates")
+    assert(gated.count(_._3 == 1.0) >= 36 + 3 + 6, // C(9,2) of A + C(3,2) of B + C(4,2) of C
+      s"expected within-group duplicate pairs at cos 1.0, got ${gated.count(_._3 == 1.0)}")
+    assert(gated == member,
+      s"collapsed ${gated.take(5)}… vs member-level ${member.take(5)}…")
+    assert(gated.forall(brute.contains), "a reported pair is missing from brute-force ground truth")
+  }
+
+  test("grid neighbor stats + degree histogram: collapse path replays brute-force degrees on a co-located duplicated fixture") {
+    val (dir, rows) = labelAuditFixture()
+    val pts = rows.map { case (id, e, _) => (id, e(0).toDouble, e(1).toDouble) }
+    // fixture must exercise the collapse: co-located points (group A's 9
+    // duplicates + D's 2 share (0.10, 0.10) exactly)
+    assert(pts.map(p => (p._2, p._3)).distinct.size < pts.size)
+    val deg = pts.map { case (ia, xa, ya) =>
+      (ia, math.floor(xa / 0.05).toLong, math.floor(ya / 0.05).toLong,
+        pts.count { case (ib, xb, yb) =>
+          ia != ib && (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) < 0.0016
+        }.toLong)
+    }
+    val stats = graft.ops.Similarity.qGridNeighborStats(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    spark.catalog.clearCache()
+    val expStats = deg.groupBy(p => (p._2, p._3)).view.mapValues { m =>
+      (m.length.toLong, m.map(_._4).sum, m.map(_._4).max,
+        m.count(_._4 == 0).toLong)
+    }.toMap
+    assert(stats.toMap == expStats && stats.map(_._2._1).sum == pts.length)
+    val hist = graft.ops.Similarity.qDegreeHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val expHist = deg.groupBy(_._4).view.mapValues(_.length.toLong).toSeq.sorted
+    assert(hist.toSeq == expHist && hist.map(_._2).sum == pts.length)
+  }
+
   test("label audit gate: out-of-range labels fail loudly on the collapse path") {
     import spark.implicits._
     val dir = "/tmp/graft_fixture_label_range"
