@@ -54,14 +54,41 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * At 100 TB: the log is one small file per commit and a reader lists
   * one directory — no data-file listing, no eventual-consistency
   * exposure; snapshot isolation comes from immutability (a committed
-  * file is never modified, only superseded). The known scale follow-up
-  * (checkpointing the folded file list every N commits so a reader
-  * parses O(1) manifests instead of O(commits)) is orthogonal to the
-  * correctness protocol and documented here as the growth path.
+  * file is never modified, only superseded). Readers additionally
+  * parse O(1) manifests, not O(commits): every [[CheckpointInterval]]
+  * commits a writer folds the live file list into a
+  * `<version>.ckpt` manifest (same line format, op=checkpoint,
+  * write-once like a commit; two racers produce identical content),
+  * and [[files]]/[[read]] start from the newest parseable checkpoint
+  * at-or-below `asOf` and fold only the `.txn` tail above it. A torn
+  * or garbage checkpoint is skipped (older checkpoint, then the full
+  * fold — checkpoints are pure acceleration, never a correctness
+  * dependency). [[commits]] remains the O(commits) protocol view.
+  *
+  * Crash recovery on stores whose claim is not content-atomic
+  * (HDFS-like `create(overwrite=false)`): a claimant that dies between
+  * the namenode claim and the `end` terminator leaves an unterminated
+  * `.txn` that would truncate every later reader's snapshot forever.
+  * [[fenceStalled]] — run by every writer before claiming — rewrites
+  * any unparseable manifest older than [[DefaultFenceTtlMs]] into an
+  * explicit no-op `op=abort` commit, restoring contiguity; the TTL
+  * keeps a LIVE claimant's in-flight write safe (same discipline as
+  * [[vacuum]]'s staging TTL). The crashed writer's own retry is
+  * unaffected: its staged files were fully written before any claim,
+  * and its successful re-claim at a later version references them.
   */
 object TxTable {
 
   private val Magic = "graft-txn-v1"
+
+  /** A writer folds a checkpoint after every N commits (triggered
+    * best-effort from [[append]]; [[checkpoint]] is also public). */
+  val CheckpointInterval = 10
+
+  /** An unterminated manifest older than this is presumed crashed and
+    * may be fenced ([[fenceStalled]]); a healthy claim-to-terminator
+    * window is milliseconds. */
+  val DefaultFenceTtlMs: Long = 10 * 60 * 1000L
 
   /** One parsed commit. Paths are table-relative. */
   final case class Commit(version: Long, op: String,
@@ -98,7 +125,22 @@ object TxTable {
   private def versionOf(name: String): Option[Long] =
     if (name.endsWith(".txn")) name.stripSuffix(".txn").toLongOption else None
 
+  private def ckptVersionOf(name: String): Option[Long] =
+    if (name.endsWith(".ckpt")) name.stripSuffix(".ckpt").toLongOption else None
+
   private def txnName(v: Long): String = f"$v%020d.txn"
+
+  private def ckptName(v: Long): String = f"$v%020d.ckpt"
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
 
   /** All parseable commits, sorted — including any beyond a contiguity
     * gap (callers that need a snapshot use [[commits]]). */
@@ -109,17 +151,7 @@ object TxTable {
     else fs.listStatus(dir).toSeq
       .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s.getPath)))
       .sortBy(_._1)
-      .flatMap { case (v, p) =>
-        val in = fs.open(p)
-        val bytes =
-          try {
-            val len = fs.getFileStatus(p).getLen.toInt
-            val buf = new Array[Byte](len)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
-        parse(v, bytes)
-      }
+      .flatMap { case (v, p) => parse(v, readBytes(fs, p)) }
   }
 
   /** The contiguous committed prefix 0..k — the snapshot a reader may
@@ -131,12 +163,85 @@ object TxTable {
     raw.zipWithIndex.takeWhile { case (c, i) => c.version == i.toLong }.map(_._1)
   }
 
-  /** Live table-relative files at `asOf` (default: latest). */
+  /** Live table-relative files at `asOf` (default: latest) —
+    * checkpoint-first: the newest parseable `.ckpt` at-or-below `asOf`
+    * seeds the fold and only the `.txn` tail above it is parsed, so a
+    * reader touches O(CheckpointInterval) manifests however long the
+    * table has lived. A torn checkpoint is skipped (next older, then
+    * the full fold). */
   def files(spark: SparkSession, table: String, asOf: Long = Long.MaxValue): Seq[String] = {
-    val upto = commits(spark, table).filter(_.version <= asOf)
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    upto.foreach { c => live ++= c.added; live --= c.removed }
+    val dir = logDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Seq.empty
+    val entries = fs.listStatus(dir).toSeq
+    val ckpt = entries
+      .flatMap(s => ckptVersionOf(s.getPath.getName).map(v => (v, s.getPath)))
+      .filter(_._1 <= asOf).sortBy(-_._1)
+      .iterator
+      .flatMap { case (v, p) => parse(v, readBytes(fs, p)).filter(_.op == "checkpoint") }
+      .nextOption()
+    val live = scala.collection.mutable.LinkedHashSet[String](
+      ckpt.map(_.added).getOrElse(Seq.empty): _*)
+    val from = ckpt.map(_.version + 1).getOrElse(0L)
+    val tail = entries
+      .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s.getPath)))
+      .filter { case (v, _) => v >= from && v <= asOf }.sortBy(_._1)
+    var expect = from
+    var contiguous = true
+    tail.foreach { case (v, p) =>
+      if (contiguous && v == expect) parse(v, readBytes(fs, p)) match {
+        case Some(c) => live ++= c.added; live --= c.removed; expect += 1
+        case None => contiguous = false // claimant mid-write: snapshot ends here
+      }
+      else contiguous = false
+    }
     live.toSeq
+  }
+
+  /** Folds the current contiguous snapshot into a write-once
+    * `<version>.ckpt` manifest (op=checkpoint, live files sorted —
+    * deterministic, so two racing checkpointers publish identical
+    * content and the lost race is indistinguishable from the win).
+    * Returns the checkpointed version; None on an empty table.
+    * Triggered from [[append]] every [[CheckpointInterval]] commits
+    * and safe to call any time. */
+  def checkpoint(spark: SparkSession, table: String): Option[Long] = {
+    val snap = commits(spark, table)
+    snap.lastOption.map { last =>
+      val live = scala.collection.mutable.LinkedHashSet[String]()
+      snap.foreach { c => live ++= c.added; live --= c.removed }
+      tryPublish(spark, table, ckptName(last.version),
+        render("checkpoint", live.toSeq.sorted, Seq.empty))
+      last.version
+    }
+  }
+
+  /** Gap fencing (crash recovery for non-content-atomic claims): any
+    * manifest that does not parse and is older than `ttlMs` is a
+    * claimant that died between its namenode claim and its `end`
+    * terminator — left alone it truncates every reader's snapshot at
+    * that version forever. Rewrites each one as an explicit no-op
+    * `op=abort` commit (a no-op for every fold), restoring contiguity.
+    * The overwrite is safe BECAUSE of the TTL: a live claimant's
+    * claim-to-terminator window is milliseconds, so a manifest still
+    * unterminated after `ttlMs` has no surviving writer. Run by every
+    * writer before claiming; returns the fenced versions. */
+  def fenceStalled(spark: SparkSession, table: String,
+      ttlMs: Long = DefaultFenceTtlMs): Seq[Long] = {
+    val dir = logDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s)))
+      .filter { case (v, s) => now - s.getModificationTime > ttlMs &&
+        parse(v, readBytes(fs, s.getPath)).isEmpty }
+      .map { case (v, s) =>
+        val out = fs.create(s.getPath, true)
+        try out.write(render("abort", Seq.empty, Seq.empty)) finally out.close()
+        v
+      }
+      .sorted
   }
 
   /** Snapshot read — only files named by the contiguous committed
@@ -153,11 +258,20 @@ object TxTable {
   /** Atomic publish of `content` at version `v`. True = this writer
     * owns the version. */
   private def tryClaim(spark: SparkSession, table: String, v: Long,
+      content: Array[Byte]): Boolean =
+    tryPublish(spark, table, txnName(v), content)
+
+  /** Atomic write-once publish of a log file. False = the name was
+    * already claimed (a lost race — the ONLY outcome mapped to false;
+    * a real IO failure propagates after a best-effort cleanup of our
+    * own half-written claim, which [[fenceStalled]] covers if even the
+    * cleanup fails). */
+  private def tryPublish(spark: SparkSession, table: String, name: String,
       content: Array[Byte]): Boolean = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
-    val dst = new Path(dir, txnName(v))
+    val dst = new Path(dir, name)
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       // POSIX: content written to a private temp file, then link(2)'d
@@ -174,11 +288,28 @@ object TxTable {
     } else {
       // HDFS-like: create(overwrite=false) is an atomic namenode claim;
       // the `end` terminator protects readers during the content write.
-      try {
-        val out = fs.create(dst, false)
-        try out.write(content) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      // Only an already-exists outcome is a lost race — any other
+      // IOException is a REAL failure and must not be conflated with
+      // losing (the pre-r11 catch-all burned the version silently).
+      val created =
+        try Some(fs.create(dst, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.nio.file.FileAlreadyExistsException => None
+        }
+      created match {
+        case None => false
+        case Some(out) =>
+          try { try out.write(content) finally out.close(); true }
+          catch {
+            case e: java.io.IOException =>
+              // our claim, our garbage: remove the unterminated file so
+              // readers keep contiguity without waiting for a fence
+              try fs.delete(dst, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+      }
     }
   }
 
@@ -187,7 +318,10 @@ object TxTable {
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) 0L
     else fs.listStatus(dir).toSeq
-      .flatMap(s => versionOf(s.getPath.getName))
+      .flatMap { s =>
+        val n = s.getPath.getName
+        versionOf(n).orElse(ckptVersionOf(n))
+      }
       .reduceOption(_ max _).map(_ + 1).getOrElse(0L)
   }
 
@@ -212,13 +346,23 @@ object TxTable {
     * committed version. */
   def append(df: DataFrame, table: String, maxRetries: Int = 100): Long = {
     val spark = df.sparkSession
+    fenceStalled(spark, table)
     val added = stage(df, table)
     val content = render("append", added, Seq.empty)
     var attempt = 0
     while (attempt < maxRetries) {
       val v = nextVersion(spark, table)
-      if (tryClaim(spark, table, v, content)) return v
+      if (tryClaim(spark, table, v, content)) {
+        if ((v + 1) % CheckpointInterval == 0) checkpoint(spark, table)
+        return v
+      }
       attempt += 1
+    }
+    // reclaim our own staging before surfacing the failure — the same
+    // cleanup replaceCompact/commitOnce do on a lost race (ADVICE r10)
+    added.headOption.foreach { f =>
+      val stagedDir = new Path(s"$table/$f").getParent
+      fsOf(spark, stagedDir).delete(stagedDir, true)
     }
     throw new IllegalStateException(
       s"TxTable.append lost $maxRetries claim races on $table")
@@ -232,6 +376,7 @@ object TxTable {
     * marker-file pattern could not exclude). */
   def commitOnce(df: DataFrame, table: String): Boolean = {
     val spark = df.sparkSession
+    fenceStalled(spark, table)
     if (commits(spark, table).nonEmpty) return false
     val added = stage(df, table)
     val won = tryClaim(spark, table, 0L, render("append", added, Seq.empty))
@@ -253,6 +398,7 @@ object TxTable {
     * current snapshot into `nOut` files. Returns the commit version. */
   def replaceCompact(spark: SparkSession, table: String, nOut: Int,
       maxRetries: Int = 20): Long = {
+    fenceStalled(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = commits(spark, table)

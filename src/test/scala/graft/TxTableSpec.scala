@@ -137,4 +137,94 @@ class TxTableSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] { TxTable.read(spark, t) }
     assert(ex.getMessage.contains(t))
   }
+
+  test("checkpoint: auto-folded every interval, read ≡ full fold, and the read path is checkpoint-first") {
+    val t = freshTable("ckpt")
+    (0 until 25).foreach(i => TxTable.append(frame(i * 10 until (i + 1) * 10), t))
+    // append auto-checkpoints at versions 9 and 19
+    val ckpts = new java.io.File(s"$t/_txlog").listFiles()
+      .map(_.getName).filter(_.endsWith(".ckpt")).sorted.toSeq
+    assert(ckpts == Seq("%020d.ckpt".format(9), "%020d.ckpt".format(19)))
+    // checkpoint-seeded fold ≡ the full protocol fold
+    val full = {
+      val live = scala.collection.mutable.LinkedHashSet[String]()
+      TxTable.commits(spark, t).foreach { c => live ++= c.added; live --= c.removed }
+      live.toSet
+    }
+    assert(TxTable.files(spark, t).toSet == full)
+    assert(TxTable.read(spark, t).count() == 250)
+    // time travel below the newest checkpoint still works (older
+    // checkpoint seeds it) and below ALL checkpoints falls back to fold
+    assert(TxTable.read(spark, t, asOf = 12L).count() == 130)
+    assert(TxTable.read(spark, t, asOf = 4L).count() == 50)
+    // PROOF the reader parses checkpoint-first: manifests at-or-below
+    // the newest checkpoint can disappear entirely and the current
+    // snapshot still reads completely
+    (0 to 19).foreach { v =>
+      Files.delete(Paths.get(s"$t/_txlog/${"%020d".format(v)}.txn"))
+    }
+    assert(TxTable.read(spark, t).count() == 250)
+    val ids = TxTable.read(spark, t).select("id").collect().map(_.getLong(0))
+    assert(ids.length == 250 && ids.distinct.length == 250)
+    // and the next version claimed continues past the checkpoint
+    assert(TxTable.append(frame(250 until 260), t) == 25L)
+    assert(TxTable.read(spark, t).count() == 260)
+  }
+
+  test("checkpoint: a torn or garbage checkpoint is skipped, never trusted") {
+    val t = freshTable("ckpt_torn")
+    (0 until 12).foreach(i => TxTable.append(frame(i * 10 until (i + 1) * 10), t))
+    // garbage at a NEWER version than the real checkpoint (9): a reader
+    // sorting newest-first sees it first and must fall through
+    Files.write(Paths.get(s"$t/_txlog/${"%020d".format(11)}.ckpt"),
+      "not a manifest at all".getBytes)
+    // and an unterminated one (header, no `end`) at 10
+    Files.write(Paths.get(s"$t/_txlog/${"%020d".format(10)}.ckpt"),
+      "graft-txn-v1\nop=checkpoint\nadd=data/bogus/part-0.parquet\n".getBytes)
+    assert(TxTable.read(spark, t).count() == 120)
+    val ids = TxTable.read(spark, t).select("id").collect().map(_.getLong(0))
+    assert(ids.length == 120 && ids.distinct.length == 120)
+  }
+
+  test("gap fencing: a crashed claimant's unterminated manifest is fenced after the TTL, unblocking the snapshot") {
+    val t = freshTable("fence")
+    TxTable.append(frame(0 until 10), t)
+    TxTable.append(frame(10 until 20), t)
+    // HDFS-style claimant died mid-content-write at version 2...
+    val stalled = Paths.get(s"$t/_txlog/${"%020d".format(2)}.txn")
+    Files.write(stalled, "graft-txn-v1\nop=append\nadd=data/dead/part-0.parquet\n".getBytes)
+    // ...and its retry (staged files were already complete) landed at 3
+    TxTable.append(frame(20 until 30), t)
+    assert(TxTable.commits(spark, t).map(_.version) == Seq(0L, 1L),
+      "snapshot must truncate at the gap before fencing")
+    assert(TxTable.read(spark, t).count() == 20)
+    // a young stall is protected (could be a live claimant)...
+    assert(TxTable.fenceStalled(spark, t).isEmpty)
+    // ...but past the TTL any writer fences it into a no-op abort
+    assert(TxTable.fenceStalled(spark, t, ttlMs = 0) == Seq(2L))
+    assert(TxTable.commits(spark, t).map(c => (c.version, c.op)) ==
+      Seq((0L, "append"), (1L, "append"), (2L, "abort"), (3L, "append")))
+    assert(TxTable.read(spark, t).count() == 30)
+    // writers fence automatically: backdated stall + plain append
+    val stalled2 = Paths.get(s"$t/_txlog/${"%020d".format(4)}.txn")
+    Files.write(stalled2, "graft-txn-v1\nop=append\n".getBytes)
+    Files.setLastModifiedTime(stalled2,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxTable.DefaultFenceTtlMs - 60000))
+    TxTable.append(frame(30 until 40), t)
+    assert(TxTable.commits(spark, t).map(_.version) == (0L to 5L))
+    assert(TxTable.read(spark, t).count() == 40)
+  }
+
+  test("append: staged files are reclaimed when every claim retry is exhausted") {
+    val t = freshTable("reclaim")
+    TxTable.append(frame(0 until 10), t)
+    intercept[IllegalStateException] {
+      TxTable.append(frame(10 until 20), t, maxRetries = 0)
+    }
+    // only the successful append's staging directory survives
+    val staged = new java.io.File(s"$t/data").listFiles().filter(_.isDirectory)
+    assert(staged.length == 1)
+    assert(TxTable.read(spark, t).count() == 10)
+  }
 }
