@@ -120,12 +120,25 @@ def main():
     sfdir, outdir = pos[0], pos[1]
     only = set(pos[2:])
 
+    # Disk-bounding (r11): spills always go to a PINNED temp dir, and
+    # the sweep refuses to start without headroom — a shard that would
+    # ENOSPC mid-flight reddens every suite sharing the filesystem.
+    if not opts["tmp"]:
+        opts["tmp"] = "/tmp/duck_tmp"
+    os.makedirs(opts["tmp"], exist_ok=True)
+    free_gb = os.statvfs(opts["tmp"]).f_bavail * os.statvfs(opts["tmp"]).f_frsize / 2**30
+    min_free = float(os.environ.get("GRAFT_MIN_FREE_GB", "20"))
+    if free_gb < min_free:
+        print(f"check_oracle: only {free_gb:.1f}G free under {opts['tmp']} "
+              f"(need {min_free}G; clean spills, or run heavy shards "
+              f"sequentially, or set GRAFT_MIN_FREE_GB)")
+        sys.exit(2)
+
     def fresh_connection():
         c = duckdb.connect()
         if opts["mem"]:
             c.execute(f"SET memory_limit='{opts['mem']}'")
         if opts["tmp"]:
-            os.makedirs(opts["tmp"], exist_ok=True)
             c.execute(f"SET temp_directory='{opts['tmp']}'")
         if opts["threads"]:
             c.execute(f"SET threads={opts['threads']}")

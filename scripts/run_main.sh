@@ -10,6 +10,19 @@
 # Env respected: SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_* passthrough.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Disk-bounding (r11, after the r10 ENOSPC redness): shuffle/spill goes
+# to a PINNED directory so a probe session's spill is identifiable and
+# reclaimable, and the run refuses to start without headroom — a probe
+# that would ENOSPC mid-flight reddens unrelated suites sharing /tmp.
+SPARK_LOCAL_DIR="${SPARK_LOCAL_DIR:-/tmp/graft_spark_local}"
+mkdir -p "$SPARK_LOCAL_DIR"
+FREE_GB=$(df -BG --output=avail "$SPARK_LOCAL_DIR" | tail -1 | tr -dc '0-9')
+MIN_FREE_GB="${GRAFT_MIN_FREE_GB:-20}"
+if [ "$FREE_GB" -lt "$MIN_FREE_GB" ]; then
+  echo "run_main.sh: only ${FREE_GB}G free under $SPARK_LOCAL_DIR" \
+       "(need ${MIN_FREE_GB}G; clean spills or set GRAFT_MIN_FREE_GB)" >&2
+  exit 2
+fi
 CLASSES=target/scala-2.13/classes
 # test-classes carries the dev-tooling mains (graft.Scratch); absent is
 # fine for engine-only runs
@@ -25,4 +38,5 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.local.dir="$SPARK_LOCAL_DIR" \
   -cp "$CLASSES:$TEST_CLASSES:/opt/spark/jars/*" "$@"

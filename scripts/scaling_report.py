@@ -27,7 +27,7 @@ import sys, json, statistics
 
 def main():
     args = [a for a in sys.argv[1:]]
-    flag_ratio, min_sec, data_ratio = 20.0, 0.5, 10.0
+    flag_ratio, min_sec, data_ratio = None, 0.5, 10.0
     pos = []
     i = 0
     while i < len(args):
@@ -37,14 +37,16 @@ def main():
             min_sec = float(args[i + 1]); i += 1
         elif args[i] == "--data-ratio":
             # ratio of the SECOND record's data volume to the first
-            # (10 for sf0.1->K10, 3 for K10->K30); sets flag_ratio to
-            # 2x it unless --flag-ratio is also given explicitly
+            # (10 for sf0.1->K10, 3 for K10->K30)
             data_ratio = float(args[i + 1])
-            flag_ratio = 2.0 * data_ratio
             i += 1
         else:
             pos.append(args[i])
         i += 1
+    # default flag threshold: 2x the data ratio — derived AFTER parsing
+    # so an explicit --flag-ratio wins regardless of argument order
+    if flag_ratio is None:
+        flag_ratio = 2.0 * data_ratio
     base_p = pos[0] if len(pos) > 0 else "BENCH_LOCAL.json"
     k10_p = pos[1] if len(pos) > 1 else "BENCH_K10.json"
     base = json.load(open(base_p))["queries"]
