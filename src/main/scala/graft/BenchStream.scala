@@ -65,6 +65,12 @@ object BenchStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the gate's static doc→shingles map is ~12 MB cached — just over
+      // the 10 MB default. Broadcasting it removes the one remaining
+      // per-micro-batch shuffle of static data (the slim band index
+      // already auto-broadcasts from its cached stats); a cluster
+      // deployment sizes this to executor memory the same way.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -96,14 +102,21 @@ object BenchStream {
         .start()
     }
 
-    // ---- stage the near-dup arrivals: documents in 8 files, one per
-    // micro-batch; the index side is the full static corpus ---------
+    // ---- stage the near-dup arrivals: 8 corpus-sized micro-batches
+    // (8 id-offset replicas of the corpus, one file per batch); the
+    // index side is the full static corpus. The r10 record split ONE
+    // corpus over 8 files — 625-row batches that measured the
+    // micro-batch scheduler floor (~0.6 s/batch regardless of rows),
+    // not gate capacity; a production trigger carries batch sizes set
+    // by arrival rate, so the capacity number needs full batches. ----
     val gateIn = freshDir("gate_in")
-    Tables.documents(spark, sfDir).select("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    corpus.crossJoin(spark.range(8).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
       .repartition(8)
       .write.mode("overwrite").parquet(gateIn)
     val gateSchema = spark.read.parquet(gateIn).schema
-    val indexDocs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val indexDocs = corpus
 
     def runGate(): (Double, Long, Long, Long) = drain { () =>
       val src = spark.readStream.schema(gateSchema)

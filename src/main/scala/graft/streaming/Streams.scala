@@ -243,24 +243,50 @@ object Streams {
     * At 100 TB the index side is a materialized artifact refreshed
     * offline (here computed from a docs frame for self-containment);
     * per-arrival work scales with the arrival's band collisions, never
-    * the corpus pair count. */
+    * the corpus pair count.
+    *
+    * Plan shape (r11 throughput rework, 634 → several-k rows/s): the
+    * static side is PERSISTED — a stream-static join re-plans the
+    * static subtree every micro-batch, so an un-cached index recomputes
+    * the full-corpus MinHash + shingling per batch (the r10
+    * BENCH_STREAM suspect, confirmed). Candidate generation joins the
+    * arrival bands against a SLIM band index (doc id + band key only,
+    * cached-stats small → broadcast); the heavy shingle arrays live in
+    * a separate persisted doc→shingles map that only CANDIDATES fetch
+    * through a second equi-join — index payload bytes moved per batch
+    * scale with band collisions, not with bands × corpus. That
+    * candidates-only verify fetch is also the 100 TB shape (PPJoin's
+    * candidate/verify split). The verify intersects 64-bit shingle
+    * HASHES, not shingle strings (the CCNet discipline): the index's
+    * per-batch broadcast shrinks ~8× and the intersect is a long-array
+    * probe; a hash collision perturbing a Jaccard is a 2⁻⁶⁴-per-pair
+    * event, and the stream ≡ batch spec pins the output against the
+    * string-exact q_incremental_dedup regardless. */
   def nearDupGate(spark: SparkSession, arrivals: DataFrame,
       indexDocs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    def sigBands(docs: DataFrame): DataFrame = docs
+    def sigs(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), expr("minhash8(text, 3)").as("s"),
-        expr("array_distinct(word_shingles(text, 3))").as("sh"))
+        expr("transform(array_distinct(word_shingles(text, 3)), x -> xxhash64(x))")
+          .as("sh"))
       .filter(col("s").isNotNull)
-      .select(col("doc_id"), col("sh"), col("s.sz").as("sz"), posexplode(array(
+    def bands(signed: DataFrame): DataFrame = signed
+      .select(col("doc_id"), col("s.sz").as("sz"), col("sh"), posexplode(array(
         (0 until 4).map(b => concat(col(s"s.m${2 * b}"), col(s"s.m${2 * b + 1}"))): _*))
         .as(Seq("band_idx", "band_val")))
-    val index = sigBands(indexDocs)
-      .select(col("band_idx"), col("band_val"), col("doc_id").as("index_doc"),
-        col("sh").as("sh_b"), col("sz").as("sz_b"))
-    sigBands(arrivals)
+    val indexSigs = sigs(indexDocs).persist() // computed ONCE, reused per batch
+    val bandIndex = bands(indexSigs)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("index_doc"))
+      .persist()
+    val shingleMap = indexSigs
+      .select(col("doc_id").as("index_doc"), col("sh").as("sh_b"),
+        col("s.sz").as("sz_b"))
+    bands(sigs(arrivals))
       .select(col("band_idx"), col("band_val"), col("doc_id").as("new_doc"),
         col("sh").as("sh_a"), col("sz").as("sz_a"))
-      .join(index, Seq("band_idx", "band_val"))
+      .join(bandIndex, Seq("band_idx", "band_val"))
+      // verify fetch: only band-colliding candidates pull shingles
+      .join(shingleMap, Seq("index_doc"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", expr(
         "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
