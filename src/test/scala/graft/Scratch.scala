@@ -17,6 +17,26 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
+    if (args.headOption.exists(_.startsWith("translate"))) {
+      // print the SqlTranslate output for a named oracle (debug aid
+      // for the parity sweeps); "translate4" uses the len-as-length
+      // reading. With a third arg "run", also executes it and diffs
+      // against the DataFrame result.
+      val name = args(1)
+      val text = SqlTranslate(SparkEntry.oracleSql(name),
+        lenIsLength = args.head == "translate4")
+      println(text)
+      if (args.length > 2 && args(2) == "run") {
+        Tables.createViews(spark, d)
+        graft.functions.GraftFunctions.register(spark)
+        val viaSql = spark.sql(text).collect().map(_.toString).sorted
+        val viaApi = SparkEntry.queries(name)(spark, d).collect().map(_.toString).sorted
+        println(s"rows sql=${viaSql.length} api=${viaApi.length}")
+        viaApi.zipAll(viaSql, "<none>", "<none>").filter(p => p._1 != p._2)
+          .take(10).foreach { case (a, b) => println(s"API $a\nSQL $b") }
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("sqlscan")) {
       // Triage for the SQL-parity sweep: which declared queries' DuckDB
       // oracle texts ALREADY run verbatim (or nearly) through spark.sql

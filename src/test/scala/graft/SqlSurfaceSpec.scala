@@ -619,8 +619,62 @@ class SqlSurfaceSpec extends SparkSpec {
     * strings (the array-context occurrences are disambiguated inside
     * the chain: len(split(/len(filter(/… stay size()). */
   private val translatedLenOracles: Seq[String] = Seq(
-    "q_hybrid_rank", "q_normalize_text", "q_quality_gate", "q_quality_score",
-    "q_quality_sweep", "q_top_p_select")
+    "q_doc_fingerprint", "q_hybrid_rank", "q_normalize_text", "q_quality_gate",
+    "q_quality_score", "q_quality_sweep", "q_top_p_select")
+
+  /** The sixth sweep (round 11): the 66 oracles whose only remaining
+    * DuckDB-isms were Python-style LIST COMPREHENSIONS and their
+    * satellite constructs — all mechanical ANSI now that the chain
+    * rewrites `[E for v in L if C]` → `transform(filter(L, v -> C),
+    * v -> E)`, struct literals `{'k': v}` → named_struct, general
+    * list literals → array(…), expression-index/slice `X[i]`/`X[a:b]`
+    * → element_at/slice (1-based on both engines; element_at gets an
+    * INT cast because sequence() counters are BIGINT), list_sum → the
+    * identical left-fold `aggregate(…, CAST(0 AS DOUBLE), (acc, x) ->
+    * acc + x)`, list_min/list_max/list_intersect/strpos renames,
+    * `list(X ORDER BY K)` → sort-after-collect, recursive unnest →
+    * inline(), and the FROM-clause `,unnest(X) u(col)` → LATERAL VIEW.
+    * This closed the bulk of the r10 exclusion table: the similarity,
+    * dedup, ANN, BPE, and text-metrics families a SQL user previously
+    * could not run as SQL at all. Triaged by Scratch sqlscan; the
+    * sweep re-verifies row-identity per run. */
+  private val comprehensionOracles: Seq[String] = Seq(
+    "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_recall",
+    "q_audio_energy", "q_band_load", "q_benford", "q_bigram_lm",
+    "q_boilerplate", "q_bootstrap_ci", "q_bpe_merge", "q_bpe_pairs",
+    "q_bpe_train3", "q_cdc_chunks", "q_cdc_savings", "q_containment",
+    "q_contamination", "q_cross_source_leak", "q_dedup_recall",
+    "q_detector_agreement", "q_dsir_weight", "q_dup_spans",
+    "q_embed_neardup", "q_embed_outliers", "q_embedding_stats",
+    "q_entropy", "q_eval_overlap", "q_fim_split", "q_gnn_aggregate",
+    "q_hard_negatives", "q_incremental_dedup", "q_ivf_balance",
+    "q_ivf_margin", "q_ivf_probe_sweep", "q_kfold", "q_kmeans_step",
+    "q_kmeans_train", "q_knn_classify", "q_label_audit",
+    "q_label_separability", "q_lateness_audit", "q_line_dedup",
+    "q_minhash_est_err", "q_minhash_neardup", "q_mmr_rerank",
+    "q_multimodal_features", "q_ndcg_eval", "q_neardup_sweep",
+    "q_ngram_counts", "q_ngram_jaccard", "q_ngram_novelty",
+    "q_passage_dedup", "q_pmi_bigrams", "q_pq_codes", "q_pq_search",
+    "q_rand_project", "q_repetition", "q_scalar_quant",
+    "q_semdedup_sweep", "q_shard_manifest", "q_simhash",
+    "q_simhash_neardup", "q_span_corrupt", "q_upsample_plan",
+    "q_weighted_sample", "q_winnowing")
+
+  test(s"SQL-surface parity: ${comprehensionOracles.size} list-comprehension oracle texts are portable through the r11 chain") {
+    Tables.createViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    comprehensionOracles.foreach { name =>
+      val viaApi = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(SqlTranslate(SparkEntry.oracleSql(name)))
+      assert(viaApi.columns.toSeq == viaSql.columns.toSeq,
+        s"$name: column names diverge (${viaApi.columns.mkString(",")} vs ${viaSql.columns.mkString(",")})")
+      val a = viaApi.collect().map(_.toString).sorted
+      val b = viaSql.collect().map(_.toString).sorted
+      assert(a.length == b.length, s"$name: ${a.length} vs ${b.length} rows")
+      assert(a.sameElements(b), s"$name: translated oracle through spark.sql diverged")
+      spark.catalog.clearCache()
+    }
+  }
 
   test(s"SQL-surface parity: ${translatedLenOracles.size} more via the chain's len-as-length reading") {
     Tables.createViews(spark, sfDir)
@@ -665,32 +719,18 @@ class SqlSurfaceSpec extends SparkSpec {
     * land in a sweep or here, and a query that becomes mechanically
     * portable must leave. */
   private val sqlExclusions: Map[String, String] = {
-    val listComp = Seq(
-      "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_recall",
-      "q_audio_energy", "q_band_load", "q_benford", "q_bigram_lm",
-      "q_boilerplate", "q_bootstrap_ci", "q_bpe_merge", "q_bpe_pairs",
-      "q_bpe_train3", "q_cdc_chunks", "q_cdc_savings", "q_cluster_stats",
-      "q_containment", "q_contamination", "q_cross_source_leak", "q_curation_funnel",
-      "q_dedup_clusters", "q_dedup_keep_best", "q_dedup_recall", "q_dedup_weight",
-      "q_detector_agreement", "q_doc_fingerprint", "q_dsir_weight", "q_dup_spans",
-      "q_embed_clusters", "q_embed_neardup", "q_embed_outliers", "q_embedding_stats",
-      "q_entropy", "q_eval_overlap", "q_fim_split", "q_gnn_aggregate",
-      "q_hard_negatives", "q_incremental_dedup", "q_ivf_balance", "q_ivf_margin",
-      "q_ivf_probe_sweep", "q_kfold", "q_kmeans_step", "q_kmeans_train",
-      "q_knn_classify", "q_label_audit", "q_label_separability", "q_lateness_audit",
-      "q_line_dedup", "q_minhash_est_err", "q_minhash_neardup", "q_mmr_rerank",
-      "q_multimodal_features", "q_ndcg_eval", "q_neardup_sweep", "q_ngram_counts",
-      "q_ngram_jaccard", "q_ngram_novelty", "q_passage_dedup", "q_pmi_bigrams",
-      "q_pq_codes", "q_pq_search", "q_rand_project", "q_repetition",
-      "q_scalar_quant", "q_semdedup_sweep", "q_shard_manifest", "q_simhash",
-      "q_simhash_neardup", "q_span_corrupt", "q_training_pipeline", "q_upsample_plan",
-      "q_weighted_sample", "q_winnowing")
-      .map(_ -> ("oracle uses DuckDB Python-style list comprehensions " +
-        "([f(x) for x in l]) — no textual Spark-SQL equivalent; the Spark-SQL " +
-        "user story for these operators is the registered native function " +
-        "surface (vec_dot, minhash8, word_shingles, zorder16, …), pinned in " +
-        "the function tests above"))
-    listComp.toMap ++ Map(
+    val recursiveUnion = Seq(
+      "q_cluster_stats", "q_curation_funnel", "q_dedup_clusters",
+      "q_dedup_keep_best", "q_dedup_weight", "q_embed_clusters",
+      "q_training_pipeline")
+      .map(_ -> ("oracle's connected-components fixed point uses UNION " +
+        "(dedup) inside WITH RECURSIVE for termination; Spark 4 supports " +
+        "only UNION ALL in recursive CTEs (UNION_NOT_SUPPORTED_IN_" +
+        "RECURSIVE_CTE), and rewriting the fixed point to UNION ALL " +
+        "diverges. The Spark-SQL story for cluster derivation is the " +
+        "operator (min-label propagation + pointer jumping); the landed " +
+        "pair artifacts it reads ARE SQL-queryable views"))
+    recursiveUnion.toMap ++ Map(
       "q_asof_stream_twin" ->
         ("oracle uses DuckDB struct_pack(k := v) literals and NULL::STRUCT(…) " +
           "type casts — Spark spells these named_struct/CAST with a different " +
@@ -707,7 +747,7 @@ class SqlSurfaceSpec extends SparkSpec {
     val covered =
       sqlMirrors.keySet ++ portableOracles ++ divPortableOracles ++
         renamePortableOracles ++ translatedOracles ++ translatedLenOracles ++
-        Set("q_khop_reach") ++ sqlExclusions.keySet
+        comprehensionOracles ++ Set("q_khop_reach") ++ sqlExclusions.keySet
     val declared = SparkEntry.queries.keySet
     val missing = declared -- covered
     val phantom = covered -- declared
@@ -717,7 +757,8 @@ class SqlSurfaceSpec extends SparkSpec {
     // must leave the table)
     val shadowed = sqlExclusions.keySet.intersect(
       sqlMirrors.keySet ++ portableOracles ++ divPortableOracles ++
-        renamePortableOracles ++ translatedOracles ++ translatedLenOracles)
+        renamePortableOracles ++ translatedOracles ++ translatedLenOracles ++
+        comprehensionOracles)
     assert(shadowed.isEmpty, s"excluded but also swept: ${shadowed.toSeq.sorted}")
   }
 
