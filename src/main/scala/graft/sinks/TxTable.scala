@@ -198,21 +198,54 @@ object TxTable {
     live.toSeq
   }
 
+  /** The checkpoint-seeded snapshot head: (version, live files) folded
+    * from the newest parseable checkpoint plus the contiguous `.txn`
+    * tail above it — the same view [[files]] serves, with the version
+    * attached. Works after old manifests below a checkpoint have been
+    * cleaned away (where the from-zero [[commits]] view goes empty). */
+  private def snapshotState(spark: SparkSession, table: String): Option[(Long, Seq[String])] = {
+    val dir = logDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return None
+    val entries = fs.listStatus(dir).toSeq
+    val ckpt = entries
+      .flatMap(s => ckptVersionOf(s.getPath.getName).map(v => (v, s.getPath)))
+      .sortBy(-_._1)
+      .iterator
+      .flatMap { case (v, p) => parse(v, readBytes(fs, p)).filter(_.op == "checkpoint") }
+      .nextOption()
+    val live = scala.collection.mutable.LinkedHashSet[String](
+      ckpt.map(_.added).getOrElse(Seq.empty): _*)
+    var version = ckpt.map(_.version).getOrElse(-1L)
+    var expect = version + 1
+    var contiguous = true
+    entries
+      .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s.getPath)))
+      .filter(_._1 >= expect).sortBy(_._1)
+      .foreach { case (v, p) =>
+        if (contiguous && v == expect) parse(v, readBytes(fs, p)) match {
+          case Some(c) => live ++= c.added; live --= c.removed; version = v; expect += 1
+          case None => contiguous = false
+        }
+        else contiguous = false
+      }
+    if (version < 0) None else Some((version, live.toSeq))
+  }
+
   /** Folds the current contiguous snapshot into a write-once
     * `<version>.ckpt` manifest (op=checkpoint, live files sorted —
     * deterministic, so two racing checkpointers publish identical
     * content and the lost race is indistinguishable from the win).
     * Returns the checkpointed version; None on an empty table.
-    * Triggered from [[append]] every [[CheckpointInterval]] commits
-    * and safe to call any time. */
+    * Triggered best-effort from [[append]] every [[CheckpointInterval]]
+    * commits and safe to call any time — including after manifests
+    * below an older checkpoint have been cleaned away (the fold seeds
+    * from the newest checkpoint, not from version 0). */
   def checkpoint(spark: SparkSession, table: String): Option[Long] = {
-    val snap = commits(spark, table)
-    snap.lastOption.map { last =>
-      val live = scala.collection.mutable.LinkedHashSet[String]()
-      snap.foreach { c => live ++= c.added; live --= c.removed }
-      tryPublish(spark, table, ckptName(last.version),
-        render("checkpoint", live.toSeq.sorted, Seq.empty))
-      last.version
+    snapshotState(spark, table).map { case (version, live) =>
+      tryPublish(spark, table, ckptName(version),
+        render("checkpoint", live.sorted, Seq.empty))
+      version
     }
   }
 
@@ -353,7 +386,12 @@ object TxTable {
     while (attempt < maxRetries) {
       val v = nextVersion(spark, table)
       if (tryClaim(spark, table, v, content)) {
-        if ((v + 1) % CheckpointInterval == 0) checkpoint(spark, table)
+        // best-effort: the append IS committed at this point — a
+        // failed checkpoint must not make a successful commit look
+        // failed (the next interval retries it)
+        if ((v + 1) % CheckpointInterval == 0)
+          try checkpoint(spark, table)
+          catch { case _: java.io.IOException => () }
         return v
       }
       attempt += 1

@@ -169,6 +169,16 @@ class TxTableSpec extends SparkSpec {
     // and the next version claimed continues past the checkpoint
     assert(TxTable.append(frame(250 until 260), t) == 25L)
     assert(TxTable.read(spark, t).count() == 260)
+    // NEW checkpoints keep folding after the cleanup (the fold seeds
+    // from the newest checkpoint, never from the vanished version 0):
+    // appends reach v29 -> auto-checkpoint at 29 -> snapshot complete
+    (26 to 29).foreach(i => TxTable.append(frame(i * 10 until (i + 1) * 10), t))
+    val ckpts2 = new java.io.File(s"$t/_txlog").listFiles()
+      .map(_.getName).filter(_.endsWith(".ckpt")).sorted.toSeq
+    assert(ckpts2.last == "%020d.ckpt".format(29), s"got $ckpts2")
+    assert(TxTable.read(spark, t).count() == 300)
+    val ids2 = TxTable.read(spark, t).select("id").collect().map(_.getLong(0))
+    assert(ids2.length == 300 && ids2.distinct.length == 300)
   }
 
   test("checkpoint: a torn or garbage checkpoint is skipped, never trusted") {
