@@ -30,13 +30,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    directory — uncommitted data is invisible to readers by
   *    construction, so a crashed writer leaves garbage (reclaimed by
   *    [[vacuum]]), never a torn table.
-  *  - The commit file is published ATOMICALLY with its content: on a
-  *    POSIX filesystem via hard-link of a fully-written temp file
-  *    (`link(2)` fails with EEXIST if the version is taken — the claim
-  *    and the content appear in one metadata op); on HDFS-like stores
-  *    via `create(overwrite = false)` (atomic claim at the namenode;
-  *    content follows, so readers additionally require the `end`
-  *    terminator and treat a header-only file as not-yet-committed).
+  *  - The commit file is published ATOMICALLY via the scheme's
+  *    [[ClaimPrimitive]] ([[Claims.forFs]]): `link(2)` on POSIX (the
+  *    claim and the content appear in one metadata op), `create(
+  *    overwrite = false)` on HDFS-like stores (atomic claim at the
+  *    namenode; content follows, so readers additionally require the
+  *    `end` terminator and treat a header-only file as
+  *    not-yet-committed), and a conditional PUT (`If-None-Match`) on
+  *    object stores ([[ConditionalPutClaim]] — content-atomic, the
+  *    preferred 100 TB claim; register a store binding via
+  *    [[Claims.register]]).
   *  - Version numbers are claimed optimistically: a writer lists the
   *    log, stages, and tries `lastVersion + 1`; losing a race costs
   *    one re-list and a new claim — the staged data is reused, nothing
@@ -69,7 +72,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (HDFS-like `create(overwrite=false)`): a claimant that dies between
   * the namenode claim and the `end` terminator leaves an unterminated
   * `.txn` that would truncate every later reader's snapshot forever.
-  * [[fenceStalled]] — run by every writer before claiming — rewrites
+  * [[fenceStalled]] — run automatically by writers ONLY on such
+  * stores; content-atomic claims make torn manifests impossible by
+  * protocol and skip the scan — rewrites
   * any unparseable manifest older than [[DefaultFenceTtlMs]] into an
   * explicit no-op `op=abort` commit, restoring contiguity; the TTL
   * keeps a LIVE claimant's in-flight write safe (same discipline as
@@ -154,6 +159,19 @@ object TxTable {
       .flatMap { case (v, p) => parse(v, readBytes(fs, p)) }
   }
 
+  /** All parseable checkpoint manifests, sorted (vacuum's reference
+    * view — after manifest cleanup a checkpoint may be live data's
+    * only surviving reference). */
+  private def rawCheckpoints(spark: SparkSession, table: String): Seq[Commit] = {
+    val dir = logDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => ckptVersionOf(s.getPath.getName).map(v => (v, s.getPath)))
+      .sortBy(_._1)
+      .flatMap { case (v, p) => parse(v, readBytes(fs, p)).filter(_.op == "checkpoint") }
+  }
+
   /** The contiguous committed prefix 0..k — the snapshot a reader may
     * trust. A gap (possible only on stores whose claim is not
     * content-atomic, while the claimant is still writing) ends the
@@ -163,54 +181,25 @@ object TxTable {
     raw.zipWithIndex.takeWhile { case (c, i) => c.version == i.toLong }.map(_._1)
   }
 
-  /** Live table-relative files at `asOf` (default: latest) —
-    * checkpoint-first: the newest parseable `.ckpt` at-or-below `asOf`
-    * seeds the fold and only the `.txn` tail above it is parsed, so a
-    * reader touches O(CheckpointInterval) manifests however long the
-    * table has lived. A torn checkpoint is skipped (next older, then
-    * the full fold). */
-  def files(spark: SparkSession, table: String, asOf: Long = Long.MaxValue): Seq[String] = {
-    val dir = logDir(table)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) return Seq.empty
-    val entries = fs.listStatus(dir).toSeq
-    val ckpt = entries
-      .flatMap(s => ckptVersionOf(s.getPath.getName).map(v => (v, s.getPath)))
-      .filter(_._1 <= asOf).sortBy(-_._1)
-      .iterator
-      .flatMap { case (v, p) => parse(v, readBytes(fs, p)).filter(_.op == "checkpoint") }
-      .nextOption()
-    val live = scala.collection.mutable.LinkedHashSet[String](
-      ckpt.map(_.added).getOrElse(Seq.empty): _*)
-    val from = ckpt.map(_.version + 1).getOrElse(0L)
-    val tail = entries
-      .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s.getPath)))
-      .filter { case (v, _) => v >= from && v <= asOf }.sortBy(_._1)
-    var expect = from
-    var contiguous = true
-    tail.foreach { case (v, p) =>
-      if (contiguous && v == expect) parse(v, readBytes(fs, p)) match {
-        case Some(c) => live ++= c.added; live --= c.removed; expect += 1
-        case None => contiguous = false // claimant mid-write: snapshot ends here
-      }
-      else contiguous = false
-    }
-    live.toSeq
-  }
-
-  /** The checkpoint-seeded snapshot head: (version, live files) folded
-    * from the newest parseable checkpoint plus the contiguous `.txn`
-    * tail above it — the same view [[files]] serves, with the version
-    * attached. Works after old manifests below a checkpoint have been
-    * cleaned away (where the from-zero [[commits]] view goes empty). */
-  private def snapshotState(spark: SparkSession, table: String): Option[(Long, Seq[String])] = {
+  /** The checkpoint-seeded fold: the newest parseable `.ckpt`
+    * at-or-below `asOf` seeds the live set and only the contiguous
+    * `.txn` tail above it is parsed, so a reader touches
+    * O(CheckpointInterval) manifests however long the table has lived.
+    * A torn checkpoint is skipped (next older, then the full fold —
+    * checkpoints are pure acceleration, never a correctness
+    * dependency). Returns (snapshot version, live files); None = no
+    * committed state at-or-below `asOf`. Works after manifests below a
+    * checkpoint have been cleaned away (where the from-zero
+    * [[commits]] view goes empty). */
+  private def snapshotAt(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): Option[(Long, Seq[String])] = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return None
     val entries = fs.listStatus(dir).toSeq
     val ckpt = entries
       .flatMap(s => ckptVersionOf(s.getPath.getName).map(v => (v, s.getPath)))
-      .sortBy(-_._1)
+      .filter(_._1 <= asOf).sortBy(-_._1)
       .iterator
       .flatMap { case (v, p) => parse(v, readBytes(fs, p)).filter(_.op == "checkpoint") }
       .nextOption()
@@ -221,16 +210,25 @@ object TxTable {
     var contiguous = true
     entries
       .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s.getPath)))
-      .filter(_._1 >= expect).sortBy(_._1)
+      .filter { case (v, _) => v >= expect && v <= asOf }.sortBy(_._1)
       .foreach { case (v, p) =>
         if (contiguous && v == expect) parse(v, readBytes(fs, p)) match {
           case Some(c) => live ++= c.added; live --= c.removed; version = v; expect += 1
-          case None => contiguous = false
+          case None => contiguous = false // claimant mid-write: snapshot ends here
         }
         else contiguous = false
       }
     if (version < 0) None else Some((version, live.toSeq))
   }
+
+  /** Live table-relative files at `asOf` (default: latest) —
+    * checkpoint-first via [[snapshotAt]]. */
+  def files(spark: SparkSession, table: String, asOf: Long = Long.MaxValue): Seq[String] =
+    snapshotAt(spark, table, asOf).map(_._2).getOrElse(Seq.empty)
+
+  /** The checkpoint-seeded snapshot head — [[snapshotAt]] at latest. */
+  private def snapshotState(spark: SparkSession, table: String): Option[(Long, Seq[String])] =
+    snapshotAt(spark, table)
 
   /** Folds the current contiguous snapshot into a write-once
     * `<version>.ckpt` manifest (op=checkpoint, live files sorted —
@@ -257,17 +255,36 @@ object TxTable {
     * `op=abort` commit (a no-op for every fold), restoring contiguity.
     * The overwrite is safe BECAUSE of the TTL: a live claimant's
     * claim-to-terminator window is milliseconds, so a manifest still
-    * unterminated after `ttlMs` has no surviving writer. Run by every
-    * writer before claiming; returns the fenced versions. */
+    * unterminated after `ttlMs` has no surviving writer (the residual
+    * zombie window — a writer stalled past the TTL whose late write
+    * lands after the fence — is caught writer-side by
+    * [[CreateNoOverwriteClaim]]'s post-close verify, and is impossible
+    * on content-atomic claims, which skip fencing entirely).
+    *
+    * Cost: only `.txn` versions ABOVE the newest checkpoint are
+    * candidates (anything at-or-below a checkpoint was parseable when
+    * the checkpoint folded it, so a gap there is impossible), and only
+    * TTL-stale files are read — O(CheckpointInterval) reads worst
+    * case, zero in a healthy table, never O(commits). Run by writers
+    * on non-content-atomic stores before claiming; returns the fenced
+    * versions. */
   def fenceStalled(spark: SparkSession, table: String,
       ttlMs: Long = DefaultFenceTtlMs): Seq[Long] = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return Seq.empty
     val now = System.currentTimeMillis()
-    fs.listStatus(dir).toSeq
+    val entries = fs.listStatus(dir).toSeq
+    val newestCkpt = entries
+      .flatMap(s => ckptVersionOf(s.getPath.getName).map(v => (v, s.getPath)))
+      .sortBy(-_._1)
+      .iterator
+      .flatMap { case (v, p) => parse(v, readBytes(fs, p)).filter(_.op == "checkpoint") }
+      .nextOption().map(_.version).getOrElse(-1L)
+    entries
       .flatMap(s => versionOf(s.getPath.getName).map(v => (v, s)))
-      .filter { case (v, s) => now - s.getModificationTime > ttlMs &&
+      .filter { case (v, s) => v > newestCkpt &&
+        now - s.getModificationTime > ttlMs &&
         parse(v, readBytes(fs, s.getPath)).isEmpty }
       .map { case (v, s) =>
         val out = fs.create(s.getPath, true)
@@ -294,56 +311,29 @@ object TxTable {
       content: Array[Byte]): Boolean =
     tryPublish(spark, table, txnName(v), content)
 
-  /** Atomic write-once publish of a log file. False = the name was
+  /** Atomic write-once publish of a log file via the scheme's
+    * [[ClaimPrimitive]] ([[Claims.forFs]]: `link(2)` on `file`,
+    * create-no-overwrite on HDFS-like stores, a registered
+    * [[ConditionalPutClaim]] on object stores). False = the name was
     * already claimed (a lost race — the ONLY outcome mapped to false;
-    * a real IO failure propagates after a best-effort cleanup of our
-    * own half-written claim, which [[fenceStalled]] covers if even the
-    * cleanup fails). */
+    * a real IO failure propagates after the primitive's best-effort
+    * cleanup of its own half-written claim, which [[fenceStalled]]
+    * covers if even the cleanup fails). */
   private def tryPublish(spark: SparkSession, table: String, name: String,
       content: Array[Byte]): Boolean = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
-    val dst = new Path(dir, name)
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      // POSIX: content written to a private temp file, then link(2)'d
-      // into place — the name appears atomically WITH its full content
-      // and fails if the version is already claimed.
-      val dstFile = java.nio.file.Paths.get(dst.toUri.getPath)
-      java.nio.file.Files.createDirectories(dstFile.getParent)
-      val tmp = java.nio.file.Files.createTempFile(dstFile.getParent, ".stage-", ".tmp")
-      try {
-        java.nio.file.Files.write(tmp, content)
-        try { java.nio.file.Files.createLink(dstFile, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      // HDFS-like: create(overwrite=false) is an atomic namenode claim;
-      // the `end` terminator protects readers during the content write.
-      // Only an already-exists outcome is a lost race — any other
-      // IOException is a REAL failure and must not be conflated with
-      // losing (the pre-r11 catch-all burned the version silently).
-      val created =
-        try Some(fs.create(dst, false))
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-          case _: java.nio.file.FileAlreadyExistsException => None
-        }
-      created match {
-        case None => false
-        case Some(out) =>
-          try { try out.write(content) finally out.close(); true }
-          catch {
-            case e: java.io.IOException =>
-              // our claim, our garbage: remove the unterminated file so
-              // readers keep contiguity without waiting for a fence
-              try fs.delete(dst, false)
-              catch { case _: java.io.IOException => () }
-              throw e
-          }
-      }
-    }
+    Claims.forFs(fs).putIfAbsent(fs, new Path(dir, name), content)
+  }
+
+  /** Fence stalls iff the scheme's claim is NOT content-atomic —
+    * on `file` (link-published) and conditional-PUT stores a torn
+    * manifest is impossible by protocol, so writers skip the scan
+    * entirely. */
+  private def fenceIfNeeded(spark: SparkSession, table: String): Unit = {
+    val fs = fsOf(spark, logDir(table))
+    if (!Claims.forFs(fs).contentAtomic) fenceStalled(spark, table)
   }
 
   private def nextVersion(spark: SparkSession, table: String): Long = {
@@ -379,7 +369,7 @@ object TxTable {
     * committed version. */
   def append(df: DataFrame, table: String, maxRetries: Int = 100): Long = {
     val spark = df.sparkSession
-    fenceStalled(spark, table)
+    fenceIfNeeded(spark, table)
     val added = stage(df, table)
     val content = render("append", added, Seq.empty)
     var attempt = 0
@@ -414,8 +404,15 @@ object TxTable {
     * marker-file pattern could not exclude). */
   def commitOnce(df: DataFrame, table: String): Boolean = {
     val spark = df.sparkSession
-    fenceStalled(spark, table)
-    if (commits(spark, table).nonEmpty) return false
+    fenceIfNeeded(spark, table)
+    // initialized = ANY claimed version or checkpoint exists (that is
+    // exactly nextVersion > 0) — the from-zero commits() view goes
+    // empty after manifests below a checkpoint are cleaned away, and a
+    // mid-write claimant's v0 is still a claim; neither must let a
+    // second initializer re-claim version 0 (ADVICE r11: a silent lost
+    // write — the re-claim would "succeed" while its data stays
+    // invisible to the checkpoint-seeded read).
+    if (nextVersion(spark, table) > 0) return false
     val added = stage(df, table)
     val won = tryClaim(spark, table, 0L, render("append", added, Seq.empty))
     if (!won) {
@@ -436,13 +433,17 @@ object TxTable {
     * current snapshot into `nOut` files. Returns the commit version. */
   def replaceCompact(spark: SparkSession, table: String, nOut: Int,
       maxRetries: Int = 20): Long = {
-    fenceStalled(spark, table)
+    fenceIfNeeded(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
-      val snap = commits(spark, table)
+      // snapshot head from the checkpoint-seeded fold, NOT the
+      // from-zero commits() view — the latter goes empty after
+      // manifests below a checkpoint are cleaned away, which made
+      // compaction throw "nothing to compact" on a healthy table
+      // (ADVICE r11)
+      val snap = snapshotState(spark, table)
       require(snap.nonEmpty, s"TxTable $table is empty; nothing to compact")
-      val snapV = snap.last.version
-      val current = files(spark, table, snapV)
+      val (snapV, current) = snap.get
       val added = stage(read(spark, table, snapV).repartition(nOut), table)
       if (tryClaim(spark, table, snapV + 1,
           render("replace", added, current))) return snapV + 1
@@ -468,7 +469,12 @@ object TxTable {
   def vacuum(spark: SparkSession, table: String, ttlMs: Long,
       dropRemoved: Boolean = false): Seq[String] = {
     val all = rawCommits(spark, table)
-    val referenced = all.flatMap(c => c.added ++ c.removed)
+    // the referenced set must ALSO cover checkpoint manifests: after
+    // .txn manifests at-or-below a checkpoint are cleaned away, live
+    // data's ONLY surviving reference is the .ckpt — omitting it made
+    // vacuum delete live data (ADVICE r11, high)
+    val ckptAdds = rawCheckpoints(spark, table).flatMap(_.added)
+    val referenced = (all.flatMap(c => c.added ++ c.removed) ++ ckptAdds)
       .map(f => new Path(s"$table/$f").getParent.getName).toSet
     val dataDir = new Path(table, "data")
     val fs = fsOf(spark, dataDir)

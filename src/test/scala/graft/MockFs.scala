@@ -34,6 +34,53 @@ object MockFs {
   def reset(): Unit = { renames.set(0); deletes.set(0) }
 }
 
+/** Local-backed FS under a dedicated `cond://` scheme for the
+  * conditional-PUT claim specs — a table URI whose scheme is neither
+  * `file` (posix-link claim) nor anything defaulted, so the registered
+  * [[graft.sinks.ConditionalPutClaim]] is provably the one deciding
+  * races. */
+class CondFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("cond:///")
+  override def getScheme: String = "cond"
+}
+
+/** Local-backed FS under `zmb://` that deterministically simulates the
+  * ZOMBIE-WRITER interleave on a non-content-atomic store: when armed,
+  * the next `.txn` claimed with `create(overwrite = false)` has its
+  * content land normally — and then, between the writer's close and
+  * its post-close verify, the file is overwritten with an `op=abort`
+  * manifest, exactly what a fencer that observed the stall past its
+  * TTL does. The writer-side verify (ADVICE r11) must report the claim
+  * as LOST so the caller retries at a new version instead of returning
+  * a version readers fold as an abort. */
+class ZombieFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("zmb:///")
+  override def getScheme: String = "zmb"
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    val inner = super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    if (!overwrite && f.getName.endsWith(".txn") && ZombieFs.armed.getAndSet(false)) {
+      new org.apache.hadoop.fs.FSDataOutputStream(new java.io.FilterOutputStream(inner) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = inner.write(b, off, len)
+        override def close(): Unit = {
+          super.close() // the zombie's full content lands...
+          // ...and the fencer's abort overwrite interleaves before the
+          // zombie's verify re-read
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f.toUri.getPath),
+            "graft-txn-v1\nop=abort\nend\n".getBytes)
+        }
+      }, null)
+    } else inner
+  }
+}
+
+object ZombieFs {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** The same instrumented local-backed FS registered under the LITERAL
   * `s3a` scheme with a BUCKET AUTHORITY (`s3a://test-bucket/...`), so
   * scheme-specific URI handling is pinned exactly as an S3A user would

@@ -215,13 +215,36 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.commits(spark, t).map(c => (c.version, c.op)) ==
       Seq((0L, "append"), (1L, "append"), (2L, "abort"), (3L, "append")))
     assert(TxTable.read(spark, t).count() == 30)
-    // writers fence automatically: backdated stall + plain append
-    val stalled2 = Paths.get(s"$t/_txlog/${"%020d".format(4)}.txn")
+    // writers fence automatically — but ONLY on stores whose claim is
+    // not content-atomic (on file:// the link-published claim makes a
+    // torn manifest impossible by protocol, so append skips the scan):
+    // backdated stall + plain append over mock:// (HDFS-like default)
+    spark.sparkContext.hadoopConfiguration.set("fs.mock.impl", classOf[MockFs].getName)
+    val local = Files.createTempDirectory("graft_tx_autofence_")
+    Files.delete(local)
+    val tm = s"mock://$local"
+    TxTable.append(frame(0 until 10), tm)
+    val stalled2 = Paths.get(s"$local/_txlog/${"%020d".format(1)}.txn")
     Files.write(stalled2, "graft-txn-v1\nop=append\n".getBytes)
     Files.setLastModifiedTime(stalled2,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - TxTable.DefaultFenceTtlMs - 60000))
+    TxTable.append(frame(10 until 20), tm)
+    assert(TxTable.commits(spark, tm).map(c => (c.version, c.op)) ==
+      Seq((0L, "append"), (1L, "abort"), (2L, "append")))
+    assert(TxTable.read(spark, tm).count() == 20)
+    // and on file:// the same backdated stall is left for the EXPLICIT
+    // fence call (append must not pay the scan on a content-atomic
+    // store)
+    val stalled3 = Paths.get(s"$t/_txlog/${"%020d".format(4)}.txn")
+    Files.write(stalled3, "graft-txn-v1\nop=append\n".getBytes)
+    Files.setLastModifiedTime(stalled3,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxTable.DefaultFenceTtlMs - 60000))
     TxTable.append(frame(30 until 40), t)
+    assert(TxTable.commits(spark, t).map(_.version) == (0L to 3L),
+      "append on file:// must not auto-fence")
+    assert(TxTable.fenceStalled(spark, t) == Seq(4L))
     assert(TxTable.commits(spark, t).map(_.version) == (0L to 5L))
     assert(TxTable.read(spark, t).count() == 40)
   }
