@@ -181,11 +181,11 @@ object Similarity {
   def qEmbedNeardup(spark: SparkSession, d: String): DataFrame = {
     val v = withNorm(spark, Tables.embeddings(spark, d))
       .select(col("vec_id"), col("e"), col("nrm")).persist()
-    // 1-row scalar probe (documented bounded collect): dup factor over
-    // the already-persisted input
-    val probe = v.agg(count(lit(1)).as("n"),
-      countDistinct(xxhash64(col("e"))).as("nd")).head()
-    if (probe.getLong(0) == probe.getLong(1)) embedNeardupMemberLevel(spark, d, v)
+    // shared session-cached 1-row probe (Probes.embeddings): dup
+    // factor — one probe job serves this, q_label_audit, and the
+    // grid family
+    if (Probes.embeddings(spark, d).contentDupFree)
+      embedNeardupMemberLevel(spark, d, v)
     else embedNeardupCollapsed(spark, d, v)
   }
 
@@ -1056,19 +1056,15 @@ object Similarity {
     val v = withNorm(spark, Tables.embeddings(spark, d))
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("e"), col("nrm")).persist()
-    // 1-row scalar probe (documented bounded collect): dup factor +
-    // label domain in one job over the already-persisted input
-    val probe = v.agg(
-      count(lit(1)).as("n"),
-      countDistinct(xxhash64(col("e"))).as("nd"),
-      min("label").as("min_l"), max("label").as("max_l")).head()
-    val dupFree = probe.getLong(0) == probe.getLong(1)
-    if (dupFree) labelAuditMemberLevel(spark, d, v)
+    // shared session-cached 1-row probe: dup factor + label domain
+    // (one probe job across the embedding family)
+    val probe = Probes.embeddings(spark, d)
+    if (probe.contentDupFree) labelAuditMemberLevel(spark, d, v)
     else {
-      require(probe.getLong(2) >= 0 && probe.getLong(3) < 16,
+      require(probe.minLabel.exists(_ >= 0L) && probe.maxLabel.exists(_ < 16L),
         s"qLabelAudit duplicate-collapse packs mid = vec_id*16 + label and " +
-          s"requires labels in [0, 16); corpus has [${probe.getLong(2)}, " +
-          s"${probe.getLong(3)}]")
+          s"requires labels in [0, 16); corpus has [${probe.minLabel.orNull}, " +
+          s"${probe.maxLabel.orNull}]")
       labelAuditCollapsed(spark, d, v)
     }
   }
@@ -1380,10 +1376,10 @@ object Similarity {
     val raw = Tables.embeddings(spark, d).select(
       element_at(col("embedding"), 1).cast("double").as("x"),
       element_at(col("embedding"), 2).cast("double").as("y"))
-    val probe = raw.agg(count(lit(1)).as("n"),
-      countDistinct(xxhash64(col("x"), col("y"))).as("nd")).head()
+    // shared session-cached 1-row probe: co-location factor (one probe
+    // job across the embedding family)
     val located =
-      if (probe.getLong(0) == probe.getLong(1)) raw.withColumn("w", lit(1L))
+      if (Probes.embeddings(spark, d).xyDupFree) raw.withColumn("w", lit(1L))
       else raw.groupBy("x", "y").agg(count(lit(1)).as("w"))
     val pts = located
       .withColumn("cx", floor(col("x") / 0.05))
