@@ -26,10 +26,18 @@ import graft.streaming.Streams
   *    stateful operator is the dedup; the record includes the state
   *    store's peak row count to prove state tracks the lateness
   *    horizon, not stream lifetime.
-  *  - `neardup_gate` — Streams.nearDupGate: stateless stream-static
-  *    LSH gate of arriving documents against the full corpus band
-  *    index, per-batch sink-side pair dedup via foreachBatch (the
-  *    documented pattern). State rows must be ZERO.
+  *  - `neardup_gate` — Streams.nearDupGate: stateless LSH gate of
+  *    arriving documents against the broadcast corpus band index
+  *    (built once, reused across batches), per-batch sink-side pair
+  *    dedup via foreachBatch (the documented pattern). State rows must
+  *    be ZERO.
+  *  - `sessionize` — Streams.sessionizeWithState: event-time session
+  *    windows via flatMapGroupsWithState + EventTimeTimeout over
+  *    time-ordered file batches. Peak state = one row per OPEN
+  *    session (bounded by live users, not stream length).
+  *  - `cdc_latest` — Streams.cdcLatest: per-key current-row
+  *    materialization via mapGroupsWithState (update mode). Peak
+  *    state = one row per live key.
   *
   * Output: ONE JSON line (stdout + BENCH_STREAM.json) with per-pipeline
   * rows, seconds, rows/s, batch count, and peak state rows. Methodology
@@ -65,12 +73,6 @@ object BenchStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // the gate's static doc→shingles map is ~12 MB cached — just over
-      // the 10 MB default. Broadcasting it removes the one remaining
-      // per-micro-batch shuffle of static data (the slim band index
-      // already auto-broadcasts from its cached stats); a cluster
-      // deployment sizes this to executor memory the same way.
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -134,18 +136,65 @@ object BenchStream {
         .start()
     }
 
+    // ---- stage the sessionizer input: (ts, user_id) in TIME ORDER
+    // (range-partitioned so batch k's events precede batch k+1's — the
+    // arrival order the watermark contract guarantees in production) --
+    val sessIn = freshDir("sess_in")
+    Tables.events(spark, sfDir).select(col("ts"), col("user_id"))
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(sessIn)
+    val sessSchema = spark.read.parquet(sessIn).schema
+
+    def runSessionize(): (Double, Long, Long, Long) = drain { () =>
+      val src = spark.readStream.schema(sessSchema)
+        .option("maxFilesPerTrigger", 1).parquet(sessIn)
+      Streams.sessionizeWithState(src.withWatermark("ts", "10 minutes"))
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("sess_ck"))
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    // ---- stage the CDC input: change rows keyed by user --------------
+    val cdcIn = freshDir("cdc_in")
+    Tables.events(spark, sfDir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), col("event_type").as("op"), col("value"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(cdcIn)
+    val cdcSchema = spark.read.parquet(cdcIn).schema
+
+    def runCdc(): (Double, Long, Long, Long) = drain { () =>
+      val src = spark.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(cdcIn)
+      Streams.cdcLatest(src.as[(Long, Long, Long, String, Double)])
+        .toDF("user_id", "us", "event_id", "op", "value", "alive")
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("cdc_ck"))
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
     // untimed warmup, then the timed pass
-    runIngest(); runGate()
+    runIngest(); runGate(); runSessionize(); runCdc()
     val (iSec, iRows, iBatches, iState) = runIngest()
     val (gSec, gRows, gBatches, gState) = runGate()
+    val (sSec, sRows, sBatches, sState) = runSessionize()
+    val (cSec, cRows, cBatches, cState) = runCdc()
 
     def entry(rows: Long, sec: Double, batches: Long, state: Long): String =
       f"""{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).round},""" +
         s""""batches":$batches,"state_rows_max":$state}"""
     val json =
-      s"""{"metric":"stream_total","value":${"%.3f".format(iSec + gSec)},"unit":"sec","pipelines":{""" +
+      s"""{"metric":"stream_total","value":${"%.3f".format(iSec + gSec + sSec + cSec)},"unit":"sec","pipelines":{""" +
         s""""ingest":${entry(iRows, iSec, iBatches, iState)},""" +
-        s""""neardup_gate":${entry(gRows, gSec, gBatches, gState)}},""" +
+        s""""neardup_gate":${entry(gRows, gSec, gBatches, gState)},""" +
+        s""""sessionize":${entry(sRows, sSec, sBatches, sState)},""" +
+        s""""cdc_latest":${entry(cRows, cSec, cBatches, cState)}},""" +
         s""""sf":"$sfDir","trigger":"AvailableNow","estimator":"warmup+1"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_STREAM.json")

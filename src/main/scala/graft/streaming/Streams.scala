@@ -231,13 +231,11 @@ object Streams {
     * (dropDuplicatesWithinWatermark only catches EXACT re-sends).
     *
     * Fully STATELESS stream side: the arrival's signature and shingle
-    * array are per-row projections (native minhash8/word_shingles), 4
-    * band rows explode map-side, candidates come from a stream-static
-    * equi-join against the precomputed band index, and the exact
-    * verify is array_intersect against the index side's shingle set —
-    * no watermark, no state store, state bounded at ZERO. A pair that
-    * collides on k bands is emitted k times (stateless ⇒ no streaming
-    * distinct); the sink dedupes per micro-batch (foreachBatch
+    * array are per-row projections (native minhash8/word_shingles),
+    * candidates come from probing the broadcast band index, and the
+    * exact verify is a hashed-shingle intersection against the index
+    * side's shingle set — no watermark, no state store, state bounded
+    * at ZERO. The sink dedupes pairs per micro-batch (foreachBatch
     * `dropDuplicates`, the standard pattern — exercised in the spec).
     *
     * At 100 TB the index side is a materialized artifact refreshed
@@ -245,53 +243,104 @@ object Streams {
     * per-arrival work scales with the arrival's band collisions, never
     * the corpus pair count.
     *
-    * Plan shape (r11 throughput rework, 634 → several-k rows/s): the
-    * static side is PERSISTED — a stream-static join re-plans the
-    * static subtree every micro-batch, so an un-cached index recomputes
-    * the full-corpus MinHash + shingling per batch (the r10
-    * BENCH_STREAM suspect, confirmed). Candidate generation joins the
-    * arrival bands against a SLIM band index (doc id + band key only,
-    * cached-stats small → broadcast); the heavy shingle arrays live in
-    * a separate persisted doc→shingles map that only CANDIDATES fetch
-    * through a second equi-join — index payload bytes moved per batch
-    * scale with band collisions, not with bands × corpus. That
-    * candidates-only verify fetch is also the 100 TB shape (PPJoin's
-    * candidate/verify split). The verify intersects 64-bit shingle
-    * HASHES, not shingle strings (the CCNet discipline): the index's
-    * per-batch broadcast shrinks ~8× and the intersect is a long-array
-    * probe; a hash collision perturbing a Jaccard is a 2⁻⁶⁴-per-pair
-    * event, and the stream ≡ batch spec pins the output against the
-    * string-exact q_incremental_dedup regardless. */
+    * Plan shape (r12 fixed-overhead rework; history: r11 took the gate
+    * 634 → 3,672 rows/s by persisting the static side and splitting
+    * candidate/verify, but a stream-static JOIN still re-plans the
+    * static subtree every micro-batch — Spark rebuilds the broadcast
+    * relation per batch, a measured ~0.4 s/batch floor independent of
+    * batch size). The index is now built ONCE at gate construction —
+    * band → docs and doc → hashed-shingles maps — and shipped as a
+    * BROADCAST VARIABLE, which executors keep across micro-batches; the
+    * streaming side is per-row projections (native minhash8 +
+    * word_shingles + xxhash64, identical expressions to the batch twin)
+    * into a stateless flatMap that probes the band map for candidates
+    * and verifies each by hashed-shingle intersection. Per batch the
+    * only non-row work left is source listing + offset commit.
+    *
+    * The verify intersects 64-bit shingle HASHES, not shingle strings
+    * (the CCNet discipline): a collision perturbing a Jaccard is a
+    * 2⁻⁶⁴-per-pair event, and the stream ≡ batch spec pins the output
+    * against the string-exact q_incremental_dedup regardless.
+    *
+    * At 100 TB: the broadcast index must fit executor memory — the
+    * SAME bound the r11 shape had (its slim index + shingle map
+    * auto-broadcast per batch); an index beyond memory shards into the
+    * equi-join form (Quality.qIncrementalDedup's batch shape) at the
+    * cost of the per-batch rebuild. A pair that collides on several
+    * bands is emitted once per ARRIVAL (the flatMap dedups candidates
+    * across bands locally); the sink still dedupes per micro-batch
+    * across arrivals (foreachBatch `dropDuplicates`, exercised in the
+    * spec). */
   def nearDupGate(spark: SparkSession, arrivals: DataFrame,
       indexDocs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
     def sigs(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), expr("minhash8(text, 3)").as("s"),
         expr("transform(array_distinct(word_shingles(text, 3)), x -> xxhash64(x))")
           .as("sh"))
       .filter(col("s").isNotNull)
-    def bands(signed: DataFrame): DataFrame = signed
-      .select(col("doc_id"), col("s.sz").as("sz"), col("sh"), posexplode(array(
-        (0 until 4).map(b => concat(col(s"s.m${2 * b}"), col(s"s.m${2 * b + 1}"))): _*))
-        .as(Seq("band_idx", "band_val")))
-    val indexSigs = sigs(indexDocs).persist() // computed ONCE, reused per batch
-    val bandIndex = bands(indexSigs)
-      .select(col("band_idx"), col("band_val"), col("doc_id").as("index_doc"))
-      .persist()
-    val shingleMap = indexSigs
-      .select(col("doc_id").as("index_doc"), col("sh").as("sh_b"),
-        col("s.sz").as("sz_b"))
-    bands(sigs(arrivals))
-      .select(col("band_idx"), col("band_val"), col("doc_id").as("new_doc"),
-        col("sh").as("sh_a"), col("sz").as("sz_a"))
-      .join(bandIndex, Seq("band_idx", "band_val"))
-      // verify fetch: only band-colliding candidates pull shingles
-      .join(shingleMap, Seq("index_doc"))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", expr(
-        "round(n_common / cast(sz_a + sz_b - n_common AS DOUBLE), 4)"))
-      .filter(col("jaccard") >= 0.5)
-      .select("new_doc", "index_doc", "jaccard")
+    def flat(signed: DataFrame): DataFrame = signed.select(col("doc_id"),
+      array((0 until 8).map(j => col(s"s.m$j")): _*).as("ms"),
+      col("s.sz").as("sz"), col("sh"))
+    // index built ONCE (driver-side; bounded by the broadcastable-index
+    // contract above), broadcast ONCE, reused by every micro-batch
+    val bandToDocs = new java.util.HashMap[String, Array[Long]]()
+    val docShingles = new java.util.HashMap[Long, (Array[Long], Long)]()
+    locally {
+      val grouped = new java.util.HashMap[String, java.util.ArrayList[Long]]()
+      flat(sigs(indexDocs)).as[(Long, Seq[String], Long, Seq[Long])]
+        .collect().foreach { case (docId, ms, sz, sh) =>
+          docShingles.put(docId, (sh.toArray, sz))
+          var b = 0
+          while (b < 4) {
+            val key = b.toString + ":" + ms(2 * b) + ms(2 * b + 1)
+            grouped.computeIfAbsent(key, _ => new java.util.ArrayList[Long]())
+              .add(docId)
+            b += 1
+          }
+        }
+      grouped.forEach((k, v) =>
+        bandToDocs.put(k, v.stream().mapToLong(_.longValue()).toArray))
+    }
+    val bc = spark.sparkContext.broadcast((bandToDocs, docShingles))
+    flat(sigs(arrivals)).as[(Long, Seq[String], Long, Seq[Long])]
+      .flatMap { case (newDoc, ms, szA, shA) =>
+        val (bands, shingles) = bc.value
+        val cands = new java.util.LinkedHashSet[Long]()
+        var b = 0
+        while (b < 4) {
+          val hit = bands.get(b.toString + ":" + ms(2 * b) + ms(2 * b + 1))
+          if (hit != null) { var i = 0; while (i < hit.length) { cands.add(hit(i)); i += 1 } }
+          b += 1
+        }
+        if (cands.isEmpty) Iterator.empty
+        else {
+          val setA = new java.util.HashSet[Long](shA.length * 2)
+          shA.foreach(setA.add)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          cands.forEach { c =>
+            val (shB, szB) = shingles.get(c)
+            // |A ∩ B| over the DISTINCT hashed shingles — the exact
+            // semantics of the batch twin's size(array_intersect(..))
+            val seen = new java.util.HashSet[Long]()
+            var n = 0L
+            var i = 0
+            while (i < shB.length) {
+              if (setA.contains(shB(i)) && seen.add(shB(i))) n += 1
+              i += 1
+            }
+            // Spark round(x, 4): BigDecimal HALF_UP — mirrored so the
+            // stream ≡ batch comparison is bit-exact
+            val j = java.math.BigDecimal.valueOf(
+              n.toDouble / (szA + szB - n).toDouble)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (j >= 0.5) out += ((newDoc, c, j))
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("new_doc", "index_doc", "jaccard")
   }
 
   /** R14: split a fetch-result stream into ok / dead-letter branches
