@@ -182,6 +182,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (Quality.qVocabCoverage _),
     "q_pmi_bigrams" -> (Quality.qPmiBigrams _),
     "q_dedup_clusters" -> (DedupClusters.qDedupClusters _),
+    "q_cluster_view" -> (DedupClusters.qClusterView _),
     "q_cluster_stats" -> (DedupClusters.qClusterStats _),
     "q_dedup_keep_best" -> (DedupClusters.qDedupKeepBest _),
     "q_dedup_weight" -> (DedupClusters.qDedupWeight _),
@@ -338,7 +339,13 @@ object SparkEntry {
     * events timestamps to microseconds exactly as our reader does;
     * double aggregates go through DECIMAL(18,6) sums on both sides;
     * every query ends in a total ORDER BY. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // q_cluster_view reads the landed cluster artifact back through the
+    // registered SQL view — its oracle IS q_dedup_clusters's (the view
+    // must equal the derivation)
+    oracleBase + ("q_cluster_view" -> oracleBase("q_dedup_clusters"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q_cross_dims" ->
       """SELECT r_name, n_name, location, channel
         |FROM region CROSS JOIN nation

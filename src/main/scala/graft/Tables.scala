@@ -55,6 +55,13 @@ object Tables {
       "lineitem", "documents", "embeddings")
       .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
     events(spark, sfDir).createOrReplaceTempView("events")
+    // SQL front door for near-dup clusters: registered here when the
+    // landed artifact already exists (a cheap metadata check — views
+    // must stay lazy); DedupClusters.ensureClustersView is the
+    // materializing entry point that lands it the first time.
+    graft.sources.Landing.tableIfLanded(spark, sfDir, "dedup_clusters_v1")
+      .foreach(dir => graft.sinks.TxTable.read(spark, dir)
+        .createOrReplaceTempView("dedup_clusters_v1"))
   }
 
   /** `events.ts` normalization. The driver's fixture generator has

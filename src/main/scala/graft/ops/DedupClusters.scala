@@ -105,6 +105,35 @@ object DedupClusters {
   def qDedupClusters(spark: SparkSession, d: String): DataFrame =
     connectedComponents(Quality.neardupPairs(spark, d).select("doc_a", "doc_b"))
 
+  /** The cluster table's SQL FRONT DOOR. Spark 4 rejects UNION-dedup
+    * inside recursive CTEs (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    * a SQL-only user cannot DERIVE connected components — but they can
+    * read them: this lands [[qDedupClusters]]'s output as a write-once
+    * TxTable artifact (keyed by corpus fingerprint, multi-JVM-safe)
+    * and registers it as the `dedup_clusters_v1` temp view. After one
+    * call, `SELECT canonical_id FROM dedup_clusters_v1 WHERE ...` works
+    * in plain SQL; [[graft.Tables.createViews]] re-registers the view
+    * for free on later sessions once the artifact exists. Returns the
+    * view name. */
+  def ensureClustersView(spark: SparkSession, d: String): String = {
+    val dir = graft.sources.Landing.table(spark, d, "dedup_clusters_v1") {
+      qDedupClusters(spark, d)
+    }
+    graft.sinks.TxTable.read(spark, dir).createOrReplaceTempView("dedup_clusters_v1")
+    "dedup_clusters_v1"
+  }
+
+  /** Declared query over the SQL front door: materialize (or reuse)
+    * the landed cluster artifact, then read it back THROUGH the
+    * registered view with plain SQL — the exact path a SQL-only user
+    * takes. Oracle-gated against the same recursive-CTE DuckDB oracle
+    * as q_dedup_clusters (the view must equal the derivation). */
+  def qClusterView(spark: SparkSession, d: String): DataFrame = {
+    ensureClustersView(spark, d)
+    spark.sql("SELECT doc_id, canonical_id, cluster_size, is_canonical " +
+      "FROM dedup_clusters_v1 ORDER BY doc_id")
+  }
+
   /** Dedup audit report: cluster-size histogram plus the corpus-level
     * removal count — the one-page summary a dedup run is judged by
     * ("how many docs survive keep-one-per-cluster?"). Composes the

@@ -93,6 +93,19 @@ object Landing {
     path
   }
 
+  /** The landing directory iff the artifact is ALREADY landed for the
+    * current corpus content (this JVM or on disk) — never executes a
+    * landing. Lets cheap registration paths (Tables.createViews)
+    * expose a landed artifact without paying its pipeline. */
+  def tableIfLanded(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      kind: String): Option[String] = synchronized {
+    val path = keyedPath(sfDir, kind)
+    if (landed(path) || graft.sinks.TxTable.files(spark, path).nonEmpty) {
+      landed += path
+      Some(path)
+    } else None
+  }
+
   /** Deterministic artifact path keyed by (raw corpus path, corpus
     * fingerprint, kind), with the stale-sibling sweep. */
   private def keyedPath(sfDir: String, kind: String): String = {

@@ -166,4 +166,22 @@ class DedupClustersSpec extends SparkSpec {
     // LSH banding recovered every in-block truth pair on this corpus
     assert((exact -- lsh).isEmpty && exact.nonEmpty)
   }
+
+  test("SQL front door: dedup_clusters_v1 view ≡ the operator, registered by createViews once landed") {
+    val op = graft.ops.DedupClusters.qDedupClusters(spark, sfDir).collect()
+      .map(_.toString).sorted
+    // first touch lands the artifact and registers the view
+    val viaView = graft.ops.DedupClusters.qClusterView(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(viaView.sameElements(op), "view diverged from the operator")
+    assert(op.nonEmpty)
+    // a fresh catalog (view dropped) gets it back from createViews for
+    // free — the artifact is landed, so registration is metadata-only
+    spark.catalog.dropTempView("dedup_clusters_v1")
+    Tables.createViews(spark, sfDir)
+    val reRegistered = spark.sql(
+      "SELECT doc_id, canonical_id, cluster_size, is_canonical " +
+        "FROM dedup_clusters_v1 ORDER BY doc_id").collect().map(_.toString).sorted
+    assert(reRegistered.sameElements(op))
+  }
 }

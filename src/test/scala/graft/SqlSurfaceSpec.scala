@@ -729,8 +729,17 @@ class SqlSurfaceSpec extends SparkSpec {
         "RECURSIVE_CTE), and rewriting the fixed point to UNION ALL " +
         "diverges. The Spark-SQL story for cluster derivation is the " +
         "operator (min-label propagation + pointer jumping); the landed " +
-        "pair artifacts it reads ARE SQL-queryable views"))
+        "pair artifacts it reads ARE SQL-queryable views, and since r12 " +
+        "the cluster TABLE itself is too — DedupClusters.ensureClustersView " +
+        "lands it as dedup_clusters_v1 (q_cluster_view reads it back in " +
+        "plain SQL, oracle-gated)"))
     recursiveUnion.toMap ++ Map(
+      "q_cluster_view" ->
+        ("the SQL front door itself: its Spark side IS plain SQL over the " +
+          "registered dedup_clusters_v1 view, and its oracle is " +
+          "q_dedup_clusters's recursive-UNION CTE (non-portable for the " +
+          "same UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE reason); the " +
+          "view ≡ operator equivalence is pinned by DedupClustersSpec"),
       "q_asof_stream_twin" ->
         ("oracle uses DuckDB struct_pack(k := v) literals and NULL::STRUCT(…) " +
           "type casts — Spark spells these named_struct/CAST with a different " +
