@@ -22,6 +22,30 @@ import graft.Tables
   * mapPartitions (no exchange). At 100 TB the binary column rides in
   * parquet with `spark.sql.files.maxPartitionBytes` sizing the splits.
   */
+/** The pluggable media-decode boundary (r11 VERDICT item 5): decoding
+  * an opaque payload to its sample plane (pixels as gray levels, PCM
+  * samples, video frame bytes) is the ONLY media-specific step in the
+  * multimodal family — everything after it (histograms, block-mean
+  * resize, windowed energy, stride sampling, fingerprint dedup) is
+  * engine plumbing. A production deployment implements this one
+  * method over its codec (JNI ffmpeg, javax.imageio, …) and injects
+  * it into the `*WithDecoder` transforms; the Spark plan shape —
+  * narrow mapPartitions, payload bytes dying inside the partition,
+  * scalar columns into the exchange — is identical for every decoder. */
+trait MediaDecoder extends Serializable {
+  /** The payload's decoded sample plane. Values are small non-negative
+    * ints (8-bit gray / PCM levels); an empty array = undecodable or
+    * empty payload (rows drop out exactly like zero-byte payloads). */
+  def decode(payload: Array[Byte]): Array[Int]
+}
+
+/** Default decoder: identity on bytes — the honest stub (fixtures
+  * carry no real media; on the ASCII corpus codepoint = byte, so this
+  * is also exactly what the declared codegen'd plans read). */
+object ByteStubDecoder extends MediaDecoder {
+  def decode(payload: Array[Byte]): Array[Int] = payload.map(_ & 0xff)
+}
+
 object Multimodal {
 
   /** The `documents` table re-landed as a multimodal table: payload =
@@ -60,18 +84,25 @@ object Multimodal {
     * the `binaryFile` listing scan (R21→R12 flow, IntegrationSpec)
     * both feed this. Narrow (no shuffle); payload bytes die inside the
     * partition. */
-  def featuresFromPayload(spark: SparkSession, payload: DataFrame): DataFrame = {
+  def featuresFromPayload(spark: SparkSession, payload: DataFrame): DataFrame =
+    featuresWithDecoder(spark, payload, ByteStubDecoder)
+
+  /** Decoder-injected form of [[featuresFromPayload]]: the decode step
+    * goes through the [[MediaDecoder]] boundary (default byte stub ≡
+    * the declared plan, pinned in MultimodalSpec); a real image
+    * decoder changes only the injected object, never this plan. */
+  def featuresWithDecoder(spark: SparkSession, payload: DataFrame,
+      decoder: MediaDecoder): DataFrame = {
     import spark.implicits._
     payload
       .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          // ---- STUB: real impl would decode media here (???)
+          val plane = decoder.decode(bytes) // the ONLY media-specific step
           val hist = new Array[Long](4)
-          bytes.foreach(b => hist((b & 0xff) >> 6) += 1)
-          (id, bytes.length.toLong, hist.toSeq)
-          // ---- end STUB
+          plane.foreach(v => hist((v & 0xff) >> 6) += 1)
+          (id, plane.length.toLong, hist.toSeq)
         }
       }.toDF("doc_id", "n_bytes", "hist")
       .select(col("doc_id"), col("n_bytes"),
@@ -79,6 +110,93 @@ object Multimodal {
       .withColumn("share",
         round(col("n_in_bucket") / greatest(col("n_bytes"), lit(1L)).cast("double"), 4))
       .select("doc_id", "bucket", "n_in_bucket", "n_bytes", "share")
+  }
+
+  /** Decoder-injected RESIZE — [[qImageResize]]'s math (16-wide layout,
+    * 16-row cap, 2×2 block mean via integer div) over the decoded
+    * plane instead of the codegen'd byte reads. With [[ByteStubDecoder]]
+    * the per-doc report is IDENTICAL to the declared query (pinned in
+    * MultimodalSpec); a real decoder changes the pixel fetch, not the
+    * aggregate shape. */
+  def resizeWithDecoder(spark: SparkSession, payload: DataFrame,
+      decoder: MediaDecoder): DataFrame = {
+    import spark.implicits._
+    payload
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val p = decoder.decode(bytes)
+          val h2 = math.min(p.length / 16, 16) / 2
+          if (h2 < 1) None
+          else {
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var r = 0
+            while (r < h2) {
+              var c = 0
+              while (c < 8) {
+                val px = (p((r * 2) * 16 + c * 2) + p((r * 2) * 16 + c * 2 + 1) +
+                  p((r * 2 + 1) * 16 + c * 2) + p((r * 2 + 1) * 16 + c * 2 + 1)) / 4
+                sum += px; if (px < mn) mn = px; if (px > mx) mx = px
+                c += 1
+              }
+              r += 1
+            }
+            Some((id, h2.toLong, h2.toLong * 8, sum, mn, mx))
+          }
+        }
+      }.toDF("doc_id", "out_h", "n_px", "px_sum", "px_min", "px_max")
+  }
+
+  /** Decoder-injected AUDIO energy — [[qAudioEnergy]]'s windowed
+    * Σ(s−96)²/peak math over decoded PCM samples. Byte stub ≡ the
+    * declared query (pinned in MultimodalSpec). */
+  def audioEnergyWithDecoder(spark: SparkSession, payload: DataFrame,
+      decoder: MediaDecoder): DataFrame = {
+    import spark.implicits._
+    payload
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val p = decoder.decode(bytes)
+          val nfr = math.min(p.length, 128) / 16
+          (0 until nfr).map { fr =>
+            var energy = 0L; var peak = 0L
+            var k = fr * 16
+            while (k < (fr + 1) * 16) {
+              val s = p(k) - 96
+              energy += s.toLong * s; if (math.abs(s) > peak) peak = math.abs(s)
+              k += 1
+            }
+            (id, fr.toLong, 16L, energy, peak, energy < 64)
+          }
+        }
+      }.toDF("doc_id", "fr", "n_samples", "energy", "peak", "is_silent")
+  }
+
+  /** Decoder-injected FRAME SAMPLE — [[qFrameSample]]'s stride-4 digest
+    * over the decoded plane. Byte stub ≡ the declared query (pinned in
+    * MultimodalSpec). */
+  def frameSampleWithDecoder(spark: SparkSession, payload: DataFrame,
+      decoder: MediaDecoder): DataFrame = {
+    import spark.implicits._
+    payload
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          val p = decoder.decode(bytes)
+          if (p.isEmpty) None
+          else {
+            val frames = (0 until p.length by 4).map(i => p(i).toByte).toArray
+            md.reset()
+            val digest = md.digest(frames).map("%02x".format(_)).mkString
+            Some((id, frames.length.toLong, digest))
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frames_md5")
   }
 
   /** STUB frame sampling: every `stride`-th byte as a "frame" — the
