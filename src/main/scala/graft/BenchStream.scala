@@ -105,24 +105,26 @@ object BenchStream {
     }
 
     // ---- stage the near-dup arrivals: 8 corpus-sized micro-batches
-    // (8 id-offset replicas of the corpus, one file per batch); the
+    // (8 id-offset replicas of the corpus, EIGHT files per batch); the
     // index side is the full static corpus. The r10 record split ONE
     // corpus over 8 files — 625-row batches that measured the
     // micro-batch scheduler floor (~0.6 s/batch regardless of rows),
-    // not gate capacity; a production trigger carries batch sizes set
-    // by arrival rate, so the capacity number needs full batches. ----
+    // not gate capacity; r12: one FILE per batch serialized the
+    // per-row signature work (one split = one task), so batches now
+    // carry 8 splits each — honest trigger sizing, a production
+    // source delivers many files/partitions per trigger. ----
     val gateIn = freshDir("gate_in")
     val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
     corpus.crossJoin(spark.range(8).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
-      .repartition(8)
+      .repartition(64)
       .write.mode("overwrite").parquet(gateIn)
     val gateSchema = spark.read.parquet(gateIn).schema
     val indexDocs = corpus
 
     def runGate(): (Double, Long, Long, Long) = drain { () =>
       val src = spark.readStream.schema(gateSchema)
-        .option("maxFilesPerTrigger", 1).parquet(gateIn)
+        .option("maxFilesPerTrigger", 8).parquet(gateIn)
       Streams.nearDupGate(spark, src, indexDocs)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>

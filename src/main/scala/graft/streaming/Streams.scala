@@ -471,8 +471,18 @@ object Streams {
               state.getOption, rows.map(_._3).toArray.sorted.toSeq, gapUs)
             open.foreach { s =>
               state.update(s)
-              // timeout fires once the event-time watermark passes this
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+              // timeout fires once the event-time watermark passes
+              // last + gap — clamped to watermark + 1 ms: a batch that
+              // spans more than the gap (a backfill, a bursty source)
+              // legitimately leaves an open session whose deadline is
+              // already BEHIND the watermark, and Spark rejects a past
+              // timestamp. Clamping closes it at the next trigger,
+              // which is semantically exact: every event that could
+              // still extend it (ts ≤ last + gap ≤ watermark) has
+              // already been watermark-dropped.
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000 + gapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator.map(s => (user, s.startUs, s.lastUs, s.n))
           }
