@@ -35,6 +35,10 @@ import graft.streaming.Streams
   *    windows via flatMapGroupsWithState + EventTimeTimeout over
   *    time-ordered file batches. Peak state = one row per OPEN
   *    session (bounded by live users, not stream length).
+  *  - `quality_gate` — Streams.perceptronGate: stateless learned
+  *    quality filter over streamed embeddings (literal weights from
+  *    the landed perceptron artifact; 40 id-offset corpus replicas).
+  *
   *  - `cdc_latest` — Streams.cdcLatest: per-key current-row
   *    materialization via mapGroupsWithState (update mode). Peak
   *    state = one row per live key.
@@ -181,22 +185,49 @@ object BenchStream {
         .start()
     }
 
+    // ---- stage the quality-gate arrivals: 40 id-offset replicas of
+    // the embeddings corpus (200k rows at sf0.1) over 64 files, 8-file
+    // batches; the weights are the landed perceptron artifact
+    // (ops/Classifier), landed once untimed — the gate itself is a
+    // stateless literal-weight projection + filter -----------------
+    val qgIn = freshDir("qgate_in")
+    Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .crossJoin(spark.range(40).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(qgIn)
+    val qgSchema = spark.read.parquet(qgIn).schema
+    graft.ops.Classifier.weightsTable(spark, sfDir).count() // land, untimed
+
+    def runQGate(): (Double, Long, Long, Long) = drain { () =>
+      val src = spark.readStream.schema(qgSchema)
+        .option("maxFilesPerTrigger", 8).parquet(qgIn)
+      Streams.perceptronGate(spark, sfDir, src)
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("qgate_ck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
     // untimed warmup, then the timed pass
-    runIngest(); runGate(); runSessionize(); runCdc()
+    runIngest(); runGate(); runSessionize(); runCdc(); runQGate()
     val (iSec, iRows, iBatches, iState) = runIngest()
     val (gSec, gRows, gBatches, gState) = runGate()
     val (sSec, sRows, sBatches, sState) = runSessionize()
     val (cSec, cRows, cBatches, cState) = runCdc()
+    val (qSec, qRows, qBatches, qState) = runQGate()
 
     def entry(rows: Long, sec: Double, batches: Long, state: Long): String =
       f"""{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).round},""" +
         s""""batches":$batches,"state_rows_max":$state}"""
     val json =
-      s"""{"metric":"stream_total","value":${"%.3f".format(iSec + gSec + sSec + cSec)},"unit":"sec","pipelines":{""" +
+      s"""{"metric":"stream_total","value":${"%.3f".format(iSec + gSec + sSec + cSec + qSec)},"unit":"sec","pipelines":{""" +
         s""""ingest":${entry(iRows, iSec, iBatches, iState)},""" +
         s""""neardup_gate":${entry(gRows, gSec, gBatches, gState)},""" +
         s""""sessionize":${entry(sRows, sSec, sBatches, sState)},""" +
-        s""""cdc_latest":${entry(cRows, cSec, cBatches, cState)}},""" +
+        s""""cdc_latest":${entry(cRows, cSec, cBatches, cState)},""" +
+        s""""quality_gate":${entry(qRows, qSec, qBatches, qState)}},""" +
         s""""sf":"$sfDir","trigger":"AvailableNow","estimator":"warmup+1"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_STREAM.json")

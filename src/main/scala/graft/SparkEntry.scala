@@ -221,6 +221,9 @@ object SparkEntry {
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     "q_kmeans_step" -> (Similarity.qKmeansStep _),
     "q_kmeans_train" -> (Similarity.qKmeansTrain _),
+    "q_perceptron_train" -> (Classifier.qPerceptronTrain _),
+    "q_perceptron_eval" -> (Classifier.qPerceptronEval _),
+    "q_perceptron_score" -> (Classifier.qPerceptronScore _),
     "q_pq_codes" -> (Similarity.qPqCodes _),
     "q_pq_search" -> (Similarity.qPqSearch _),
     "q_ann_ivfpq" -> (Similarity.qAnnIvfPq _),
@@ -5862,6 +5865,10 @@ object SparkEntry {
 
     "q_kmeans_train" -> kmeansTrainOracle,
 
+    "q_perceptron_train" -> perceptronTrainOracle,
+    "q_perceptron_eval" -> perceptronEvalOracle,
+    "q_perceptron_score" -> perceptronScoreOracle,
+
     // Same pair + recursive-reachability CTEs as q_dedup_clusters,
     // left-joined onto the full corpus: weight = 1e6 div cluster size,
     // unclustered docs weigh exactly 1e6.
@@ -6300,6 +6307,77 @@ object SparkEntry {
     * Similarity.qKmeansTrain) — the q_pagerank pattern: the iteration
     * CTE trio (assign / explode / re-center) is mechanical, so it is
     * generated, not typed. */
+  /** Margins CTE of perceptron epoch `t` — every row's exact integer
+    * margin y·(Σ w·x + b6·10⁶) under the previous epoch's weights.
+    * Factored out because the declared eval/score queries need a
+    * FOURTH margin pass (m4) under the final w3/b3. */
+  private def perceptronMargins(t: Int): String =
+    s"""m$t AS (
+       |  SELECT d.vec_id, d.y, d.y * (d.dot + b.b6 * 1000000) AS margin
+       |  FROM (SELECT xd.vec_id, xd.y, sum(xd.x6 * w.w6) AS dot
+       |        FROM xd JOIN w${t - 1} w ON xd.dim = w.dim
+       |        GROUP BY xd.vec_id, xd.y) d CROSS JOIN b${t - 1} b)""".stripMargin
+
+  /** Shared CTE chain of the batch-perceptron family (see
+    * ops/Classifier.scala for the algorithm and the micro-unit
+    * numeric contract): 3 unrolled epochs of exact BIGINT arithmetic.
+    * Unrolled for the same reason as kmeansTrainOracle — portable SQL
+    * has no grouped recursion. The CASE-weight update (0 for correct
+    * rows) keeps every dim present per epoch, so no outer-join
+    * edge case exists on a separable corpus. */
+  private def perceptronChain: String = {
+    def epoch(t: Int) =
+      s"""${perceptronMargins(t)},
+         |w$t AS (
+         |  SELECT w.dim, w.w6 + u.u AS w6
+         |  FROM w${t - 1} w JOIN (
+         |    SELECT xd.dim,
+         |      sum(CASE WHEN m.margin <= 0 THEN xd.y ELSE 0 END * xd.x6) AS u
+         |    FROM xd JOIN m$t m ON xd.vec_id = m.vec_id GROUP BY xd.dim) u
+         |  ON w.dim = u.dim),
+         |b$t AS (
+         |  SELECT b.b6 + s.db * 1000000 AS b6
+         |  FROM b${t - 1} b CROSS JOIN (
+         |    SELECT sum(CASE WHEN margin <= 0 THEN y ELSE 0 END) AS db
+         |    FROM m$t) s)""".stripMargin
+    s"""WITH x6 AS (
+       |  SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y,
+       |    [CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) for x in embedding] AS e6
+       |  FROM embeddings),
+       |xd AS (
+       |  SELECT vec_id, y, CAST(s.dim AS BIGINT) AS dim, s.x AS x6 FROM (
+       |    SELECT vec_id, y,
+       |      unnest([{'dim': i, 'x': e6[i + 1]} for i in range(0, len(e6))]) AS s
+       |    FROM x6)),
+       |w0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS w6 FROM xd),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS b6),
+       |${epoch(1)},
+       |${epoch(2)},
+       |${epoch(3)}""".stripMargin
+  }
+
+  private def perceptronTrainOracle: String =
+    s"""$perceptronChain
+       |SELECT dim, CAST(w6 AS BIGINT) AS w6 FROM w3
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS dim, CAST(b6 AS BIGINT) AS w6 FROM b3
+       |ORDER BY dim""".stripMargin
+
+  private def perceptronEvalOracle: String =
+    s"""$perceptronChain,
+       |${perceptronMargins(4)}
+       |SELECT CAST(y AS BIGINT) AS y,
+       |  CAST(CASE WHEN margin * y > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  count(*) AS n
+       |FROM m4 GROUP BY y, pred ORDER BY y, pred""".stripMargin
+
+  private def perceptronScoreOracle: String =
+    s"""$perceptronChain,
+       |${perceptronMargins(4)}
+       |SELECT vec_id, CAST(y AS BIGINT) AS y,
+       |  CAST(margin * y AS BIGINT) AS score12 FROM m4
+       |ORDER BY score12 DESC, vec_id LIMIT 20""".stripMargin
+
   private def kmeansTrainOracle: String = {
     def assign(name: String, cents: String) =
       s"""$name AS (

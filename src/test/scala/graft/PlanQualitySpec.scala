@@ -45,6 +45,9 @@ class PlanQualitySpec extends SparkSpec {
     "q_embed_neardup",     // multi-probe assignment, same centroid broadcast
     "q_kmeans_step",       // assignment step, same centroid broadcast
     "q_kmeans_train",      // Lloyd rounds, same centroid broadcast per round
+    "q_perceptron_train",  // 1-row weight frame broadcast per epoch
+    "q_perceptron_eval",   // same 1-row weight-frame broadcast
+    "q_perceptron_score",  // same 1-row weight-frame broadcast
     "q_tfidf",             // 1-row corpus count N broadcast
     "q_perplexity_proxy",  // 1-row total-token count broadcast
     "q_vocab_coverage",    // 1-row total-token count broadcast

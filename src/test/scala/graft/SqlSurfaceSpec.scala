@@ -654,7 +654,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "q_minhash_est_err", "q_minhash_neardup", "q_mmr_rerank",
     "q_multimodal_features", "q_ndcg_eval", "q_neardup_sweep",
     "q_ngram_counts", "q_ngram_jaccard", "q_ngram_novelty",
-    "q_passage_dedup", "q_pmi_bigrams", "q_pq_codes", "q_pq_search",
+    "q_passage_dedup", "q_perceptron_eval", "q_perceptron_score",
+    "q_perceptron_train", "q_pmi_bigrams", "q_pq_codes", "q_pq_search",
     "q_rand_project", "q_repetition", "q_scalar_quant",
     "q_semdedup_sweep", "q_shard_manifest", "q_simhash",
     "q_simhash_neardup", "q_span_corrupt", "q_upsample_plan",
