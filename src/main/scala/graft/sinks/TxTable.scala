@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal transactional table: a commit-log protocol over plain
   * parquet that makes MULTI-WRITER appends, atomic whole-table
@@ -54,6 +55,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    (versions 0..k). Removed files stay on disk, so `read(asOf = v)`
   *    time-travels until a vacuum reclaims old versions.
   *
+  * Schema evolution (r12, schema-in-log — the Delta-paper move): every
+  * append/replace manifest records the writer's schema JSON on a
+  * `schema=` line; the reader's effective schema is the version-ordered
+  * BY-NAME MERGE over the snapshot (add columns and widen nullability
+  * freely; a type change in place is refused at the writer). [[read]]
+  * scans with that schema explicitly — files that predate a column
+  * read it as NULL, a writer that stops writing a column cannot erase
+  * it from reads, and no parquet footer is ever sampled or merged for
+  * schema (the default `spark.read.parquet` samples ONE footer and
+  * silently drops columns that file predates; `mergeSchema=true` reads
+  * every footer — both wrong at 100 TB). Checkpoints carry the folded
+  * schema, so evolution survives manifest cleanup; manifests without
+  * schema lines (pre-r12 logs) fall back to sample-file inference.
+  *
   * At 100 TB: the log is one small file per commit and a reader lists
   * one directory — no data-file listing, no eventual-consistency
   * exposure; snapshot isolation comes from immutability (a committed
@@ -95,18 +110,25 @@ object TxTable {
     * window is milliseconds. */
   val DefaultFenceTtlMs: Long = 10 * 60 * 1000L
 
-  /** One parsed commit. Paths are table-relative. */
+  /** One parsed commit. Paths are table-relative. `schema` is the
+    * writer's Spark schema JSON (one line; absent on pre-r12
+    * manifests and on no-op fences — the manifest format is itself
+    * forward/backward compatible: unknown lines are skipped, a
+    * missing schema line falls back to sample-file inference). */
   final case class Commit(version: Long, op: String,
-      added: Seq[String], removed: Seq[String])
+      added: Seq[String], removed: Seq[String],
+      schema: Option[String] = None)
 
   private def logDir(table: String) = new Path(table, "_txlog")
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def render(op: String, added: Seq[String], removed: Seq[String]): Array[Byte] = {
+  private def render(op: String, added: Seq[String], removed: Seq[String],
+      schema: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(Magic).append('\n').append("op=").append(op).append('\n')
+    schema.foreach(j => sb.append("schema=").append(j).append('\n'))
     added.foreach(a => sb.append("add=").append(a).append('\n'))
     removed.foreach(r => sb.append("remove=").append(r).append('\n'))
     sb.append("end\n")
@@ -123,9 +145,42 @@ object TxTable {
       op.map(o => Commit(version,
         o,
         body.collect { case l if l.startsWith("add=") => l.drop(4) },
-        body.collect { case l if l.startsWith("remove=") => l.drop(7) }))
+        body.collect { case l if l.startsWith("remove=") => l.drop(7) },
+        body.collectFirst { case l if l.startsWith("schema=") => l.drop(7) }))
     } else None
   }
+
+  /** By-name, version-ordered schema merge — SCHEMA EVOLUTION on the
+    * read path: the snapshot's effective schema is the union of every
+    * commit's recorded schema (first appearance fixes position; later
+    * appearances must agree on type — evolution may ADD columns and
+    * widen nullability, never change a type in place). Files written
+    * before a column existed read as NULL for it (Spark's parquet
+    * reader resolves an explicit schema by name and fills missing
+    * columns), so old snapshots stay readable after the table grows —
+    * without schema-in-log, `spark.read.parquet` samples ONE file's
+    * footer and silently DROPS the columns the sampled file predates.
+    * At 100 TB this is also the cheap path: the schema rides in the
+    * O(1) manifest fold; `mergeSchema=true` footer-merging would read
+    * every file's footer. */
+  private[graft] def mergeSchema(a: StructType, b: StructType): StructType = {
+    val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    (a.fields ++ b.fields).foreach { f =>
+      out.get(f.name) match {
+        case None => out(f.name) = f
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"TxTable schema evolution cannot change column '${f.name}': " +
+              s"${prev.dataType.simpleString} vs ${f.dataType.simpleString}")
+          if (!prev.nullable && f.nullable) out(f.name) = prev.copy(nullable = true)
+      }
+    }
+    StructType(out.values.toSeq)
+  }
+
+  private def parseSchema(json: String): Option[StructType] =
+    try Some(DataType.fromJson(json).asInstanceOf[StructType])
+    catch { case _: Exception => None } // tolerate foreign/corrupt lines
 
   private def versionOf(name: String): Option[Long] =
     if (name.endsWith(".txn")) name.stripSuffix(".txn").toLongOption else None
@@ -187,12 +242,12 @@ object TxTable {
     * O(CheckpointInterval) manifests however long the table has lived.
     * A torn checkpoint is skipped (next older, then the full fold —
     * checkpoints are pure acceleration, never a correctness
-    * dependency). Returns (snapshot version, live files); None = no
-    * committed state at-or-below `asOf`. Works after manifests below a
-    * checkpoint have been cleaned away (where the from-zero
-    * [[commits]] view goes empty). */
+    * dependency). Returns (snapshot version, live files, effective
+    * merged schema); None = no committed state at-or-below `asOf`.
+    * Works after manifests below a checkpoint have been cleaned away
+    * (where the from-zero [[commits]] view goes empty). */
   private def snapshotAt(spark: SparkSession, table: String,
-      asOf: Long = Long.MaxValue): Option[(Long, Seq[String])] = {
+      asOf: Long = Long.MaxValue): Option[(Long, Seq[String], Option[StructType])] = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return None
@@ -205,6 +260,7 @@ object TxTable {
       .nextOption()
     val live = scala.collection.mutable.LinkedHashSet[String](
       ckpt.map(_.added).getOrElse(Seq.empty): _*)
+    var schema: Option[StructType] = ckpt.flatMap(_.schema).flatMap(parseSchema)
     var version = ckpt.map(_.version).getOrElse(-1L)
     var expect = version + 1
     var contiguous = true
@@ -213,12 +269,15 @@ object TxTable {
       .filter { case (v, _) => v >= expect && v <= asOf }.sortBy(_._1)
       .foreach { case (v, p) =>
         if (contiguous && v == expect) parse(v, readBytes(fs, p)) match {
-          case Some(c) => live ++= c.added; live --= c.removed; version = v; expect += 1
+          case Some(c) =>
+            live ++= c.added; live --= c.removed; version = v; expect += 1
+            c.schema.flatMap(parseSchema).foreach(n =>
+              schema = Some(schema.fold(n)(mergeSchema(_, n))))
           case None => contiguous = false // claimant mid-write: snapshot ends here
         }
         else contiguous = false
       }
-    if (version < 0) None else Some((version, live.toSeq))
+    if (version < 0) None else Some((version, live.toSeq, schema))
   }
 
   /** Live table-relative files at `asOf` (default: latest) —
@@ -226,9 +285,15 @@ object TxTable {
   def files(spark: SparkSession, table: String, asOf: Long = Long.MaxValue): Seq[String] =
     snapshotAt(spark, table, asOf).map(_._2).getOrElse(Seq.empty)
 
+  /** The snapshot's effective schema at `asOf` (merged over recorded
+    * commit schemas), if any commit in the snapshot recorded one. */
+  def schemaAt(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): Option[StructType] =
+    snapshotAt(spark, table, asOf).flatMap(_._3)
+
   /** The checkpoint-seeded snapshot head — [[snapshotAt]] at latest. */
   private def snapshotState(spark: SparkSession, table: String): Option[(Long, Seq[String])] =
-    snapshotAt(spark, table)
+    snapshotAt(spark, table).map { case (v, live, _) => (v, live) }
 
   /** Folds the current contiguous snapshot into a write-once
     * `<version>.ckpt` manifest (op=checkpoint, live files sorted —
@@ -240,9 +305,12 @@ object TxTable {
     * below an older checkpoint have been cleaned away (the fold seeds
     * from the newest checkpoint, not from version 0). */
   def checkpoint(spark: SparkSession, table: String): Option[Long] = {
-    snapshotState(spark, table).map { case (version, live) =>
+    snapshotAt(spark, table).map { case (version, live, schema) =>
+      // the folded schema rides in the checkpoint so evolution
+      // survives manifest cleanup below it; deterministic from the
+      // prefix, so racing checkpointers still publish identical bytes
       tryPublish(spark, table, ckptName(version),
-        render("checkpoint", live.sorted, Seq.empty))
+        render("checkpoint", live.sorted, Seq.empty, schema.map(_.json)))
       version
     }
   }
@@ -299,10 +367,18 @@ object TxTable {
     * read is impossible. Throws on an empty snapshot (no schema to
     * give an empty frame). */
   def read(spark: SparkSession, table: String, asOf: Long = Long.MaxValue): DataFrame = {
-    val fs = files(spark, table, asOf)
+    val snap = snapshotAt(spark, table, asOf)
+    val fs = snap.map(_._2).getOrElse(Seq.empty)
     require(fs.nonEmpty, s"TxTable $table has no committed files" +
       (if (asOf != Long.MaxValue) s" as of version $asOf" else ""))
-    spark.read.parquet(fs.map(f => s"$table/$f"): _*)
+    // The snapshot's merged schema (when recorded) drives the scan:
+    // by-name resolution, missing columns read as NULL — files that
+    // predate an added column stay readable, and nothing samples or
+    // merges parquet footers. Legacy logs without schema lines fall
+    // back to Spark's sample-file inference.
+    val reader = snap.flatMap(_._3)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    reader.parquet(fs.map(f => s"$table/$f"): _*)
   }
 
   /** Atomic publish of `content` at version `v`. True = this writer
@@ -370,8 +446,14 @@ object TxTable {
   def append(df: DataFrame, table: String, maxRetries: Int = 100): Long = {
     val spark = df.sparkSession
     fenceIfNeeded(spark, table)
+    // Refuse an append whose schema cannot merge with the table's
+    // (type changed in place) BEFORE staging — a claim-time race can
+    // still slip a conflicting pair through, so read() re-validates
+    // when it folds (defense in depth), but the common failure is
+    // caught at the writer with the writer's stack.
+    schemaAt(spark, table).foreach(existing => mergeSchema(existing, df.schema))
     val added = stage(df, table)
-    val content = render("append", added, Seq.empty)
+    val content = render("append", added, Seq.empty, Some(df.schema.json))
     var attempt = 0
     while (attempt < maxRetries) {
       val v = nextVersion(spark, table)
@@ -414,7 +496,8 @@ object TxTable {
     // invisible to the checkpoint-seeded read).
     if (nextVersion(spark, table) > 0) return false
     val added = stage(df, table)
-    val won = tryClaim(spark, table, 0L, render("append", added, Seq.empty))
+    val won = tryClaim(spark, table, 0L,
+      render("append", added, Seq.empty, Some(df.schema.json)))
     if (!won) {
       // lost: reclaim the orphaned staging directory immediately
       added.headOption.foreach { f =>
@@ -444,9 +527,11 @@ object TxTable {
       val snap = snapshotState(spark, table)
       require(snap.nonEmpty, s"TxTable $table is empty; nothing to compact")
       val (snapV, current) = snap.get
-      val added = stage(read(spark, table, snapV).repartition(nOut), table)
+      val compacted = read(spark, table, snapV).repartition(nOut)
+      val added = stage(compacted, table)
       if (tryClaim(spark, table, snapV + 1,
-          render("replace", added, current))) return snapV + 1
+          render("replace", added, current, Some(compacted.schema.json))))
+        return snapV + 1
       // a concurrent commit interleaved: our snapshot (and removal
       // set) is stale — drop the staged copy and retry from fresh
       added.headOption.foreach { f =>

@@ -260,4 +260,80 @@ class TxTableSpec extends SparkSpec {
     assert(staged.length == 1)
     assert(TxTable.read(spark, t).count() == 10)
   }
+
+  test("schema evolution: an added column reads as NULL for pre-evolution files, at every version") {
+    import spark.implicits._
+    val t = freshTable("evo")
+    TxTable.append(frame(0 until 5), t)
+    TxTable.append(
+      (5 until 8).map(i => (i.toLong, s"row_$i", i * 10)).toDF("id", "payload", "score"),
+      t)
+    val r = TxTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "payload", "score"),
+      s"merged schema lost a column: ${r.columns.mkString(",")}")
+    val byId = r.collect().map(x =>
+      x.getLong(0) -> (if (x.isNullAt(2)) None else Some(x.getInt(2)))).toMap
+    assert((0 until 5).forall(i => byId(i.toLong).isEmpty),
+      "pre-evolution rows must read the new column as NULL")
+    assert((5 until 8).forall(i => byId(i.toLong).contains(i * 10)))
+    // time travel predates the evolution: the old snapshot's schema
+    // has no score column at all
+    assert(TxTable.read(spark, t, asOf = 0L).columns.toSeq == Seq("id", "payload"))
+    // and a writer that DROPS a column cannot erase it from the
+    // merged read schema (no data loss on read)
+    TxTable.append((8 until 9).map(i => i.toLong).toDF("id"), t)
+    val r2 = TxTable.read(spark, t)
+    assert(r2.columns.toSeq == Seq("id", "payload", "score"))
+    assert(r2.filter(col("id") === 8L).collect().head.isNullAt(1))
+  }
+
+  test("schema evolution: the merged schema survives checkpoint folding and manifest cleanup below it") {
+    import spark.implicits._
+    val t = freshTable("evock")
+    TxTable.append(frame(0 until 5), t)
+    (1 until 10).foreach { i =>
+      if (i == 4)
+        TxTable.append(
+          Seq((100L + i, s"row_$i", 7)).toDF("id", "payload", "score"), t)
+      else TxTable.append(frame(100 * i until 100 * i + 2), t)
+    }
+    // v9 append auto-folded a checkpoint at v9; delete every .txn
+    // at-or-below it — the .ckpt is now the ONLY carrier of the
+    // evolved schema
+    val log = new java.io.File(s"$t/_txlog")
+    assert(log.listFiles().exists(_.getName.endsWith(".ckpt")))
+    log.listFiles().filter(_.getName.endsWith(".txn")).foreach(f => assert(f.delete()))
+    val r = TxTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "payload", "score"),
+      "checkpoint dropped the evolved schema")
+    assert(r.filter(col("score").isNotNull).count() == 1)
+  }
+
+  test("schema evolution: a type change in place is refused at the writer, not silently coerced") {
+    import spark.implicits._
+    val t = freshTable("evobad")
+    TxTable.append(frame(0 until 3), t)
+    val e = intercept[IllegalArgumentException](
+      TxTable.append(Seq((9L, 42)).toDF("id", "payload"), t)) // payload INT vs STRING
+    assert(e.getMessage.contains("payload"))
+    // the refused append left nothing behind: table unchanged
+    assert(TxTable.read(spark, t).count() == 3)
+    assert(TxTable.commits(spark, t).map(_.version) == Seq(0L))
+  }
+
+  test("legacy manifests without schema lines still read via sample-file inference") {
+    import spark.implicits._
+    val t = freshTable("legacy")
+    TxTable.append(frame(0 until 4), t)
+    // strip the schema line from every manifest, simulating a pre-r12 log
+    val log = new java.io.File(s"$t/_txlog")
+    log.listFiles().filter(_.getName.endsWith(".txn")).foreach { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val stripped = new java.util.ArrayList[String]()
+      lines.forEach(l => if (!l.startsWith("schema=")) stripped.add(l))
+      java.nio.file.Files.write(f.toPath, stripped)
+    }
+    val r = TxTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "payload") && r.count() == 4)
+  }
 }
