@@ -332,6 +332,7 @@ object SparkEntry {
     "q_spearman" -> (Analytics.qSpearman _),
     "q_bpe_merge" -> (Quality.qBpeMerge _),
     "q_bpe_train3" -> (Quality.qBpeTrain3 _),
+    "q_bpe_encode" -> (Quality.qBpeEncode _),
     "q_js_divergence" -> (Quality.qJsDivergence _),
     "q_line_dedup" -> (Quality.qLineDedup _),
     "q_snapshot_diff" -> (Quality.qSnapshotDiff _),
@@ -6264,6 +6265,70 @@ object SparkEntry {
         |    t2.t, t3.t
         |  FROM t2 JOIN t3 USING (source))
         |ORDER BY source, round""".stripMargin,
+
+    // Applies q_bpe_train3's three picked merges per document (same
+    // w0->p3 training chain), reporting per-doc exact token accounting
+    "q_bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY source, word),
+        |p1 AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM (SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w0 GROUP BY word)
+        |      WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |w1 AS (
+        |  SELECT source, word, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT source, replace(word, (SELECT pair FROM p1), '0') AS word, n
+        |    FROM w0)
+        |  GROUP BY source, word),
+        |p2 AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM (SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w1 GROUP BY word)
+        |      WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |w2 AS (
+        |  SELECT source, word, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT source, replace(word, (SELECT pair FROM p2), '1') AS word, n
+        |    FROM w1)
+        |  GROUP BY source, word),
+        |p3 AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(wn) AS BIGINT) AS pc FROM (
+        |      SELECT wn, unnest([substr(word, i, 2)
+        |                         for i in range(1, length(word))]) AS pair
+        |      FROM (SELECT word, CAST(sum(n) AS BIGINT) AS wn FROM w2 GROUP BY word)
+        |      WHERE length(word) >= 2)
+        |    GROUP BY pair)
+        |  ORDER BY pc DESC, pair LIMIT 1),
+        |pp AS (SELECT p1.pair AS p1, p2.pair AS p2, p3.pair AS p3
+        |       FROM p1, p2, p3),
+        |d AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '[^a-z]+') if w <> ''] AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    COALESCE(CAST(list_sum([length(w) for w in ws]) AS BIGINT), 0)
+        |      AS tokens_before,
+        |    COALESCE(CAST(list_sum([length(replace(replace(replace(
+        |      w, p1, '0'), p2, '1'), p3, '2')) for w in ws]) AS BIGINT), 0)
+        |      AS tokens_after
+        |  FROM d CROSS JOIN pp)
+        |SELECT doc_id, tokens_before, tokens_after,
+        |  ((tokens_before - tokens_after) * 1000000)
+        |    // GREATEST(tokens_before, 1) AS saved_ppm
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_js_divergence" ->
       """WITH tf AS (

@@ -2314,7 +2314,12 @@ object Quality {
     * rescan). A production tokenizer run is this loop at 10k-50k
     * rounds over the SAME vocabulary frame; 3 rounds is the
     * oracle-checkable unit. */
-  def qBpeTrain3(spark: SparkSession, d: String): DataFrame = {
+  /** The 3-round training loop factored out so [[qBpeEncode]] applies
+    * the SAME tokenizer the trainer picked: returns (vocabulary
+    * snapshots rounds 0..3, winning pairs rounds 1..3), every frame
+    * localCheckpoint'ed. */
+  private def bpeTrained(spark: SparkSession, d: String)
+      : (Seq[DataFrame], Seq[DataFrame]) = {
     val markers = Seq("0", "1", "2")
     val snaps = new scala.collection.mutable.ArrayBuffer[DataFrame]
     val picks = new scala.collection.mutable.ArrayBuffer[DataFrame]
@@ -2340,6 +2345,13 @@ object Quality {
         .groupBy("source", "word").agg(sum("n").as("n"))
         .localCheckpoint() // vocabulary-sized; cuts per-round lineage
     }
+    (snaps.toSeq, picks.toSeq)
+  }
+
+  def qBpeTrain3(spark: SparkSession, d: String): DataFrame = {
+    val (snapSeq, pickSeq) = bpeTrained(spark, d)
+    val snaps = snapSeq
+    val picks = pickSeq
     def toks(w: DataFrame, as: String): DataFrame = w.groupBy("source")
       .agg(sum(col("n") * length(col("word"))).cast("long").as(as))
     (0 until 3).map { r =>
@@ -2352,6 +2364,43 @@ object Quality {
           expr("((tokens_before - tokens_after) * 1000000)" +
             " div greatest(tokens_before, 1)").as("saved_ppm"))
     }.reduce(_ union _).orderBy("source", "round")
+  }
+
+  /** ENCODE with the trained tokenizer — the apply side [[qBpeTrain3]]
+    * was missing: every document's words pass through the SAME three
+    * merge rewrites the trainer picked (sequential, so round-2/3 pairs
+    * may contain earlier markers — BPE's growing symbol alphabet), and
+    * each doc reports its exact token accounting: tokens_before (one
+    * token per character, the base symbol alphabet), tokens_after, and
+    * the compression in ppm. This is the operator a pipeline runs on
+    * INGEST once a tokenizer is frozen (the per-doc token counts that
+    * feed packing/budgeting — q_pack_greedy consumes exactly such
+    * counts at the whitespace grain).
+    *
+    * Plan shape for 100 TB: the three 1-row pick frames broadcast as
+    * one 1-row cross product; the corpus is scanned ONCE with a
+    * per-row codegen'd array pipeline (filter → transform with 3
+    * nested replaces → integer fold) — no explode, no shuffle except
+    * the final orderBy, output exactly |docs| rows. */
+  def qBpeEncode(spark: SparkSession, d: String): DataFrame = {
+    val picks = bpeTrained(spark, d)._2
+    val pp = picks(0).select(col("pair").as("p1"))
+      .crossJoin(picks(1).select(col("pair").as("p2")))
+      .crossJoin(picks(2).select(col("pair").as("p3")))
+    Tables.documents(spark, d)
+      .crossJoin(broadcast(pp)) // 1-row pick triple (allowlisted)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')").as("ws"),
+        col("p1"), col("p2"), col("p3"))
+      .select(col("doc_id"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))")
+          .as("tokens_before"),
+        expr("aggregate(transform(ws, w -> replace(replace(replace(" +
+          "w, p1, '0'), p2, '1'), p3, '2')), CAST(0 AS BIGINT), " +
+          "(a, w) -> a + length(w))").as("tokens_after"))
+      .withColumn("saved_ppm", expr(
+        "((tokens_before - tokens_after) * 1000000) div greatest(tokens_before, 1)"))
+      .orderBy("doc_id")
   }
 
   /** Corpus-level LINE dedup (the CCNet / RefinedWeb paragraph-hash

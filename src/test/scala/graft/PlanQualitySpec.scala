@@ -103,6 +103,7 @@ class PlanQualitySpec extends SparkSpec {
     "q_mannwhitney",       // |sources| × distinct-length grid enumeration (rank zero-fill)
     "q_bpe_merge",         // 1-row winning-pair broadcast over the vocabulary
     "q_bpe_train3",        // per-round 1-row winning-pair broadcasts over the vocabulary
+    "q_bpe_encode",        // same training loop + 1-row pick-triple broadcast to the corpus scan
     "q_js_divergence")     // |sources| × top-100 vocab grid enumeration (zero-fill)
 
   test("no declared query plans a cartesian product; nested-loop joins only where the broadcast side is constant") {

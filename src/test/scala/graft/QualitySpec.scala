@@ -1352,6 +1352,37 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: per-doc token mass reconciles with the trainer's per-source accounting, and a doc replays exactly") {
+    val enc = Quality.qBpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val train = Quality.qBpeTrain3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // per-source: Σ_doc tokens_before == round-1 tokens_before, and
+    // Σ_doc tokens_after == round-3 tokens_after (the encoder applies
+    // the SAME three merges the trainer picked, over the same words)
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val encBySrc = enc.groupBy(e => srcOf(e._1))
+    encBySrc.foreach { case (src, docs) =>
+      val r1 = train.find(t => t._1 == src && t._2 == 1L).get
+      val r3 = train.find(t => t._1 == src && t._2 == 3L).get
+      assert(docs.map(_._2).sum == r1._3, s"$src: before mass diverged")
+      assert(docs.map(_._3).sum == r3._4, s"$src: after mass diverged")
+    }
+    // one document replayed on the driver through the picked merges
+    val picks = Quality.qBpeTrain3(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).distinct.sortBy(_._1).map(_._2)
+    val doc = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    val ws = doc.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    val after = ws.map(w =>
+      w.replace(picks(0), "0").replace(picks(1), "1").replace(picks(2), "2"))
+    val got = enc.find(_._1 == doc.getLong(0)).get
+    assert(got._2 == ws.map(_.length.toLong).sum)
+    assert(got._3 == after.map(_.length.toLong).sum)
+    assert(got._4 == (got._2 - got._3) * 1000000L / math.max(got._2, 1L))
+  }
+
   test("line dedup: per-doc accounting is internally consistent and replays a driver-side cut") {
     val rows = Quality.qLineDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

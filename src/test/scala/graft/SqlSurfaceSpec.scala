@@ -642,7 +642,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_recall",
     "q_audio_energy", "q_band_load", "q_benford", "q_bigram_lm",
     "q_boilerplate", "q_bootstrap_ci", "q_bpe_merge", "q_bpe_pairs",
-    "q_bpe_train3", "q_cdc_chunks", "q_cdc_savings", "q_containment",
+    "q_bpe_encode", "q_bpe_train3", "q_cdc_chunks", "q_cdc_savings",
+    "q_containment",
     "q_contamination", "q_cross_source_leak", "q_dedup_recall",
     "q_detector_agreement", "q_dsir_weight", "q_dup_spans",
     "q_embed_neardup", "q_embed_outliers", "q_embedding_stats",
