@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal transactional table: a commit-log protocol over plain
@@ -69,6 +70,20 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * schema, so evolution survives manifest cleanup; manifests without
   * schema lines (pre-r12 logs) fall back to sample-file inference.
   *
+  * Data skipping (r12, stats-in-log — the second half of the same
+  * design): [[stage]] collects typed per-file min/max from the parquet
+  * FOOTER (metadata-only) for every top-level primitive column and the
+  * manifest records them on `stats=` lines; [[readPruned]] answers a
+  * range scan opening only files whose recorded [min,max] can
+  * intersect the bound — the whole-file lift of parquet's row-group
+  * pruning, decided from the O(1) manifest fold without touching even
+  * the pruned files' footers. Pruning is strictly conservative: no
+  * stats (legacy manifest, failed collection, all-null or non-primitive
+  * column, escape-bearing string bound, type mismatch) → the file is
+  * scanned. Checkpoints carry the folded stats verbatim, so skipping
+  * survives manifest cleanup; compaction's rewrite records fresh stats
+  * for the files it produces.
+  *
   * At 100 TB: the log is one small file per commit and a reader lists
   * one directory — no data-file listing, no eventual-consistency
   * exposure; snapshot isolation comes from immutability (a committed
@@ -117,7 +132,8 @@ object TxTable {
     * missing schema line falls back to sample-file inference). */
   final case class Commit(version: Long, op: String,
       added: Seq[String], removed: Seq[String],
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      stats: Map[String, String] = Map.empty)
 
   private def logDir(table: String) = new Path(table, "_txlog")
 
@@ -125,11 +141,16 @@ object TxTable {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def render(op: String, added: Seq[String], removed: Seq[String],
-      schema: Option[String] = None): Array[Byte] = {
+      schema: Option[String] = None,
+      stats: Map[String, String] = Map.empty): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(Magic).append('\n').append("op=").append(op).append('\n')
     schema.foreach(j => sb.append("schema=").append(j).append('\n'))
-    added.foreach(a => sb.append("add=").append(a).append('\n'))
+    added.foreach { a =>
+      sb.append("add=").append(a).append('\n')
+      stats.get(a).foreach(j =>
+        sb.append("stats=").append(a).append('\t').append(j).append('\n'))
+    }
     removed.foreach(r => sb.append("remove=").append(r).append('\n'))
     sb.append("end\n")
     sb.toString.getBytes(UTF_8)
@@ -146,7 +167,12 @@ object TxTable {
         o,
         body.collect { case l if l.startsWith("add=") => l.drop(4) },
         body.collect { case l if l.startsWith("remove=") => l.drop(7) },
-        body.collectFirst { case l if l.startsWith("schema=") => l.drop(7) }))
+        body.collectFirst { case l if l.startsWith("schema=") => l.drop(7) },
+        body.collect { case l if l.startsWith("stats=") => l.drop(6) }
+          .flatMap { l =>
+            val t = l.indexOf('\t')
+            if (t > 0) Some(l.substring(0, t) -> l.substring(t + 1)) else None
+          }.toMap))
     } else None
   }
 
@@ -177,6 +203,97 @@ object TxTable {
     }
     StructType(out.values.toSeq)
   }
+
+  /** Per-file column stats from the parquet FOOTER (metadata-only —
+    * no data pages read): one-line JSON of typed min/max per TOP-LEVEL
+    * primitive column, merged across row groups. Typed so pruning
+    * never round-trips an int64 through a double: `"t":"i"` int32/64,
+    * `"t":"d"` float/double, `"t":"s"` UTF-8 binary. A column missing
+    * valid statistics in ANY row group is omitted (conservative).
+    * Best-effort by design: any failure → no stats line → the file is
+    * simply never pruned. */
+  private def footerStats(spark: SparkSession, file: Path): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val md = reader.getFooter.getBlocks.asScala
+      // (tag, min, max) per column; None once any row group lacks stats
+      val acc = scala.collection.mutable.LinkedHashMap[String, Option[(Char, Any, Any)]]()
+      md.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.size == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val pt = c.getPrimitiveType
+            val isUtf8 = pt.getPrimitiveTypeName == BINARY &&
+              pt.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType()
+            val tag: Option[Char] = pt.getPrimitiveTypeName match {
+              case INT32 | INT64 => Some('i')
+              case FLOAT | DOUBLE => Some('d')
+              case BINARY if isUtf8 => Some('s')
+              case _ => None
+            }
+            val valid = tag.isDefined && st != null && !st.isEmpty && st.hasNonNullValue
+            if (!valid) acc(name) = None
+            else if (!acc.contains(name) || acc(name).isDefined) {
+              val (mn, mx): (Any, Any) = tag.get match {
+                case 'i' => (st.genericGetMin match {
+                    case i: java.lang.Integer => i.longValue
+                    case l: java.lang.Long => l.longValue
+                  }, st.genericGetMax match {
+                    case i: java.lang.Integer => i.longValue
+                    case l: java.lang.Long => l.longValue
+                  })
+                case 'd' => (st.genericGetMin match {
+                    case f: java.lang.Float => f.doubleValue
+                    case d: java.lang.Double => d.doubleValue
+                  }, st.genericGetMax match {
+                    case f: java.lang.Float => f.doubleValue
+                    case d: java.lang.Double => d.doubleValue
+                  })
+                case 's' =>
+                  (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                     .toStringUsingUTF8,
+                   st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                     .toStringUsingUTF8)
+              }
+              acc(name) = acc.get(name).flatten match {
+                case None => Some((tag.get, mn, mx))
+                case Some((t, pmn, pmx)) =>
+                  def lt(a: Any, b: Any): Boolean = (t: @unchecked) match {
+                    case 'i' => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+                    case 'd' => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+                    case 's' => a.asInstanceOf[String] < b.asInstanceOf[String]
+                  }
+                  Some((t, if (lt(mn, pmn)) mn else pmn, if (lt(pmx, mx)) mx else pmx))
+              }
+            }
+          }
+        }
+      }
+      def jstr(v: String): String =
+        "\"" + v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      val fields = acc.collect { case (name, Some((t, mn, mx))) =>
+        def enc(v: Any): String = t match {
+          case 's' => jstr(v.asInstanceOf[String])
+          case _ => v.toString
+        }
+        s"${jstr(name)}:{" + "\"t\":\"" + t + "\",\"min\":" + enc(mn) +
+          ",\"max\":" + enc(mx) + "}"
+      }
+      if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   private def parseSchema(json: String): Option[StructType] =
     try Some(DataType.fromJson(json).asInstanceOf[StructType])
@@ -247,7 +364,8 @@ object TxTable {
     * Works after manifests below a checkpoint have been cleaned away
     * (where the from-zero [[commits]] view goes empty). */
   private def snapshotAt(spark: SparkSession, table: String,
-      asOf: Long = Long.MaxValue): Option[(Long, Seq[String], Option[StructType])] = {
+      asOf: Long = Long.MaxValue)
+      : Option[(Long, Seq[String], Option[StructType], Map[String, String])] = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return None
@@ -260,6 +378,8 @@ object TxTable {
       .nextOption()
     val live = scala.collection.mutable.LinkedHashSet[String](
       ckpt.map(_.added).getOrElse(Seq.empty): _*)
+    val stats = scala.collection.mutable.LinkedHashMap[String, String](
+      ckpt.map(_.stats.toSeq).getOrElse(Seq.empty): _*)
     var schema: Option[StructType] = ckpt.flatMap(_.schema).flatMap(parseSchema)
     var version = ckpt.map(_.version).getOrElse(-1L)
     var expect = version + 1
@@ -271,13 +391,15 @@ object TxTable {
         if (contiguous && v == expect) parse(v, readBytes(fs, p)) match {
           case Some(c) =>
             live ++= c.added; live --= c.removed; version = v; expect += 1
+            stats ++= c.stats; c.removed.foreach(stats.remove)
             c.schema.flatMap(parseSchema).foreach(n =>
               schema = Some(schema.fold(n)(mergeSchema(_, n))))
           case None => contiguous = false // claimant mid-write: snapshot ends here
         }
         else contiguous = false
       }
-    if (version < 0) None else Some((version, live.toSeq, schema))
+    if (version < 0) None
+    else Some((version, live.toSeq, schema, stats.filter(kv => live(kv._1)).toMap))
   }
 
   /** Live table-relative files at `asOf` (default: latest) —
@@ -291,9 +413,10 @@ object TxTable {
       asOf: Long = Long.MaxValue): Option[StructType] =
     snapshotAt(spark, table, asOf).flatMap(_._3)
 
+
   /** The checkpoint-seeded snapshot head — [[snapshotAt]] at latest. */
   private def snapshotState(spark: SparkSession, table: String): Option[(Long, Seq[String])] =
-    snapshotAt(spark, table).map { case (v, live, _) => (v, live) }
+    snapshotAt(spark, table).map { case (v, live, _, _) => (v, live) }
 
   /** Folds the current contiguous snapshot into a write-once
     * `<version>.ckpt` manifest (op=checkpoint, live files sorted —
@@ -305,12 +428,14 @@ object TxTable {
     * below an older checkpoint have been cleaned away (the fold seeds
     * from the newest checkpoint, not from version 0). */
   def checkpoint(spark: SparkSession, table: String): Option[Long] = {
-    snapshotAt(spark, table).map { case (version, live, schema) =>
-      // the folded schema rides in the checkpoint so evolution
-      // survives manifest cleanup below it; deterministic from the
-      // prefix, so racing checkpointers still publish identical bytes
+    snapshotAt(spark, table).map { case (version, live, schema, stats) =>
+      // the folded schema AND per-file stats ride in the checkpoint so
+      // evolution and pruning survive manifest cleanup below it;
+      // deterministic from the prefix (stats strings carried verbatim,
+      // adds sorted), so racing checkpointers still publish identical
+      // bytes
       tryPublish(spark, table, ckptName(version),
-        render("checkpoint", live.sorted, Seq.empty, schema.map(_.json)))
+        render("checkpoint", live.sorted, Seq.empty, schema.map(_.json), stats))
       version
     }
   }
@@ -381,6 +506,114 @@ object TxTable {
     reader.parquet(fs.map(f => s"$table/$f"): _*)
   }
 
+  /** The snapshot's per-file stats map (table-relative path → typed
+    * min/max JSON), as folded from manifests + checkpoints. */
+  def statsAt(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): Map[String, String] =
+    snapshotAt(spark, table, asOf).map(_._4).getOrElse(Map.empty)
+
+  /** Data-skipping read — the manifest-stats half of the lakehouse
+    * design ([[read]]'s schema-in-log being the other): semantically
+    * IDENTICAL to `read(...).filter(col(column) BETWEEN lo AND hi)`,
+    * but files whose footer-recorded [min,max] cannot intersect
+    * [lo,hi] are never opened. Pruning is CONSERVATIVE: a file with
+    * no stats (legacy manifest, failed collection, all-null column,
+    * non-primitive column) is always scanned; a type-tag/bound
+    * mismatch keeps the file. Numeric bounds compare exactly through
+    * BigDecimal (an int64 never round-trips through a double), string
+    * bounds lexically — the same contract parquet's own row-group
+    * pruning applies, lifted to whole files through the O(1) manifest
+    * fold so 999 of 1000 cold files are skipped WITHOUT reading even
+    * their footers. Returns the filtered frame; [[prunedFiles]]
+    * exposes the kept list for plan audits. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, asOf: Long = Long.MaxValue): DataFrame = {
+    val kept = prunedFiles(spark, table, column, lo, hi, asOf)
+    require(kept.nonEmpty || files(spark, table, asOf).nonEmpty,
+      s"TxTable $table has no committed files")
+    val schema = snapshotAt(spark, table, asOf).flatMap(_._3)
+    val base =
+      if (kept.isEmpty) {
+        // every file pruned: an empty frame in the snapshot's schema
+        val sch = schema.getOrElse(read(spark, table, asOf).schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else {
+        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        reader.parquet(kept.map(f => s"$table/$f"): _*)
+      }
+    base.filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** The file subset [[readPruned]] would scan. */
+  def prunedFiles(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, asOf: Long = Long.MaxValue): Seq[String] = {
+    val snap = snapshotAt(spark, table, asOf)
+    val live = snap.map(_._2).getOrElse(Seq.empty)
+    val stats = snap.map(_._4).getOrElse(Map.empty)
+    live.filter { f =>
+      stats.get(f).flatMap(colBounds(_, column)) match {
+        case None => true // no usable stats: never prune
+        case Some((tag, mn, mx)) => overlaps(tag, mn, mx, lo, hi)
+      }
+    }
+  }
+
+  /** Extracts column `c`'s (tag, min, max) from a stats JSON line —
+    * a tiny regex-free scan of the flat one-level format [[footerStats]]
+    * writes; returns None on anything unexpected (→ no pruning). */
+  private def colBounds(json: String, c: String): Option[(Char, String, String)] = try {
+    val key = "\"" + c + "\":{"
+    val i = json.indexOf(key)
+    if (i < 0) None
+    else {
+      val obj = json.substring(i + key.length, json.indexOf('}', i))
+      def field(k: String): Option[String] = {
+        val j = obj.indexOf("\"" + k + "\":")
+        if (j < 0) None
+        else {
+          val from = j + k.length + 3
+          val end = {
+            var d = from; var inStr = obj.charAt(from) == '"'
+            if (inStr) { d += 1; while (obj.charAt(d) != '"' || obj.charAt(d - 1) == '\\') d += 1; d + 1 }
+            else { while (d < obj.length && obj.charAt(d) != ',') d += 1; d }
+          }
+          Some(obj.substring(from, end))
+        }
+      }
+      for { t <- field("t"); mn <- field("min"); mx <- field("max") }
+        yield (t.charAt(1), mn, mx)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def overlaps(tag: Char, mnS: String, mxS: String, lo: Any, hi: Any): Boolean = try {
+    tag match {
+      case 'i' | 'd' =>
+        def num(a: Any): Option[BigDecimal] = a match {
+          case n: Number => Some(BigDecimal(n.toString))
+          case _ => None
+        }
+        (num(lo), num(hi)) match {
+          case (Some(l), Some(h)) =>
+            val mn = BigDecimal(mnS); val mx = BigDecimal(mxS)
+            !(mx < l || mn > h)
+          case _ => true // non-numeric bounds against numeric stats: keep
+        }
+      case 's' =>
+        (lo, hi) match {
+          // any escape in the recorded bound → comparing the raw JSON
+          // text could prune a MATCHING file; keep it instead (pruning
+          // must only ever be conservative)
+          case (_, _) if mnS.contains('\\') || mxS.contains('\\') => true
+          case (l: String, h: String) =>
+            val mn = mnS.stripPrefix("\"").stripSuffix("\"")
+            val mx = mxS.stripPrefix("\"").stripSuffix("\"")
+            !(mx < l || mn > h)
+          case _ => true
+        }
+      case _ => true
+    }
+  } catch { case scala.util.control.NonFatal(_) => true }
+
   /** Atomic publish of `content` at version `v`. True = this writer
     * owns the version. */
   private def tryClaim(spark: SparkSession, table: String, v: Long,
@@ -426,16 +659,21 @@ object TxTable {
 
   /** Stages `df` under a fresh writer-private directory and returns
     * the staged table-relative file paths. */
-  private def stage(df: DataFrame, table: String): Seq[String] = {
+  private def stage(df: DataFrame, table: String): (Seq[String], Map[String, String]) = {
     val attempt = java.util.UUID.randomUUID().toString
     val rel = s"data/$attempt"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
     val dir = new Path(s"$table/$rel")
     val fs = fsOf(df.sparkSession, dir)
-    fs.listStatus(dir).toSeq
+    val added = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$rel/${s.getPath.getName}")
       .sorted
+    // footer stats per staged file (metadata-only, best-effort): the
+    // data-skipping half of the commit
+    val stats = added.flatMap(f =>
+      footerStats(df.sparkSession, new Path(s"$table/$f")).map(f -> _)).toMap
+    (added, stats)
   }
 
   /** Transactional append: stage, then claim the next version (re-list
@@ -452,8 +690,8 @@ object TxTable {
     // when it folds (defense in depth), but the common failure is
     // caught at the writer with the writer's stack.
     schemaAt(spark, table).foreach(existing => mergeSchema(existing, df.schema))
-    val added = stage(df, table)
-    val content = render("append", added, Seq.empty, Some(df.schema.json))
+    val (added, stats) = stage(df, table)
+    val content = render("append", added, Seq.empty, Some(df.schema.json), stats)
     var attempt = 0
     while (attempt < maxRetries) {
       val v = nextVersion(spark, table)
@@ -495,9 +733,9 @@ object TxTable {
     // write — the re-claim would "succeed" while its data stays
     // invisible to the checkpoint-seeded read).
     if (nextVersion(spark, table) > 0) return false
-    val added = stage(df, table)
+    val (added, stats) = stage(df, table)
     val won = tryClaim(spark, table, 0L,
-      render("append", added, Seq.empty, Some(df.schema.json)))
+      render("append", added, Seq.empty, Some(df.schema.json), stats))
     if (!won) {
       // lost: reclaim the orphaned staging directory immediately
       added.headOption.foreach { f =>
@@ -528,9 +766,9 @@ object TxTable {
       require(snap.nonEmpty, s"TxTable $table is empty; nothing to compact")
       val (snapV, current) = snap.get
       val compacted = read(spark, table, snapV).repartition(nOut)
-      val added = stage(compacted, table)
+      val (added, stats) = stage(compacted, table)
       if (tryClaim(spark, table, snapV + 1,
-          render("replace", added, current, Some(compacted.schema.json))))
+          render("replace", added, current, Some(compacted.schema.json), stats)))
         return snapV + 1
       // a concurrent commit interleaved: our snapshot (and removal
       // set) is stale — drop the staged copy and retry from fresh

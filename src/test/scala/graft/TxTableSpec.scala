@@ -321,6 +321,73 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.commits(spark, t).map(_.version) == Seq(0L))
   }
 
+  test("data skipping: disjoint appends prune to the one overlapping file; rows equal the unpruned filter") {
+    import spark.implicits._
+    val t = freshTable("skip")
+    (0 until 4).foreach { i =>
+      TxTable.append(frame(i * 100 until (i + 1) * 100).coalesce(1), t)
+    }
+    assert(TxTable.files(spark, t).length == 4)
+    val kept = TxTable.prunedFiles(spark, t, "id", 150L, 160L)
+    assert(kept.length == 1, s"expected 1 kept file, got $kept")
+    val got = TxTable.readPruned(spark, t, "id", 150L, 160L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = TxTable.read(spark, t).filter(col("id").between(150L, 160L))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq && got.length == 11)
+    // string column bounds prune too (payload = "row_<i>" — LEXICAL
+    // order, so pick a probe below every other file's min: "row_0" is
+    // under file 1-3's minima "row_100"/"row_200"/"row_300")
+    val keptS = TxTable.prunedFiles(spark, t, "payload", "row_0", "row_0")
+    assert(keptS.length == 1, s"string pruning kept $keptS")
+    assert(TxTable.readPruned(spark, t, "payload", "row_0", "row_0").count() == 1)
+    // a range outside every file prunes ALL files and still returns a
+    // well-formed empty frame in the table's schema
+    assert(TxTable.prunedFiles(spark, t, "id", 5000L, 6000L).isEmpty)
+    val empty = TxTable.readPruned(spark, t, "id", 5000L, 6000L)
+    assert(empty.columns.toSeq == Seq("id", "payload") && empty.count() == 0)
+  }
+
+  test("data skipping: stats survive checkpoint folding + manifest cleanup; compaction refreshes them") {
+    import spark.implicits._
+    val t = freshTable("skipck")
+    (0 until 10).foreach { i =>
+      TxTable.append(frame(i * 100 until (i + 1) * 100).coalesce(1), t)
+    }
+    // v9 auto-checkpointed; drop every .txn — stats now live only in
+    // the .ckpt
+    val log = new java.io.File(s"$t/_txlog")
+    assert(log.listFiles().exists(_.getName.endsWith(".ckpt")))
+    log.listFiles().filter(_.getName.endsWith(".txn")).foreach(f => assert(f.delete()))
+    assert(TxTable.prunedFiles(spark, t, "id", 250L, 260L).length == 1,
+      "checkpoint dropped the stats fold")
+    // compaction rewrites the file set; its stats describe the NEW file
+    TxTable.replaceCompact(spark, t, nOut = 1)
+    val all = TxTable.files(spark, t)
+    assert(all.length == 1)
+    assert(TxTable.prunedFiles(spark, t, "id", 250L, 260L) == all)
+    assert(TxTable.prunedFiles(spark, t, "id", 99999L, 100000L).isEmpty,
+      "compacted file's fresh stats should prune an out-of-range scan")
+  }
+
+  test("data skipping is conservative: stripped stats lines keep every file, results unchanged") {
+    import spark.implicits._
+    val t = freshTable("skiplegacy")
+    (0 until 3).foreach { i =>
+      TxTable.append(frame(i * 100 until (i + 1) * 100).coalesce(1), t)
+    }
+    val log = new java.io.File(s"$t/_txlog")
+    log.listFiles().filter(_.getName.endsWith(".txn")).foreach { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val stripped = new java.util.ArrayList[String]()
+      lines.forEach(l => if (!l.startsWith("stats=")) stripped.add(l))
+      java.nio.file.Files.write(f.toPath, stripped)
+    }
+    assert(TxTable.prunedFiles(spark, t, "id", 150L, 160L).length == 3,
+      "no stats must mean no pruning")
+    assert(TxTable.readPruned(spark, t, "id", 150L, 160L).count() == 11)
+  }
+
   test("legacy manifests without schema lines still read via sample-file inference") {
     import spark.implicits._
     val t = freshTable("legacy")
