@@ -753,7 +753,7 @@ object TxTable {
     * fail, and the retry's fresh snapshot includes it). Rewrites the
     * current snapshot into `nOut` files. Returns the commit version. */
   def replaceCompact(spark: SparkSession, table: String, nOut: Int,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, sortBy: Seq[String] = Nil): Long = {
     fenceIfNeeded(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -765,7 +765,17 @@ object TxTable {
       val snap = snapshotState(spark, table)
       require(snap.nonEmpty, s"TxTable $table is empty; nothing to compact")
       val (snapV, current) = snap.get
-      val compacted = read(spark, table, snapV).repartition(nOut)
+      // sortBy = CLUSTERED compaction: range-partition + sort the
+      // rewrite so each output file covers a tight, near-disjoint
+      // range of the sort key and the fresh footer stats make
+      // [[readPruned]] effective again — an unsorted repartition mixes
+      // every file's range to the full domain and data skipping
+      // degrades to scan-everything after compaction.
+      val base = read(spark, table, snapV)
+      val compacted =
+        if (sortBy.isEmpty) base.repartition(nOut)
+        else base.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
       val (added, stats) = stage(compacted, table)
       if (tryClaim(spark, table, snapV + 1,
           render("replace", added, current, Some(compacted.schema.json), stats)))

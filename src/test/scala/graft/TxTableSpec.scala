@@ -370,6 +370,30 @@ class TxTableSpec extends SparkSpec {
       "compacted file's fresh stats should prune an out-of-range scan")
   }
 
+  test("clustered compaction restores data skipping that unsorted compaction destroys") {
+    import spark.implicits._
+    val t = freshTable("skipsort")
+    // interleaved appends: every file spans the full id domain, so
+    // nothing can prune
+    (0 until 4).foreach { i =>
+      val ids = (0 until 400).filter(_ % 4 == i)
+      TxTable.append(
+        ids.map(j => (j.toLong, s"row_$j")).toDF("id", "payload").coalesce(1), t)
+    }
+    assert(TxTable.prunedFiles(spark, t, "id", 10L, 20L).length == 4,
+      "full-domain files must all be kept")
+    // unsorted compaction keeps the full-domain mixing
+    TxTable.replaceCompact(spark, t, nOut = 4)
+    assert(TxTable.prunedFiles(spark, t, "id", 10L, 20L).length == 4)
+    // clustered compaction range-partitions + sorts: a narrow range
+    // now prunes to a strict subset, rows unchanged
+    TxTable.replaceCompact(spark, t, nOut = 4, sortBy = Seq("id"))
+    val kept = TxTable.prunedFiles(spark, t, "id", 10L, 20L)
+    assert(kept.length < 4 && kept.nonEmpty, s"clustered compaction kept $kept")
+    assert(TxTable.readPruned(spark, t, "id", 10L, 20L).count() == 11)
+    assert(TxTable.read(spark, t).count() == 400)
+  }
+
   test("data skipping is conservative: stripped stats lines keep every file, results unchanged") {
     import spark.implicits._
     val t = freshTable("skiplegacy")
