@@ -1262,6 +1262,19 @@ object Similarity {
       .withColumn("y", element_at(col("embedding"), 2).cast("double"))
       .withColumn("cx", floor(col("x") / 0.05))
       .withColumn("cy", floor(col("y") / 0.05))
+      // r12 perf: the per-dim contribution quantizes to DECIMAL(18,6)
+      // (the oracle's cast) ONCE per distinct embedding, carried as a
+      // scaled int64 (×10⁶) so the pair fan-out and the (dst, dim)
+      // aggregate run entirely on primitive longs — the decimal(38,6)
+      // multiply-accumulate per (pair × dim) was the query's hot stage
+      // (24 CPU·s / 56 MB shuffle of 16-byte decimals at sf0.1). The
+      // decimal value is refit EXACTLY at output (see msg_sum below).
+      // Magnitude ceiling: |Σ w·xs| ≤ Σw·10⁶·|x| — int64-safe while a
+      // group's total neighbor multiplicity stays < ~9e12, far beyond
+      // any physical grid-cell density (documented, like qKsTest's).
+      .withColumn("esc", expr(
+        "transform(embedding, v -> cast(cast(cast(v as double) " +
+          "as decimal(18,6)) * 1000000 as bigint))"))
       .persist() // consumers: probe side, src side, self term, member map
     // Directed rep-level grid edges dst ← src (same h=0.05 cell
     // geometry as qGridNeighbors; src's home cell is unique, so each
@@ -1274,7 +1287,7 @@ object Similarity {
     val ext = probes
       .join(groups.select(col("gid").as("src"), col("x").as("xb"),
           col("y").as("yb"), col("cx"), col("cy"), col("g").as("w"),
-          col("embedding").as("e")),
+          col("esc").as("e")),
         col("tcx") === col("cx") && col("tcy") === col("cy") &&
           col("dst") =!= col("src"))
       .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
@@ -1285,15 +1298,26 @@ object Similarity {
     // a ≥2 group emit even with no external neighbors).
     val self = groups.filter(col("g") > 1)
       .select(col("gid").as("dst"), (col("g") - 1).as("w"),
-        col("embedding").as("e"))
+        col("esc").as("e"))
     // join WHOLE vectors (one probe per group edge), THEN explode to
-    // dims — same geometry lesson as the r8 form, now at group scale
+    // dims — same geometry lesson as the r8 form, now at group scale.
+    // The sums are pure int64 (scaled ×10⁶); msg_sum refits the exact
+    // DECIMAL(38,6) the oracle's sum produces: DECIMAL(38,0) × the
+    // exact literal 0.000001 (DECIMAL(6,6)) is lossless (scale 6,
+    // 32 integral digits of headroom) and prints identically.
     val msgs = ext.union(self)
-      .select(col("dst"), col("w"), posexplode(col("e")).as(Seq("dim", "xv")))
+      // repartition the COMPACT pair rows by dst before the ×dims
+      // explode: the (dst, dim) aggregate's clustering is satisfied by
+      // hash(dst), so the exchange moves one array per pair instead of
+      // dims partially-collapsed rows per pair (~8× fewer bytes), and
+      // the aggregate collapses fully in place (output = groups × dims)
+      .repartition(col("dst"))
+      .select(col("dst"), col("w"), posexplode(col("e")).as(Seq("dim", "xs")))
       .groupBy(col("dst"), col("dim").cast("long").as("dim"))
       .agg(sum(col("w")).as("n_neighbors"),
-        sum(col("xv").cast("double").cast("decimal(18,6)") * col("w"))
-          .cast("string").as("msg_sum"))
+        sum(col("xs") * col("w")).as("ss"))
+      .withColumn("msg_sum", expr(
+        "cast(cast(ss as decimal(38,0)) * cast(0.000001 as decimal(6,6)) as string)"))
     val members = v
       .join(groups.select(col("embedding"), col("gid")), Seq("embedding"))
       .select(col("vec_id"), col("gid").as("dst"))

@@ -8,15 +8,18 @@ import org.apache.spark.sql.SparkSession
   * classpath includes test-classes). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // the recursive-CTE oracles (k-hop, PageRank) unroll past the
       // 1M-row default at sf0.01 — a limit, not a semantics change
       .config("spark.sql.cteRecursionRowLimit", 100000000)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    // plan captures must reflect the bench SF (plans/r12 evidence), so
+    // the explain path honors the same env the bench reads
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     if (args.headOption.exists(_.startsWith("translate"))) {
       // print the SqlTranslate output for a named oracle (debug aid
       // for the parity sweeps); "translate4" uses the len-as-length
