@@ -77,6 +77,9 @@ object BenchStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // serialized shuffle writer at every partition count (see
+      // Bench.scala; never engages at > 200 partitions)
+      .config("spark.shuffle.sort.bypassMergeThreshold", 2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

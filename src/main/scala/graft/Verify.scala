@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // serialized shuffle writer at every partition count (see
+      // Bench.scala — the bypass writer's R-files-per-map-task churn
+      // dominates small-scale task runtime; never engages at > 200
+      // partitions, so production behavior is unchanged)
+      .config("spark.shuffle.sort.bypassMergeThreshold", 2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

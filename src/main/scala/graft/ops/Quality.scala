@@ -617,17 +617,42 @@ object Quality {
     * ran interpreted (12 s at sf0.1; 1 s after). The per-bit vote is a
     * sum over the token multiset, so order and grouping don't matter
     * and map-side partial aggregation applies. */
-  def qSimhash(spark: SparkSession, d: String): DataFrame = {
-    val bitVotes = (1 to 16).map(b =>
-      sum(when(substring(col("m"), b, 1) >= "8", 1).otherwise(-1)).as(s"b$b"))
+  def qSimhash(spark: SparkSession, d: String): DataFrame =
+    simhashBits(spark, d, 16)
+      .select(col("doc_id"), col("sig_str").as("simhash"))
+      .orderBy("doc_id")
+
+  /** Shared simhash signature builder: per doc, bit b (1-based, over
+    * the first `nBits` md5 hex positions of each token) is 1 iff the
+    * ±1 vote sum over tokens is positive. r12 perf form: the hex
+    * digit's high bit (`digit ≥ 8` ⟺ the lexical `substring(m,b,1) >=
+    * '8'` on lowercase hex) is extracted ARITHMETICALLY — each 8-char
+    * hex group parses once per token via conv() into a 32-bit long and
+    * every bit is a codegen'd shift-and-mask — replacing nBits
+    * per-token UTF8String allocations + string compares inside the
+    * aggregate (the old form was the hot stage of the whole simhash
+    * family: 32 substrings per token × ~1M tokens at sf0.1). The vote
+    * is recovered exactly: Σ±1 = 2·Σbit − n > 0 ⟺ 2·Σbit > n. */
+  private def simhashBits(spark: SparkSession, d: String,
+      nBits: Int): DataFrame = {
+    val nGroups = nBits / 8
+    val groupCols = (0 until nGroups).map(g =>
+      conv(substring(col("m"), 8 * g + 1, 8), 16, 10).cast("long").as(s"v$g"))
+    val bitSums = (1 to nBits).map { b =>
+      val g = (b - 1) / 8
+      val sh = 31 - 4 * ((b - 1) % 8)
+      sum(shiftright(col(s"v$g"), sh).bitwiseAND(lit(1L))).as(s"h$b")
+    }
     Tables.documentsSpread(spark, d)
       .select(col("doc_id"), explode(expr(toks)).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
+      .select(col("doc_id") +: groupCols: _*)
       .groupBy("doc_id")
-      .agg(bitVotes.head, bitVotes.tail: _*)
+      .agg(count(lit(1)).as("n_tok"), bitSums: _*)
       .select(col("doc_id"), concat(
-        (1 to 16).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("simhash"))
-      .orderBy("doc_id")
+        (1 to nBits).map(b =>
+          when(col(s"h$b") * 2 > col("n_tok"), "1").otherwise("0")): _*)
+        .as("sig_str"))
   }
 
   /** SimHash near-duplicate pairs: 32-bit signatures (all 32 md5 hex
@@ -644,18 +669,9 @@ object Quality {
     * longs: one codegen'd instruction (POPCNT) per candidate, no
     * per-bit loop. */
   /** 32-bit simhash signatures: binary string + packed long. */
-  private[graft] def simhashSigs32(spark: SparkSession, d: String): DataFrame = {
-    val bitVotes = (1 to 32).map(b =>
-      sum(when(substring(col("m"), b, 1) >= "8", 1).otherwise(-1)).as(s"b$b"))
-    Tables.documentsSpread(spark, d)
-      .select(col("doc_id"), explode(expr(toks)).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("m"))
-      .groupBy("doc_id")
-      .agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"), concat(
-        (1 to 32).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("sig_str"))
+  private[graft] def simhashSigs32(spark: SparkSession, d: String): DataFrame =
+    simhashBits(spark, d, 32)
       .withColumn("sig", conv(col("sig_str"), 2, 10).cast("long"))
-  }
 
   def qSimhashNeardup(spark: SparkSession, d: String): DataFrame = {
     val sigs = simhashSigs32(spark, d)
