@@ -11,8 +11,23 @@ import org.apache.spark.sql.functions._
   * partitioned directory tree and partition pruning applies unchanged.
   */
 object Tables {
+  /** r12: the RESOLVED frame is memoized per (session, path). Every
+    * `spark.read.parquet` call pays driver-side file listing + footer
+    * schema inference at analysis time — ~10-20 ms each, and the bench
+    * surface makes ~3 such calls per query per pass (measured: a
+    * double-digit-second driver tax across a full 302-query bench).
+    * DataFrames are immutable plans, so handing every caller the same
+    * object changes nothing downstream; each action still scans the
+    * parquet files — this caches SCHEMA RESOLUTION, never data. The
+    * testdata corpus is immutable within a session (the driver
+    * regenerates it only between rounds, in a fresh JVM), matching
+    * Landing's fingerprint assumption. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    resolved.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
@@ -42,7 +57,10 @@ object Tables {
   }
 
   def documentsSpread(spark: SparkSession, d: String): DataFrame =
-    spread(spark, documents(spark, d), "doc_id")
+    // memoized like table(): spread's partition-count probe builds the
+    // physical RDD (a full plan compile) on every call
+    resolved.computeIfAbsent((spark, s"$d/documents.parquet#spread"),
+      _ => spread(spark, documents(spark, d), "doc_id"))
 
   /** The SQL surface: every testdata table as a temp view (plus
     * graft's native functions), so `spark.sql("SELECT ... FROM
@@ -76,19 +94,20 @@ object Tables {
     * identity on the stored micros value, exactly how the DuckDB
     * oracle reads the same column (naive TIMESTAMP).
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    // Session conf (not a read option): Spark's schema converter only
-    // honors nanos-as-long via SQLConf. Set-if-absent so a library
-    // caller's explicit session configuration is never overwritten.
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$d/events.parquet")
-    raw.schema("ts").dataType.typeName match {
-      // Integer `div`, NOT `/`: long/1000 promotes to double, and epoch
-      // nanos (~1.7e18) exceed double's 53-bit mantissa — off-by-1 µs.
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
-  }
+  def events(spark: SparkSession, d: String): DataFrame =
+    resolved.computeIfAbsent((spark, s"$d/events.parquet#normalized"), _ => {
+      // Session conf (not a read option): Spark's schema converter only
+      // honors nanos-as-long via SQLConf. Set-if-absent so a library
+      // caller's explicit session configuration is never overwritten.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$d/events.parquet")
+      raw.schema("ts").dataType.typeName match {
+        // Integer `div`, NOT `/`: long/1000 promotes to double, and epoch
+        // nanos (~1.7e18) exceed double's 53-bit mantissa — off-by-1 µs.
+        case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+    })
 }
