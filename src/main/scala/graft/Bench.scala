@@ -59,6 +59,15 @@ object Bench {
       // engages, so this also makes the small-scale code path the SAME
       // one a cluster run takes — not a local-only tuning.
       .config("spark.shuffle.sort.bypassMergeThreshold", 2)
+      // r12: size the codegen class cache to the declared surface.
+      // Spark's default caches 100 compiled classes; the 302-query
+      // suite generates ~2,900 codegen stages per pass, so every pass
+      // evicted and re-compiled (janino, driver-side, serial) every
+      // stage — silently defeating the untimed warmup pass whose
+      // documented purpose is exactly to pre-compile codegen stages.
+      // 10,000 entries covers the surface (a few KB per compiled
+      // class); measured on the slowest-30 subset: 54.3 → 34.3 s.
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
     // Optional config overrides for A/B perf experiments
     // ("k=v;k=v"); the driver never sets this, so its runs measure
     // the declared defaults.

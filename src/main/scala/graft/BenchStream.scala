@@ -80,6 +80,8 @@ object BenchStream {
       // serialized shuffle writer at every partition count (see
       // Bench.scala; never engages at > 200 partitions)
       .config("spark.shuffle.sort.bypassMergeThreshold", 2)
+      // codegen class cache sized to the declared surface (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -17,6 +17,8 @@ object Verify {
       // dominates small-scale task runtime; never engages at > 200
       // partitions, so production behavior is unchanged)
       .config("spark.shuffle.sort.bypassMergeThreshold", 2)
+      // codegen class cache sized to the declared surface (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

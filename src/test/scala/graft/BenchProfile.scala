@@ -32,6 +32,7 @@ object BenchProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", 2) // as Bench
+      .config("spark.sql.codegen.cache.maxEntries", 10000) // as Bench
     // A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
