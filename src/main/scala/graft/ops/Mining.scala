@@ -500,21 +500,47 @@ object Mining {
     * last heavy pair table still rebuilt per run (5.1 s at the r6
     * driver bench, the surface's slowest query). */
   def qRecommend(spark: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, d)
+    // r12 rework: score straight off the distinct (custkey, brand)
+    // ownership frame instead of collect_set baskets. The basket form
+    // funneled the whole ×|brands| scoring fan-out and the top-3
+    // window through the ONE custkey exchange, whose output bytes are
+    // tiny — so AQE's byte-based coalescing ran the entire fan-out
+    // (~|owned|×|brands| rows) single-threaded at bench scale (two
+    // serial 1.5 s stages, ~80% of the query's wall) — and each fan-out
+    // row dragged the basket ARRAY along just to evaluate the
+    // "not already owned" filter. Now the fan-out happens map-side on
+    // the ownership rows against the broadcast co-matrix (no basket
+    // column in flight), the score aggregate does its own partial/final
+    // collapse, and "not owned" is a left-anti join of (custkey, b2)
+    // against the same persisted ownership frame. Each exchange
+    // carries dim-bounded (≤ customers × |brands|) narrow rows; at
+    // 100 TB every stage stays parallel and nothing array-sized moves.
+    // One explicit custkey exchange of the NARROW ownership frame,
+    // established before the fan-out: the score aggregate, the anti
+    // join (both sides), and the top-3 window are all custkey-clustered
+    // and reuse this partitioning — no further exchange anywhere, and
+    // the per-partition fan-out collapses fully in place (every
+    // custkey's rows are co-located). The explicit count pins the
+    // scoring stage's parallelism to the session's shuffle parallelism
+    // — the same scale knob every exchange uses.
+    val owned = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("custkey"))
-      .agg(collect_set(col("p_brand")).as("basket")) // the one exchange
+      .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("custkey"))
+      .dropDuplicates("custkey", "brand")
+      .persist() // scoring side + anti side
     val co = ownPairs(spark, d)
-    val scores = baskets
-      .select(col("custkey"), col("basket"), explode(col("basket")).as("b1"))
-      .join(broadcast(co), Seq("b1"))
-      .filter(!array_contains(col("basket"), col("b2")))
-      .groupBy(col("custkey"), col("b2")) // custkey partitioning reused
+    val scores = owned
+      .join(broadcast(co), col("brand") === col("b1"))
+      .groupBy(col("custkey"), col("b2"))
       .agg(sum("co").as("score"))
+      .join(owned.select(col("custkey"), col("brand").as("b2")),
+        Seq("custkey", "b2"), "left_anti")
       .select(col("custkey"), col("b2").as("brand"), col("score"))
     val w = Window.partitionBy("custkey").orderBy(col("score").desc, col("brand"))
     scores.withColumn("rn", row_number().over(w))
