@@ -181,6 +181,16 @@ object Inventory {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(spark, d)
       .select(col("user_id"), col("event_id"), col("ts"))
+      // r12: the window's exchange, made explicit at the session's
+      // shuffle parallelism. The projection entering it is ~16 bytes a
+      // row, so AQE's byte-based coalescing ran the window — and, in
+      // qBackfillChunks, the hour-explode fan-out stacked on top of
+      // it — on ONE task at bench scale (measured ~1.3 s serial). The
+      // explicit count is the same partitioning the window requires
+      // and the same number every exchange uses pre-coalesce, so plan
+      // and behavior at production scale are unchanged.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("user_id"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
       .filter(col("gap_us") > 300L * 1000000L)

@@ -556,9 +556,9 @@ object Relational {
     val margin =
       dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))) -
         dec(col("p_retailprice")) * dec(col("l_quantity") * 0.5)
-    Tables.lineitem(spark, d)
+    Tables.spread(spark, Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-        "l_extendedprice", "l_discount", "l_shipdate")
+        "l_extendedprice", "l_discount", "l_shipdate"), "l_orderkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_retailprice"),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")),
@@ -583,8 +583,9 @@ object Relational {
     * under any partitioning. Revenue ties break on the brand name. */
   def qRegionTopBrands(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("r_name").orderBy(col("rev").desc, col("p_brand"))
-    Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    Tables.spread(spark, Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount"),
+      "l_orderkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
@@ -650,8 +651,9 @@ object Relational {
     * aggregate is 64-bit integer; the square-sum collapses over the
     * ≤|types|×|suppliers| frame. */
   def qHhiConcentration(spark: SparkSession, d: String): DataFrame = {
-    val perSupp = Tables.lineitem(spark, d)
-      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val perSupp = Tables.spread(spark, Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount"),
+      "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_type", "l_suppkey")
