@@ -34,6 +34,15 @@ object Mining {
       .select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
+      // r12: explicit orderkey exchange of the narrow fact projection,
+      // at the session's shuffle parallelism. The collect_set output is
+      // byte-tiny, so AQE coalesced its ENSURE_REQUIREMENTS exchange to
+      // ~1 partition and the downstream double-explode pair expansion
+      // ran serial at bench scale; the explicit count pins it while the
+      // set aggregate runs complete in place (same partitioning the
+      // aggregate requires — identical plan at production scale).
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(collect_set(col("p_brand")).as("basket"))
       .persist()

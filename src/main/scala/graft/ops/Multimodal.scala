@@ -359,7 +359,9 @@ object Multimodal {
   }
 
   def qFrameDedup(spark: SparkSession, d: String): DataFrame = {
-    val fp = payloadTable(spark, d)
+    // spread: the window-explode map work otherwise runs on the single
+    // input split (single-row-group fixture file; identity at scale)
+    val fp = Tables.spread(spark, payloadTable(spark, d), "doc_id")
       .select(col("doc_id"), decode(col("content"), "UTF-8").as("t"))
       .filter(length(col("t")) >= 8)
       .select(col("doc_id"),
@@ -368,6 +370,15 @@ object Multimodal {
       // chars) would quadruple the shuffled key bytes and add a hash
       // per window for nothing — the fingerprint never leaves the plan
       .select(col("doc_id"), expr("substring(t, i, 8)").as("fp"))
+      // r12: one explicit fp exchange at the session's shuffle
+      // parallelism carries the whole pipeline: hash(fp) satisfies the
+      // distinct's (doc_id, fp) clustering, the df-cap aggregate's
+      // (fp), and both pair-join sides — so the distinct runs complete
+      // in place and NOTHING downstream re-exchanges. Without it the
+      // distinct's byte-tiny exchange AQE-coalesced to ~1 partition,
+      // the cache materialized single-partition, and the pair join ran
+      // serial at bench scale.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("fp"))
       .distinct()
       .persist() // df cap + both pair-join sides share it
     val keep = fp.groupBy("fp").agg(count(lit(1)).as("df"))
