@@ -421,6 +421,17 @@ object Mining {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .union(e.select((col("l_suppkey") * 2 + 1).as("src"),
         (col("l_partkey") * 2).as("dst")))
+      // r12: cache the edge list hash(src)-partitioned, once. Every
+      // hop joins frontier⋈edges on src; while the frontier fits a
+      // broadcast the layout is free, and the moment a hop explodes
+      // past the broadcast threshold the sort-merge/shuffled-hash plan
+      // reuses this cached partitioning instead of re-exchanging the
+      // full edge list EVERY hop — the standard pre-partitioned-graph
+      // (Pregel) layout: one exchange at build, zero per iteration.
+      // Locally it also keeps the cache from materializing on the ~1
+      // AQE-coalesced partition of the distinct upstream.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("src"))
       .persist()
     val seeds = Tables.part(spark, d).filter(col("p_partkey") < 5)
       .select((col("p_partkey") * 2).as("node"))
