@@ -11,23 +11,35 @@ import org.apache.spark.sql.functions._
   * partitioned directory tree and partition pruning applies unchanged.
   */
 object Tables {
-  /** r12: the RESOLVED frame is memoized per (session, path). Every
-    * `spark.read.parquet` call pays driver-side file listing + footer
-    * schema inference at analysis time — ~10-20 ms each, and the bench
-    * surface makes ~3 such calls per query per pass (measured: a
-    * double-digit-second driver tax across a full 302-query bench).
-    * DataFrames are immutable plans, so handing every caller the same
-    * object changes nothing downstream; each action still scans the
-    * parquet files — this caches SCHEMA RESOLUTION, never data. The
-    * testdata corpus is immutable within a session (the driver
-    * regenerates it only between rounds, in a fresh JVM), matching
-    * Landing's fingerprint assumption. */
+  /** r12: the RESOLVED frame is memoized per (session, path, source
+    * fingerprint). Every `spark.read.parquet` call pays driver-side
+    * file listing + footer schema inference at analysis time — ~10-20
+    * ms each, and the bench surface makes ~3 such calls per query per
+    * pass (measured: a double-digit-second driver tax across a full
+    * 302-query bench). DataFrames are immutable plans, so handing every
+    * caller the same object changes nothing downstream; each action
+    * still scans the parquet files — this caches SCHEMA RESOLUTION,
+    * never data. A metadata fingerprint (name/mtime/length, one level
+    * deep — a couple of stat calls, the Landing pattern) guards the
+    * memo: a REWRITTEN path (spec fixtures regenerate in-session;
+    * LandingSpec's corpus-swap cases) re-resolves instead of serving a
+    * stale file list. */
   private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    resolved.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+  private def pathStamp(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .map(k => s"${k.getName}:${k.length}:${k.lastModified}").mkString(";")
+    else s"${f.length}:${f.lastModified}"
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"$sfDir/$name.parquet"
+    resolved.computeIfAbsent((spark, p, pathStamp(p)),
+      _ => spark.read.parquet(p))
+  }
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
@@ -56,11 +68,13 @@ object Tables {
     else df
   }
 
-  def documentsSpread(spark: SparkSession, d: String): DataFrame =
+  def documentsSpread(spark: SparkSession, d: String): DataFrame = {
     // memoized like table(): spread's partition-count probe builds the
     // physical RDD (a full plan compile) on every call
-    resolved.computeIfAbsent((spark, s"$d/documents.parquet#spread"),
+    val p = s"$d/documents.parquet"
+    resolved.computeIfAbsent((spark, s"$p#spread", pathStamp(p)),
       _ => spread(spark, documents(spark, d), "doc_id"))
+  }
 
   /** The SQL surface: every testdata table as a temp view (plus
     * graft's native functions), so `spark.sql("SELECT ... FROM
@@ -95,7 +109,8 @@ object Tables {
     * oracle reads the same column (naive TIMESTAMP).
     */
   def events(spark: SparkSession, d: String): DataFrame =
-    resolved.computeIfAbsent((spark, s"$d/events.parquet#normalized"), _ => {
+    resolved.computeIfAbsent((spark, s"$d/events.parquet#normalized",
+      pathStamp(s"$d/events.parquet")), _ => {
       // Session conf (not a read option): Spark's schema converter only
       // honors nanos-as-long via SQLConf. Set-if-absent so a library
       // caller's explicit session configuration is never overwritten.
