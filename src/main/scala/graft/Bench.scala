@@ -77,6 +77,24 @@ object Bench {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r12: codegen.cache.maxEntries is a STATIC conf — builder
+    // configs are silently ignored when getOrCreate finds an existing
+    // session (e.g. an sbt-hosted JVM that already started one). Log
+    // the EFFECTIVE values so such a run is detectable in the record.
+    System.err.println("[bench] effective conf: bypassMergeThreshold=" +
+      spark.conf.get("spark.shuffle.sort.bypassMergeThreshold", "?") +
+      " codegen.cache.maxEntries=" +
+      spark.conf.get("spark.sql.codegen.cache.maxEntries", "?") +
+      " shuffle.partitions=" +
+      spark.conf.get("spark.sql.shuffle.partitions", "?"))
+
+    // r13 (VERDICT item 2): wipe this corpus's landed artifacts so the
+    // warmup pass re-derives every one from the parquet inputs and
+    // their first-land cost is measured + disclosed ("landings" key).
+    // Timed per-query numbers keep their documented meaning (pure
+    // reads of a landed artifact); what changes is that the landing
+    // now verifiably happens INSIDE this bench invocation.
+    graft.sources.Landing.reset(sfDir)
 
     def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -119,8 +137,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // First-land seconds per artifact (paid once, during warmup, after
+    // the reset above) — disclosed so artifact-backed queries' timed
+    // read-only numbers cannot be mistaken for their pipeline costs.
+    val landings = {
+      import scala.jdk.CollectionConverters._
+      graft.sources.Landing.timings.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"landings":$landings,"sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}"""
     println(json)
     // The repo record covers the FULL surface only — a targeted
     // SPARK_GRAFT_QUERIES subset run must not clobber it. An explicit
@@ -150,6 +176,6 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full map in ${benchOut.getOrElse("stdout only (unsaved subset run)")}","sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full map in ${benchOut.getOrElse("stdout only (unsaved subset run)")}","landings":$landings,"sf":"$sfDir","runs":$nRuns,"estimator":"min-of-passes","materialize":"noop"}""")
   }
 }

@@ -25,20 +25,48 @@ object Tables {
     * LandingSpec's corpus-swap cases) re-resolves instead of serving a
     * stale file list. */
   private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
 
+  /** r13 (ADVICE): stamps recurse one level into child DIRECTORIES so
+    * a rewritten part file inside a partition subdirectory re-keys the
+    * memo (a direct child dir's name/length don't change on an
+    * in-place rewrite). */
   private def pathStamp(path: String): String = {
     val f = new java.io.File(path)
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-        .map(k => s"${k.getName}:${k.length}:${k.lastModified}").mkString(";")
+        .map { k =>
+          val own = s"${k.getName}:${k.length}:${k.lastModified}"
+          if (k.isDirectory)
+            own + Option(k.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+              .map(g => s"|${g.getName}:${g.length}:${g.lastModified}").mkString
+          else own
+        }.mkString(";")
     else s"${f.length}:${f.lastModified}"
+  }
+
+  /** r13 (ADVICE): keyed by (session, path) with the stamp stored in
+    * the VALUE — a stamp change REPLACES the entry instead of leaving
+    * the stale (session, path, oldStamp) one behind forever, so the
+    * memo is bounded by the number of live (session, path) pairs. The
+    * single `compute` is atomic per key and its mapping function never
+    * touches the map (the ADVICE recursive-update hazard), because
+    * [[memo]] callers resolve dependencies BEFORE calling it. */
+  private def memo(spark: SparkSession, key: String, stampPath: String)(
+      build: => DataFrame): DataFrame = {
+    // Opportunistic sweep: entries of STOPPED sessions pin the session
+    // and its plans forever in a long-lived JVM (one session per spec
+    // under sbt). A handful of reference compares per call, bounded by
+    // the live entry count.
+    resolved.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val stamp = pathStamp(stampPath)
+    resolved.compute((spark, key), (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev else (stamp, build))._2
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val p = s"$sfDir/$name.parquet"
-    resolved.computeIfAbsent((spark, p, pathStamp(p)),
-      _ => spark.read.parquet(p))
+    memo(spark, p, p)(spark.read.parquet(p))
   }
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
@@ -70,10 +98,14 @@ object Tables {
 
   def documentsSpread(spark: SparkSession, d: String): DataFrame = {
     // memoized like table(): spread's partition-count probe builds the
-    // physical RDD (a full plan compile) on every call
+    // physical RDD (a full plan compile) on every call. The documents
+    // frame is resolved BEFORE the memo call: nesting it inside the
+    // mapping function would re-enter the same ConcurrentHashMap
+    // (Java forbids a mapping function updating the map — the ADVICE
+    // 'Recursive update' crash/livelock).
     val p = s"$d/documents.parquet"
-    resolved.computeIfAbsent((spark, s"$p#spread", pathStamp(p)),
-      _ => spread(spark, documents(spark, d), "doc_id"))
+    val doc = documents(spark, d)
+    memo(spark, s"$p#spread", p)(spread(spark, doc, "doc_id"))
   }
 
   /** The SQL surface: every testdata table as a temp view (plus
@@ -109,8 +141,7 @@ object Tables {
     * oracle reads the same column (naive TIMESTAMP).
     */
   def events(spark: SparkSession, d: String): DataFrame =
-    resolved.computeIfAbsent((spark, s"$d/events.parquet#normalized",
-      pathStamp(s"$d/events.parquet")), _ => {
+    memo(spark, s"$d/events.parquet#normalized", s"$d/events.parquet") {
       // Session conf (not a read option): Spark's schema converter only
       // honors nanos-as-long via SQLConf. Set-if-absent so a library
       // caller's explicit session configuration is never overwritten.
@@ -124,5 +155,5 @@ object Tables {
         case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-    })
+    }
 }

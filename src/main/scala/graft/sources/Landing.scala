@@ -28,6 +28,35 @@ object Landing {
 
   private val landed = scala.collection.mutable.Set[String]()
 
+  /** r13 (VERDICT item 2): seconds spent actually EXECUTING each
+    * artifact's landing pipeline in this JVM, keyed by kind. Bench
+    * wipes this corpus's landing dir at start, so its warmup pass
+    * re-lands every artifact and this map discloses the first-land
+    * cost next to the per-query read-only times ("landings" in the
+    * bench JSON). Empty entries mean the artifact was already on disk
+    * (another JVM landed it after the wipe — not possible in a normal
+    * bench run). */
+  val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private def timed[A](kind: String)(work: => A): A = {
+    val t0 = System.nanoTime()
+    val r = work
+    timings.put(kind, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  /** Deletes every landed artifact for `sfDir`'s CURRENT content (and
+    * forgets the in-JVM marks), so the next consumer re-lands from the
+    * parquet inputs. Bench calls this at start: every bench invocation
+    * then derives all artifacts fresh during warmup instead of serving
+    * a directory landed by a previous run. */
+  def reset(sfDir: String): Unit = synchronized {
+    val fpDir = new java.io.File(keyedPath(sfDir, "x")).getParentFile
+    deleteRecursively(fpDir)
+    landed.retain(p => !p.startsWith(fpDir.getPath + "/"))
+    timings.clear()
+  }
+
   /** Hex digest of (name, length, mtime) for every file under `sfDir`,
     * one level deep (the testdata tables are flat parquet files; a
     * directory entry contributes its own mtime plus its children's).
@@ -62,7 +91,7 @@ object Landing {
     if (!landed(path)) {
       val marker = new java.io.File(path, "_LANDED")
       if (!marker.exists()) {
-        write(path)
+        timed(kind)(write(path))
         marker.getParentFile.mkdirs()
         marker.createNewFile()
       }
@@ -87,7 +116,7 @@ object Landing {
     val path = keyedPath(sfDir, kind)
     if (!landed(path)) {
       if (graft.sinks.TxTable.commits(spark, path).isEmpty)
-        graft.sinks.TxTable.commitOnce(write, path)
+        timed(kind)(graft.sinks.TxTable.commitOnce(write, path))
       landed += path
     }
     path
