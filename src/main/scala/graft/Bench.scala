@@ -68,6 +68,21 @@ object Bench {
       // 10,000 entries covers the surface (a few KB per compiled
       // class); measured on the slowest-30 subset: 54.3 → 34.3 s.
       .config("spark.sql.codegen.cache.maxEntries", 10000)
+      // r13: floor AQE's partition coalescing at 64 KB instead of the
+      // 1 MB default. With parallelism-first coalescing (the default),
+      // the target partition size is max(stageBytes/defaultParallelism,
+      // minPartitionSize) — so the 1 MB floor collapses every exchange
+      // carrying < ~1 MB/core to ONE partition and serializes the whole
+      // downstream stage (window/agg/join) while 31 cores idle. At 64 KB
+      // the floor binds only below ~2 MB total, where task overhead is
+      // microseconds. At production volumes stageBytes/parallelism is
+      // MBs+, the floor never engages and plans are unchanged — this is
+      // not a local-only tuning, it is "prefer idle cores over the
+      // size floor for byte-tiny exchanges". Measured on the slowest-90
+      // subset: 81.5 → 60.2 s (16k: 66.0, 128k: 73.2); worst per-query
+      // regression +0.06 s (noise). Unlike per-query pinned
+      // repartition(n, key) this keeps AQE's skew-split in play.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     // Optional config overrides for A/B perf experiments
     // ("k=v;k=v"); the driver never sets this, so its runs measure
     // the declared defaults.

@@ -108,6 +108,16 @@ object Tables {
     memo(spark, s"$p#spread", p)(spread(spark, doc, "doc_id"))
   }
 
+  /** [[documentsSpread]] for the event stream: the r13 profile showed
+    * the per-row-heavy event queries (key/filename projections, window
+    * preludes) running their whole map phase on the fixture file's ONE
+    * input split. Identity at production split counts, like spread. */
+  def eventsSpread(spark: SparkSession, d: String): DataFrame = {
+    val p = s"$d/events.parquet"
+    val ev = events(spark, d)
+    memo(spark, s"$p#eventsSpread", p)(spread(spark, ev, "event_id"))
+  }
+
   /** The SQL surface: every testdata table as a temp view (plus
     * graft's native functions), so `spark.sql("SELECT ... FROM
     * lineitem JOIN orders ...")` works exactly as it would against the

@@ -19,6 +19,9 @@ object Verify {
       .config("spark.shuffle.sort.bypassMergeThreshold", 2)
       // codegen class cache sized to the declared surface (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", 10000)
+      // r13: see Bench.scala — parallelism floor for byte-tiny
+      // exchanges; never binds at production volumes.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

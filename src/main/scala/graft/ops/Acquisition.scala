@@ -109,7 +109,8 @@ object Acquisition {
     * projection app.py:257-268 and its inverse parse app.py:451-454).
     * `location` carries the event_id so every filename is unique. */
   def qKeyProjection(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
+    // r13: spread — the concat/parse projection ran on one split
+    Tables.eventsSpread(spark, d)
       .select(
         col("event_id"),
         concat_ws(".",

@@ -523,7 +523,10 @@ object Inventory {
     * upload_to_rfs.py:16-35 + the filename parse app.py:451-454). */
   def qFilenameInventory(spark: SparkSession, d: String): DataFrame = {
     val pat = "^([^.]+)\\.([^.]+)\\.([^.]+)\\.([^.]+)\\.([^.]+)\\.mseed$"
-    Tables.events(spark, d)
+    // r13: spread — 5 regexp_extract per row ran TWICE (sort-sampling
+    // pass + sort-write pass) on the single fixture split: 1.06 s +
+    // 0.58 s serial stages. Spread parallelizes both; identity at scale.
+    Tables.eventsSpread(spark, d)
       .select(col("event_id"), concat_ws(".",
         lit("OX"),
         concat(lit("STA"), col("user_id")),

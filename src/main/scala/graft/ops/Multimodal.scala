@@ -51,7 +51,9 @@ object Multimodal {
   /** The `documents` table re-landed as a multimodal table: payload =
     * UTF-8 bytes of `text` standing in for an image/audio blob. */
   def payloadTable(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    // r13: spread — every consumer does per-byte compute over the
+    // payload; the fixture file is one split (identity at scale)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), col("lang"),
         encode(col("text"), "UTF-8").as("content"))
 
@@ -230,7 +232,7 @@ object Multimodal {
     * (out dims, pixel count/checksum/range); the spec replays one
     * doc's full resized raster driver-side. */
   def qImageResize(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), col("text").as("t"))
       .withColumn("h2", expr("least(length(t) div 16, 16) div 2"))
       .filter(col("h2") >= 1)
@@ -263,7 +265,7 @@ object Multimodal {
     * (doc, frame) aggregate — all-integer output, hash-stable by
     * construction. */
   def qAudioEnergy(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), col("text").as("t"))
       .withColumn("nfr", expr("least(length(t), 128) div 16"))
       .filter(col("nfr") >= 1)

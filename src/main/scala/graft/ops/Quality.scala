@@ -111,7 +111,9 @@ object Quality {
     val sDe = score(Seq("der", "die", "das", "und", "ist"))
     val sEs = score(Seq("el", "los", "es", "y", "que"))
     val sFr = score(Seq("le", "la", "et", "les", "des"))
-    Tables.documents(spark, d)
+    // r13: spread — 4 filter-scans of the token array per doc ran on
+    // the single fixture split (identity at scale)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), col("lang"),
         expr(sEn).as("s_en"), expr(sDe).as("s_de"),
         expr(sEs).as("s_es"), expr(sFr).as("s_fr"))
@@ -143,7 +145,7 @@ object Quality {
     * stopword ratio, and a composite [0,1] score — the standard cheap
     * pre-filter for LLM training corpora. */
   def qQualityScore(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), col("n_chars"),
         expr(s"size($toks)").as("n_tokens"),
         expr("length(regexp_replace(text, '[a-z0-9 ]', ''))").as("n_symbol_chars"),
@@ -259,7 +261,7 @@ object Quality {
     * char classes are in the Java∩RE2 common subset both engines
     * compile identically (q_redact's precedent). */
   def qNormalizeText(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"),
         trim(regexp_replace(regexp_replace(lower(col("text")),
           "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
@@ -1381,7 +1383,7 @@ object Quality {
     * one ln); the sum routes through DECIMAL(18,12), the same
     * order-independence discipline as qEntropy. */
   def qPerplexityProxy(spark: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(spark, d)
+    val toks = Tables.documentsSpread(spark, d)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .persist()
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
@@ -1473,7 +1475,7 @@ object Quality {
     * the same integer expression on both engines, so no float-rounding
     * boundary exists anywhere in the checked surface. */
   def qReadability(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_words"),
         greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), lit(1L))

@@ -33,6 +33,7 @@ object BenchProfile {
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", 2) // as Bench
       .config("spark.sql.codegen.cache.maxEntries", 10000) // as Bench
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k") // as Bench
     // A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
