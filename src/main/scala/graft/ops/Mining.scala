@@ -520,29 +520,29 @@ object Mining {
     * last heavy pair table still rebuilt per run (5.1 s at the r6
     * driver bench, the surface's slowest query). */
   def qRecommend(spark: SparkSession, d: String): DataFrame = {
-    // r12 rework: score straight off the distinct (custkey, brand)
-    // ownership frame instead of collect_set baskets. The basket form
-    // funneled the whole ×|brands| scoring fan-out and the top-3
-    // window through the ONE custkey exchange, whose output bytes are
-    // tiny — so AQE's byte-based coalescing ran the entire fan-out
-    // (~|owned|×|brands| rows) single-threaded at bench scale (two
-    // serial 1.5 s stages, ~80% of the query's wall) — and each fan-out
-    // row dragged the basket ARRAY along just to evaluate the
-    // "not already owned" filter. Now the fan-out happens map-side on
-    // the ownership rows against the broadcast co-matrix (no basket
-    // column in flight), the score aggregate does its own partial/final
-    // collapse, and "not owned" is a left-anti join of (custkey, b2)
-    // against the same persisted ownership frame. Each exchange
-    // carries dim-bounded (≤ customers × |brands|) narrow rows; at
-    // 100 TB every stage stays parallel and nothing array-sized moves.
-    // One explicit custkey exchange of the NARROW ownership frame,
-    // established before the fan-out: the score aggregate, the anti
-    // join (both sides), and the top-3 window are all custkey-clustered
-    // and reuse this partitioning — no further exchange anywhere, and
-    // the per-partition fan-out collapses fully in place (every
-    // custkey's rows are co-located). The explicit count pins the
-    // scoring stage's parallelism to the session's shuffle parallelism
-    // — the same scale knob every exchange uses.
+    // r13 (VERDICT item 3): the r12 form's "one reused custkey
+    // exchange" claim was false — the exchange sat INSIDE the persist
+    // boundary, an InMemoryRelation over an AdaptiveSparkPlan hides
+    // its output partitioning, and Spark 4's
+    // requireAllClusterKeysForCoPartition=true means a (custkey, b2)
+    // anti-join can never reuse custkey-only partitioning anyway: the
+    // score aggregate, both anti sides and the window each paid an
+    // ENSURE_REQUIREMENTS re-exchange (plans/r12/q_recommend_after.txt
+    // nodes 26/32/38). This round restores the basket-riding form with
+    // the r12 lesson kept: ONE pinned custkey exchange
+    // (REPARTITION_BY_NUM — AQE cannot coalesce it to a serial stage,
+    // which was the r11 pathology that motivated the r12 rework), then
+    // a SINGLE consumer chain with no cache, no join and no reuse to
+    // get wrong: collect_set folds the distinct into the same
+    // aggregate, the basket explodes map-side against the broadcast
+    // co-matrix, "not already owned" is an array_contains filter on
+    // the riding basket BEFORE the score aggregate (fewer rows into
+    // the agg; the filter is constant per (custkey, b2) group so
+    // pre-agg filtering ≡ post-agg anti), and the score aggregate and
+    // top-3 window reuse the custkey clustering. The only other
+    // exchange is the final orderBy's range partitioning. The ≤|brands|
+    // basket array never crosses a wire — it exists map-side between
+    // the aggregate and the filter.
     val owned = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, d).select("p_partkey", "p_brand"),
@@ -552,15 +552,14 @@ object Mining {
       .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("custkey"))
-      .dropDuplicates("custkey", "brand")
-      .persist() // scoring side + anti side
+      .groupBy("custkey").agg(collect_set("brand").as("basket"))
     val co = ownPairs(spark, d)
     val scores = owned
+      .select(col("custkey"), col("basket"), explode(col("basket")).as("brand"))
       .join(broadcast(co), col("brand") === col("b1"))
+      .filter(!array_contains(col("basket"), col("b2")))
       .groupBy(col("custkey"), col("b2"))
       .agg(sum("co").as("score"))
-      .join(owned.select(col("custkey"), col("brand").as("b2")),
-        Seq("custkey", "b2"), "left_anti")
       .select(col("custkey"), col("b2").as("brand"), col("score"))
     val w = Window.partitionBy("custkey").orderBy(col("score").desc, col("brand"))
     scores.withColumn("rn", row_number().over(w))

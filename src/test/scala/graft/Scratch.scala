@@ -125,6 +125,19 @@ object Scratch {
         spark.catalog.clearCache()
         println(s"[scratch] wrote $outDir/$name")
       }
+    } else if (args.headOption.contains("execplan")) {
+      // execplan <name...>: EXECUTE the query (noop-style: collect and
+      // discard), then print the FINAL adaptive plan — the only view
+      // that shows AQE's runtime decisions (ReusedExchange dedup,
+      // AQEShuffleRead coalescing, join-strategy rewrites), which the
+      // pre-execution explain("formatted") cannot.
+      for (name <- args.drop(1)) {
+        println(s"===== $name (final adaptive plan) =====")
+        val df = SparkEntry.queries(name)(spark, d)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+        spark.catalog.clearCache()
+      }
     } else {
       for (name <- args) {
         println(s"===== $name =====")
