@@ -23,6 +23,20 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sfprobe"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
+# r13: row-group size for the replicated tables. DuckDB's default
+# (122,880 rows) makes every probe table a ONE-row-group file, and a
+# parquet row group is Spark's scan-parallelism quantum — so the whole
+# tokenize/decode map phase of every text-family query ran on ONE task
+# at K=10 (q_bm25 profile: a 50 s single-task stage while 31 cores
+# idled), which measures a fixture artifact, not the plans: production
+# tables have >= cores splits. Small row groups (together with a probe
+# maxPartitionBytes below the file size, e.g.
+# SPARK_GRAFT_CONF=spark.sql.files.maxPartitionBytes=8m) give the
+# probe corpus the many-splits shape real data has. Pass 0 to keep the
+# writer default.
+RGS = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
+RG = f" (ROW_GROUP_SIZE {RGS})" if RGS else ""
+
 # One offset unit per keyspace, far above any sf1 key.
 OFF = 100_000_000
 
@@ -48,7 +62,7 @@ def main():
     con = duckdb.connect()
     for t in SINGLE:
         con.execute(
-            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet'")
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet'{RG}")
         print(f"{t}: single copy")
     for t, keys in KEYED.items():
         cols = [c for (c, _, *_) in con.execute(
@@ -60,7 +74,7 @@ def main():
                 for c in cols)
             parts.append(f"SELECT {sel} FROM '{SRC}/{t}.parquet'")
         union = " UNION ALL ".join(parts)
-        con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet'")
+        con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet'{RG}")
         n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {K} copies, {n} rows")
 
